@@ -1,0 +1,82 @@
+"""Deterministic hashed n-gram encoder (default embedding model).
+
+The environment this framework targets has no network egress, so pretrained MiniLM
+weights may be unavailable. This encoder is fully self-contained and deterministic:
+
+  text --host--> sparse feature counts over B hash buckets
+       --TPU--> dense [batch, B] @ fixed seeded Gaussian projection [B, D]  (MXU)
+       --TPU--> L2 normalize
+
+Features: lowercased word unigrams + bigrams + character 3..5-grams, sublinear TF
+(1 + log(count)), bucket index via blake2b (stable across processes — never Python's
+salted ``hash``). The Gaussian projection approximately preserves cosine geometry of
+the high-dimensional hashed space (Johnson-Lindenstrauss), so cosine top-k over these
+embeddings behaves like a lexical TF similarity — a strong retriever for the
+entity-heavy HotpotQA-style corpora the reference serves (SURVEY §6).
+
+Replaces: sentence-transformers encode calls at semantic_aggregator.py:71 and
+hierarchical_graph.py:655,709-712.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _bucket(feature: str, buckets: int) -> int:
+    h = hashlib.blake2b(feature.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "little") % buckets
+
+
+def _features(text: str) -> List[str]:
+    t = text.lower()
+    words = _WORD_RE.findall(t)
+    feats = list(words)
+    feats += [f"{a}_{b}" for a, b in zip(words, words[1:])]
+    compact = " ".join(words)
+    for n in (3, 4, 5):
+        feats += [f"c{n}:{compact[i:i + n]}" for i in range(max(0, len(compact) - n + 1))]
+    return feats
+
+
+@partial(jax.jit, static_argnames=())
+def _project_normalize(counts: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
+    # sublinear tf then random projection on the MXU, then L2 normalize
+    tf = jnp.where(counts > 0, 1.0 + jnp.log(jnp.maximum(counts, 1.0)), 0.0)
+    emb = jnp.dot(tf, proj, preferred_element_type=jnp.float32)
+    norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb / jnp.maximum(norm, 1e-9)
+
+
+class HashedNGramEncoder:
+    def __init__(self, dim: int = 384, buckets: int = 16384, seed: int = 7) -> None:
+        self.name = f"hashed-ngram-b{buckets}-d{dim}-s{seed}"
+        self.dim = dim
+        self.buckets = buckets
+        self.seed = seed
+        key = jax.random.PRNGKey(seed)
+        self._proj = jax.random.normal(key, (buckets, dim), dtype=jnp.float32) / np.sqrt(dim)
+
+    def _count_matrix(self, texts: List[str]) -> np.ndarray:
+        counts = np.zeros((len(texts), self.buckets), dtype=np.float32)
+        for i, text in enumerate(texts):
+            for f in _features(text or ""):
+                counts[i, _bucket(f, self.buckets)] += 1.0
+        return counts
+
+    def encode_device(self, texts: List[str]) -> jnp.ndarray:
+        if not texts:
+            return jnp.zeros((0, self.dim), dtype=jnp.float32)
+        counts = jnp.asarray(self._count_matrix(texts))
+        return _project_normalize(counts, self._proj)
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        return np.asarray(self.encode_device(texts))

@@ -6,10 +6,18 @@ bench.py and __graft_entry__ on hardware.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The host environment pre-sets JAX_PLATFORMS=axon and a sitecustomize registers the
+# (exclusive, single-chip) TPU tunnel backend at interpreter start — concurrent test
+# runs would deadlock on the chip. Env vars alone lose to that registration, so force
+# the platform through jax.config before any backend is touched.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
