@@ -1,0 +1,185 @@
+"""Hybrid dense + graph search as one jitted XLA program.
+
+Semantics-parity re-design of the reference search pipeline
+(graph/hierarchical_graph.py:675-789):
+
+  1. **Seeds** — exact top-k cosine over the indexed subset of the embedding matrix
+     (replaces the Chroma HNSW query at :706-714) via the fused top-k op.
+  2. **Expansion** — entity seeds pull their first 2 ``belongs_to`` parents at 0.9x
+     semantic decay; summary seeds pull their first ``member_top_m`` children at
+     0.85x (:727-740). Dedup follows the reference's dict-insertion semantics
+     exactly: expansion entries never overwrite, seed self-entries always win —
+     realized as reverse-priority scatter writes (last write wins).
+  3. **Filter + rerank** (:743-781) — vectorized over all nodes:
+     ``score = alpha*semantic + beta*sigmoid(judge/10) + gamma*conf/10
+     + delta*layer_boost[type]`` with null judge/conf contributing 0 via masks, and
+     judge/conf threshold filters dropping null-valued nodes (the reference's
+     ``judge is None -> filtered`` behavior).
+  4. Final masked top-k cut (ties -> lowest node index).
+
+Everything is one ``jit`` with static ``top_k``/``member_top_m``; no host round-trips
+between stages.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ahrag_tpu.graph.tensors import GraphTensors
+from ahrag_tpu.ops.topk import NEG_INF, dense_topk_xla, masked_topk
+
+
+class SearchWeights(NamedTuple):
+    """Traced rerank parameters (defaults mirror hierarchical_graph.py:37-47)."""
+    alpha: jnp.ndarray
+    beta: jnp.ndarray
+    gamma: jnp.ndarray
+    delta: jnp.ndarray
+    layer_boost: jnp.ndarray        # [3] by node_type id (entity, summary, hyperedge)
+    judge_min: jnp.ndarray          # threshold value (ignored unless use_judge_min)
+    use_judge_min: jnp.ndarray      # 0/1 f32
+    conf_min: jnp.ndarray
+    use_conf_min: jnp.ndarray
+    type_mask: jnp.ndarray          # [3] bool - allowed node types
+
+    @staticmethod
+    def create(alpha=0.6, beta=0.2, gamma=0.1, delta=0.1,
+               layer_boost=(0.0, 1.0, 0.0), judge_min=None, conf_min=None,
+               type_filter=None) -> "SearchWeights":
+        tm = [True, True, True]
+        if type_filter is not None:
+            from ahrag_tpu.graph.tensors import NODE_TYPE_IDS
+            tm = [False, False, False]
+            for t in type_filter:
+                if t in NODE_TYPE_IDS:
+                    tm[NODE_TYPE_IDS[t]] = True
+        return SearchWeights(
+            alpha=jnp.float32(alpha), beta=jnp.float32(beta),
+            gamma=jnp.float32(gamma), delta=jnp.float32(delta),
+            layer_boost=jnp.asarray(layer_boost, jnp.float32),
+            judge_min=jnp.float32(0.0 if judge_min is None else judge_min),
+            use_judge_min=jnp.float32(0.0 if judge_min is None else 1.0),
+            conf_min=jnp.float32(0.0 if conf_min is None else conf_min),
+            use_conf_min=jnp.float32(0.0 if conf_min is None else 1.0),
+            type_mask=jnp.asarray(tm, dtype=bool),
+        )
+
+
+class SearchResult(NamedTuple):
+    seed_idx: jnp.ndarray       # [top_k] i32 (dump-slot = n_pad when invalid)
+    seed_sim: jnp.ndarray       # [top_k] f32
+    seed_valid: jnp.ndarray     # [top_k] bool
+    reranked_idx: jnp.ndarray   # [top_k] i32
+    reranked_score: jnp.ndarray  # [top_k] f32
+    reranked_sem: jnp.ndarray   # [top_k] f32
+    reranked_valid: jnp.ndarray  # [top_k] bool
+    cand_mask: jnp.ndarray      # [N_pad] bool - the "expanded" cluster
+    cand_sem: jnp.ndarray       # [N_pad] f32 - semantic per candidate
+
+
+def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.ndarray,
+                      seed_valid: jnp.ndarray, member_top_m: int):
+    """1-hop expansion with decay; returns (sem_buf [N_pad+1], cand [N_pad+1] bool).
+
+    Dedup discipline (parity with the reference's dict building, :727-740): seed
+    self-entries always win; among expansion entries the first occurrence wins.
+    ``.at[].set`` with duplicate indices is order-unspecified in XLA, so this uses an
+    exact two-pass scheme: (1) scatter-max each candidate's unique priority rank,
+    (2) only the rank winner scatters its semantic — winners are unique per node, so
+    the second scatter has no duplicate conflicts.
+    """
+    n_pad = gt.n_pad
+    dump = n_pad  # scatter slot for invalid candidates
+    safe_seed = jnp.clip(seed_idx, 0, n_pad - 1)
+
+    seed_type = jnp.where(seed_valid, gt.node_type[safe_seed], -1)
+    is_ent = seed_type == 0
+    is_sum = seed_type == 1
+
+    par = gt.parents[safe_seed, :2]                                    # [K, 2]
+    par_ok = (par >= 0) & is_ent[:, None] & seed_valid[:, None]
+    par_sem = jnp.broadcast_to((seed_sim * 0.9)[:, None], par.shape)
+
+    mem = gt.children[safe_seed, :member_top_m]                        # [K, M]
+    mem_ok = (mem >= 0) & is_sum[:, None] & seed_valid[:, None]
+    mem_sem = jnp.broadcast_to((seed_sim * 0.85)[:, None], mem.shape)
+
+    # candidate list in priority order: all seed selfs, then expansions seed-major
+    tgt = jnp.concatenate([
+        jnp.where(seed_valid, seed_idx, dump),
+        jnp.where(par_ok, par, dump).reshape(-1),
+        jnp.where(mem_ok, mem, dump).reshape(-1),
+    ])
+    sem = jnp.concatenate([seed_sim, par_sem.reshape(-1), mem_sem.reshape(-1)])
+    n_cand = tgt.shape[0]
+    prio = jnp.arange(n_cand, 0, -1, dtype=jnp.int32)  # earlier = higher
+
+    prio_buf = jnp.zeros(n_pad + 1, jnp.int32).at[tgt].max(prio)
+    win = (prio_buf[tgt] == prio) & (tgt < n_pad)
+    sem_buf = jnp.zeros(n_pad + 1, jnp.float32).at[jnp.where(win, tgt, dump)].set(sem)
+    cand = jnp.zeros(n_pad + 1, dtype=bool).at[jnp.where(win, tgt, dump)].set(True)
+    cand = cand.at[dump].set(False)
+    return sem_buf, cand
+
+
+def rerank_scores(gt: GraphTensors, sem: jnp.ndarray, w: SearchWeights) -> jnp.ndarray:
+    """Vectorized rerank formula over all nodes (hierarchical_graph.py:764-768)."""
+    nt = jnp.clip(gt.node_type, 0, 2)
+    judge_term = jnp.where(gt.has_judge, jax.nn.sigmoid(gt.judge / 10.0), 0.0)
+    conf_term = jnp.where(gt.has_conf, gt.conf / 10.0, 0.0)
+    boost = w.layer_boost[nt]
+    return w.alpha * sem + w.beta * judge_term + w.gamma * conf_term + w.delta * boost
+
+
+def filter_mask(gt: GraphTensors, w: SearchWeights) -> jnp.ndarray:
+    """Type/judge/confidence filters; null judge/conf fail their thresholds (:759-761)."""
+    nt = jnp.clip(gt.node_type, 0, 2)
+    keep = gt.valid & w.type_mask[nt]
+    keep &= jnp.where(w.use_judge_min > 0, gt.has_judge & (gt.judge >= w.judge_min), True)
+    keep &= jnp.where(w.use_conf_min > 0, gt.has_conf & (gt.conf >= w.conf_min), True)
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "member_top_m"))
+def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
+                  top_k: int = 5, member_top_m: int = 5) -> SearchResult:
+    """Full hybrid search for a single query embedding ``q_emb [D]``."""
+    n_pad = gt.n_pad
+    # 1) seeds over the indexed subset: mask non-indexed rows to -inf
+    scores = jnp.dot(gt.emb, q_emb, preferred_element_type=jnp.float32)
+    seed_sim, seed_idx = masked_topk(scores[None, :], (gt.indexed & gt.valid)[None, :], top_k)
+    seed_sim, seed_idx = seed_sim[0], seed_idx[0]
+    seed_valid = seed_sim > NEG_INF / 2
+
+    # 2) expansion + dedup
+    sem_buf, cand = expand_candidates(gt, seed_idx, seed_sim, seed_valid, member_top_m)
+    sem = sem_buf[:n_pad]
+    cand = cand[:n_pad]
+
+    # 3) filter + rerank
+    keep = cand & filter_mask(gt, w)
+    score = rerank_scores(gt, sem, w)
+
+    # 4) final cut
+    rr_score, rr_idx = masked_topk(score[None, :], keep[None, :], top_k)
+    rr_score, rr_idx = rr_score[0], rr_idx[0]
+    rr_valid = rr_score > NEG_INF / 2
+    return SearchResult(
+        seed_idx=jnp.where(seed_valid, seed_idx, n_pad),
+        seed_sim=seed_sim, seed_valid=seed_valid,
+        reranked_idx=jnp.where(rr_valid, rr_idx, n_pad),
+        reranked_score=rr_score,
+        reranked_sem=sem[jnp.clip(rr_idx, 0, n_pad - 1)],
+        reranked_valid=rr_valid,
+        cand_mask=cand, cand_sem=sem,
+    )
+
+
+def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
+                        top_k: int = 5, member_top_m: int = 5) -> SearchResult:
+    """vmapped hybrid search over a batch of query embeddings ``[B, D]``."""
+    return jax.vmap(lambda q: hybrid_search(gt, q, w, top_k=top_k,
+                                            member_top_m=member_top_m))(q_embs)

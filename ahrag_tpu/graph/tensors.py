@@ -1,0 +1,140 @@
+"""GraphTensors: the hierarchical graph compiled to padded device arrays.
+
+This is the TPU-native replacement for the reference's NetworkX DiGraph + Chroma
+index (graph/hierarchical_graph.py:21-170,602-673). Node set and per-edge-type
+adjacency become static-shaped arrays:
+
+- ``emb [N_pad, D]`` row-normalized embeddings (the vector index);
+- per-node scalars: ``node_type`` (0 entity / 1 summary / 2 hyperedge), ``level``,
+  ``judge``/``has_judge``, ``conf``/``has_conf``, ``indexed`` (in the vector index),
+  ``valid``;
+- ELL adjacency ``[N_pad, K]`` int32, -1 padded, one table per typed direction:
+  ``parents``   belongs_to out-edges  (get_belongs_to, hierarchical_graph.py:456)
+  ``children``  belongs_to in-edges   (get_summary_members, :460)
+  ``related``   related_to union of both directions (environment.py:448-453)
+  ``hyperedges``participates_in out   (get_entity_hyperedges, :468)
+  ``members``   participates_in in    (get_hyperedge_participants, :465)
+
+Neighbor order inside each ELL row is edge insertion order — NetworkX iteration
+order in the reference — which is load-bearing for "first 2 parents" expansion
+parity (hierarchical_graph.py:734).
+
+``N_pad`` rounds up to 128 (MXU lane tile); K widths round up to 8. Null
+judge/confidence is a mask, not 0.0 (filter semantics, SURVEY §7.3.4).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NODE_TYPE_IDS = {"entity": 0, "summary": 1, "hyperedge": 2}
+NODE_TYPE_NAMES = {v: k for k, v in NODE_TYPE_IDS.items()}
+
+
+def round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GraphTensors:
+    # device leaves
+    emb: jnp.ndarray            # [N_pad, D] f32
+    node_type: jnp.ndarray      # [N_pad] i32  (-1 invalid)
+    level: jnp.ndarray          # [N_pad] i32
+    judge: jnp.ndarray          # [N_pad] f32
+    has_judge: jnp.ndarray      # [N_pad] bool
+    conf: jnp.ndarray           # [N_pad] f32
+    has_conf: jnp.ndarray       # [N_pad] bool
+    indexed: jnp.ndarray        # [N_pad] bool
+    valid: jnp.ndarray          # [N_pad] bool
+    parents: jnp.ndarray        # [N_pad, K_par] i32
+    children: jnp.ndarray       # [N_pad, K_child] i32
+    related: jnp.ndarray        # [N_pad, K_rel] i32
+    hyperedges: jnp.ndarray     # [N_pad, K_hedge] i32
+    members: jnp.ndarray        # [N_pad, K_mem] i32
+    # static metadata
+    n_nodes: int = field(metadata=dict(static=True), default=0)
+    n_edges: int = field(metadata=dict(static=True), default=0)
+
+    @property
+    def n_pad(self) -> int:
+        return int(self.emb.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.emb.shape[1])
+
+
+def _ell(adj: Dict[int, List[int]], n_pad: int, min_k: int = 8) -> np.ndarray:
+    k = round_up(max([len(v) for v in adj.values()], default=1), 8)
+    k = max(k, min_k)
+    out = np.full((n_pad, k), -1, dtype=np.int32)
+    for i, nbrs in adj.items():
+        out[i, : len(nbrs)] = nbrs[:k]
+    return out
+
+
+def build_graph_tensors(
+    *,
+    embeddings: np.ndarray,                 # [N, D] normalized
+    node_types: Sequence[int],
+    levels: Sequence[int],
+    judges: Sequence[float | None],
+    confs: Sequence[float | None],
+    indexed: Sequence[bool],
+    parents: Dict[int, List[int]],
+    children: Dict[int, List[int]],
+    related: Dict[int, List[int]],
+    hyperedges: Dict[int, List[int]],
+    members: Dict[int, List[int]],
+    n_edges: int = 0,
+) -> GraphTensors:
+    """Assemble device tensors from host-side (already integer-indexed) graph data."""
+    n = len(node_types)
+    assert embeddings.shape[0] == n
+    n_pad = round_up(n, 128)
+    d = embeddings.shape[1]
+
+    emb = np.zeros((n_pad, d), dtype=np.float32)
+    emb[:n] = embeddings
+    nt = np.full(n_pad, -1, dtype=np.int32)
+    nt[:n] = np.asarray(node_types, dtype=np.int32)
+    lv = np.zeros(n_pad, dtype=np.int32)
+    lv[:n] = np.asarray(levels, dtype=np.int32)
+    jd = np.zeros(n_pad, dtype=np.float32)
+    hj = np.zeros(n_pad, dtype=bool)
+    cf = np.zeros(n_pad, dtype=np.float32)
+    hc = np.zeros(n_pad, dtype=bool)
+    for i in range(n):
+        if judges[i] is not None:
+            jd[i], hj[i] = float(judges[i]), True
+        if confs[i] is not None:
+            cf[i], hc[i] = float(confs[i]), True
+    ix = np.zeros(n_pad, dtype=bool)
+    ix[:n] = np.asarray(indexed, dtype=bool)
+    vd = np.zeros(n_pad, dtype=bool)
+    vd[:n] = True
+
+    return GraphTensors(
+        emb=jnp.asarray(emb),
+        node_type=jnp.asarray(nt),
+        level=jnp.asarray(lv),
+        judge=jnp.asarray(jd),
+        has_judge=jnp.asarray(hj),
+        conf=jnp.asarray(cf),
+        has_conf=jnp.asarray(hc),
+        indexed=jnp.asarray(ix),
+        valid=jnp.asarray(vd),
+        parents=jnp.asarray(_ell(parents, n_pad)),
+        children=jnp.asarray(_ell(children, n_pad)),
+        related=jnp.asarray(_ell(related, n_pad)),
+        hyperedges=jnp.asarray(_ell(hyperedges, n_pad)),
+        members=jnp.asarray(_ell(members, n_pad)),
+        n_nodes=n,
+        n_edges=n_edges,
+    )
