@@ -1,0 +1,130 @@
+import pytest
+
+from ahrag_tpu.answer.context import ContextProcessor, extract_kept_spans
+from ahrag_tpu.answer.generator import AnswerGenerator
+from ahrag_tpu.baselines.naive import NaiveRAG
+from tests.helpers import build_film_graph
+
+
+@pytest.fixture
+def hg():
+    g = build_film_graph()
+    g.build_vector_index(layers=(0, 1, 2))
+    return g
+
+
+def _evidence(hg):
+    def brief(nid):
+        d = hg.nodes[nid]
+        return {"node_id": nid,
+                "title": (d.get("title") or d.get("name") or "")[:120],
+                "summary": (d.get("summary_text") or d.get("description") or "")[:240]}
+    return {
+        "summaries": [brief("sum:0"), brief("sum:2")],
+        "entities": [brief(hg.find_entity("Tim Burton")),
+                     brief(hg.find_entity("Ed Wood"))],
+    }
+
+
+def test_context_skeleton_and_used_nodes(hg):
+    cp = ContextProcessor()
+    out = cp.build_context(_evidence(hg), hg, token_budget=800, config={})
+    # reference test_mini_pipeline.py contract
+    assert "Evidence Skeleton" in out["context_text"]
+    assert out["used_nodes"]
+    assert out["stats"]["budget_total"] == 800
+    assert out["stats"]["tokens_used"] > 0
+
+
+def test_context_ranking_formula(hg):
+    cp = ContextProcessor()
+    out = cp.build_context(_evidence(hg), hg, token_budget=800, config={})
+    used = out["used_nodes"]
+    # sum:0 carries a judge score (0.4*0.8) -> ranks first; the L2 node's layer
+    # weight (0.4*1.0) beats judge-less entities -> second
+    assert used[0] == "sum:0"
+    assert used[1] == "sum:2"
+    assert used.index("sum:2") < used.index(hg.find_entity("Tim Burton"))
+
+
+def test_context_budget_respected(hg):
+    cp = ContextProcessor()
+    out = cp.build_context(_evidence(hg), hg, token_budget=40,
+                           config={"enable_cache": False})
+    # budgeting counts content lines; section headers and [DETAIL:] labels add a
+    # small constant overhead on top (same accounting as the reference)
+    assert out["stats"]["tokens_used"] <= 40 + 30
+
+
+def test_context_cache(hg):
+    cp = ContextProcessor()
+    a = cp.build_context(_evidence(hg), hg, token_budget=800, config={})
+    b = cp.build_context(_evidence(hg), hg, token_budget=800, config={})
+    assert a is b  # cached object
+
+
+def test_kept_spans():
+    spans = extract_kept_spans("Released in 1994, grossing 5.8% more, not a sequel")
+    assert "1994" in spans and "5.8" in spans and "not" in spans
+
+
+def test_compression_emits_keep_markers(hg):
+    cp = ContextProcessor()
+    long_text = ("The film was released in 1994. " + "Filler sentence here. " * 200
+                 + "It was not a commercial success.")
+    hg.nodes["sum:0"]["summary_text"] = long_text
+    out = cp.build_context({"summaries": [{"node_id": "sum:0"}], "entities": []},
+                           hg, token_budget=200, config={"enable_cache": False,
+                                                         "summarizer_max_tokens": 64})
+    mode = out["stats"]["per_node_mode"].get("sum:0")
+    assert mode in {"skeleton", "detail_compressed"}
+    assert "1994" in out["context_text"]
+
+
+def test_generator_fallback_with_citations(hg):
+    cp = ContextProcessor()
+    ctx = cp.build_context(_evidence(hg), hg, token_budget=800, config={})
+    gen = AnswerGenerator()
+    out = gen.generate("Who directed the film Ed Wood?", ctx, {"use_llm": False})
+    assert set(out) == {"answer", "rationale", "citations"}
+    assert out["answer"] and len(out["answer"]) <= 200
+    assert out["citations"] and all(c in ctx["used_nodes"] for c in out["citations"])
+
+
+def test_generator_nationality_comparison(hg):
+    ctx = {"context_text": (
+        "# Evidence Skeleton\n"
+        "- [e1] (entity) Tim Burton :: American filmmaker and director\n"
+        "- [e2] (entity) Scott Derrickson :: American director of horror films\n"),
+        "used_nodes": ["e1", "e2"], "stats": {}}
+    gen = AnswerGenerator()
+    out = gen.generate("Are Tim Burton and Scott Derrickson of the same nationality?",
+                       ctx, {"use_llm": False})
+    assert out["answer"].startswith("Yes")
+
+
+def test_generator_llm_path(hg, fake_llm):
+    fake_llm["responses"].append(
+        '{"answer": "Tim Burton", "rationale": "The evidence states it.", '
+        '"citations": ["sum:0", "bogus:1"]}')
+    cp = ContextProcessor()
+    ctx = cp.build_context(_evidence(hg), hg, token_budget=800, config={})
+    gen = AnswerGenerator()
+    out = gen.generate("Who directed Ed Wood?", ctx, {"use_llm": True})
+    assert out["answer"] == "Tim Burton"
+    assert out["citations"] == ["sum:0"]  # whitelist enforced
+
+
+def test_generator_llm_bad_json_falls_back(hg, fake_llm):
+    fake_llm["default"] = "no json here at all"
+    cp = ContextProcessor()
+    ctx = cp.build_context(_evidence(hg), hg, token_budget=800, config={})
+    out = AnswerGenerator().generate("Who directed Ed Wood?", ctx,
+                                     {"use_llm": True, "max_retries": 1})
+    assert out["answer"]  # fallback produced something
+
+
+def test_naive_rag(hg):
+    out = NaiveRAG(hg, AnswerGenerator()).run("Who directed Ed Wood?", top_k=5)
+    assert set(out) >= {"answer", "rationale", "citations", "retrieved_nodes"}
+    assert out["retrieved_nodes"]

@@ -1,0 +1,95 @@
+import pytest
+
+from ahrag_tpu.eval.answer_eval import AnswerEvaluator, normalize_text, squad_f1_em
+
+
+def test_f1_em_exact_match_squad_scale():
+    # reference test_answer_eval.py contract: exact match -> 100.0 on squad scale
+    out = squad_f1_em("Paris", ["Paris"])
+    assert out["f1"] == 100.0 and out["em"] == 100.0
+
+
+def test_f1_partial_overlap():
+    out = squad_f1_em("the city of Paris", ["Paris France"])
+    assert 0 < out["f1"] < 100.0 and out["em"] == 0.0
+
+
+def test_f1_no_refs():
+    assert squad_f1_em("anything", []) == {"f1": 0.0, "em": 0.0}
+
+
+def test_normalize_text():
+    assert normalize_text("The Answer, really!") == "answer really"
+
+
+def test_diagnosis_edge_case_branch():
+    ev = AnswerEvaluator()
+    d = ev.apply_diagnosis_formula({"faithfulness": 0.8, "answer_relevancy": 0.8,
+                                    "contextual_recall": 0.9})
+    assert d["primary_issue"] == "edge_case"
+
+
+@pytest.mark.parametrize("faith,rel,recall,expect", [
+    (0.8, 0.3, 0.9, "retriever"),
+    (0.3, 0.8, 0.9, "generator"),
+    (0.3, 0.3, 0.9, "both"),
+    (0.8, 0.8, 0.3, "retriever"),  # low-recall override
+])
+def test_diagnosis_branches(faith, rel, recall, expect):
+    d = AnswerEvaluator().apply_diagnosis_formula(
+        {"faithfulness": faith, "answer_relevancy": rel, "contextual_recall": recall})
+    assert d["primary_issue"] == expect
+
+
+def test_full_evaluate_offline():
+    ev = AnswerEvaluator(system_type="ah_rag")
+    answer_obj = {
+        "query": "Who directed Ed Wood?",
+        "answer": "Tim Burton",
+        "gold_answers": ["Tim Burton"],
+        "citations": ["ent:1"],
+        "evidence": {"summaries": [{"node_id": "sum:0", "title": "directors",
+                                    "summary": "tim burton directed ed wood"}],
+                     "entities": [{"node_id": "ent:1", "title": "Tim Burton",
+                                   "summary": "american director"}]},
+        "context": {"used_nodes": ["sum:0", "ent:1"], "stats": {"tokens_used": 50}},
+        "retrieved_nodes": ["sum:0", "ent:1"],
+        "session_data": {"stats": {"cumulative": {"steps": 3, "expansions": 1,
+                                                  "time_s": 0.01},
+                                   "actions": [{"action": "expand_parents",
+                                                "inputs": ["ent:1", "sum:0"]}]}},
+    }
+    out = ev.evaluate(answer_obj, graph=None, config={})
+    scores = out["scores"]
+    assert scores["f1"] == 100.0 and scores["em"] == 100.0
+    assert scores["contextual_recall"] == 1.0  # 2 used / 2 evidence * 1.2 capped
+    assert scores["faithfulness"] == 0.5       # no-judge default constant
+    assert scores["contextual_precision"] == 0.65
+    assert 0 < scores["overall"] <= 1.0
+    spec = out["details"]["specific_metrics"]
+    assert spec["graph_coverage"] == 2
+    assert spec["layer_utilization"]["L0"] == 1 and spec["layer_utilization"]["L1"] == 1
+    assert out["details"]["diagnosis"]["primary_issue"] in {
+        "edge_case", "retriever", "generator", "both"}
+
+
+def test_qualitative_judge_with_fake_llm(fake_llm):
+    fake_llm["default"] = ('{"correctness": 8, "coverage": 7, "clarity": 9, '
+                           '"overall": 8}')
+    ev = AnswerEvaluator()
+    out = ev.evaluate_qualitative({"answer": "x"}, "q?",
+                                  {"evaluation": {"judge": {"use_llm": True}}})
+    assert out == {"correctness": 8.0, "coverage": 7.0, "clarity": 9.0, "overall": 8.0}
+    # and generator metrics flow from the judge
+    gen = ev.evaluate_generator({"query": "q?"}, {}, "q?",
+                                {"evaluation": {"judge": {"use_llm": True}}})
+    assert gen["faithfulness"] == 0.8 and gen["answer_relevancy"] == 0.7
+
+
+def test_efficiency_readback(tmp_path):
+    import json
+    p = tmp_path / "summary.json"
+    p.write_text(json.dumps({"stats": {"cumulative": {"steps": 4, "expansions": 3,
+                                                      "time_s": 0.137}}}))
+    out = AnswerEvaluator().evaluate_efficiency(str(p))
+    assert out == {"steps": 4.0, "nodes_expanded": 3.0, "latency_s": 0.137}
