@@ -1,0 +1,449 @@
+"""Semantic aggregation: build-time hierarchy construction (L0 -> L1 -> L2).
+
+Capability parity with the reference aggregator (aggregate/semantic_aggregator.py:
+36-816), re-designed for TPU:
+
+- entity dedup + batch embedding on device (the reference's COMPUTE HOT SPOT #1);
+- topic clustering via device spherical k-means + temperature-softmax soft
+  assignment (replaces BERTopic/UMAP/HDBSCAN; the artifact contract — soft parents
+  with probs, l1_nodes with top_words/members/centroid — is preserved exactly);
+- LLM topic/community summaries with deterministic heuristic fallbacks (the
+  reference only produces heuristics on LLM *failure*; here the same heuristics
+  also cover the LLM-disabled path so offline builds still get titled summaries);
+- L1<->L1 ``related_summary`` edges from member overlap/Jaccard/centroid cosine
+  with weight 0.5*jaccard + 0.5*cosine (:594-680);
+- L2 via first-party greedy-modularity communities over the L1 graph (edge weight
+  >= 0.15, min community size 3) with mean-of-member centroids (:462-592);
+- LLM-as-judge sampling with neutral-6.0 fallback scores (:682-816);
+- escalation metrics (compression/coverage/judge-improvement) with stop flag and
+  thresholds {1.5, 0.9, 0.2} (:406-460).
+
+Artifact files written (reference layout, SURVEY §1): embeddings.npy, topics.json,
+l1_nodes.json, l1_summaries.json, l1_edges.json, l2_nodes.json, l1_to_l2.json,
+l1_judge_nodes.json, l1_judge_edges.json, l2_judge_nodes.json, metrics.json.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import re
+from collections import Counter
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ahrag_tpu.aggregate.community import greedy_modularity_communities
+from ahrag_tpu.models.encoder import create_encoder
+from ahrag_tpu.ops.kmeans import spherical_kmeans
+from ahrag_tpu.schema import Entity, HypergraphExtraction, JudgeScore, TopicSummary
+from ahrag_tpu.utils.llm import LLMModule, get_llm_manager
+
+_JSON_RE = re.compile(r"\{[\s\S]*\}")
+_WORD_RE = re.compile(r"[a-zA-Z]{3,}")
+_STOPWORDS = {"the", "and", "for", "with", "that", "was", "his", "her", "are", "who",
+              "from", "has", "had", "have", "this", "its", "also", "were", "been"}
+
+
+class SemanticAggregator:
+    def __init__(self, encoder_name: Optional[str] = None,
+                 artifact_dir: str = "artifacts") -> None:
+        from ahrag_tpu.utils.config import load_config
+        self.artifact_dir = artifact_dir
+        self.encoder = create_encoder(load_config(), name=encoder_name)
+        self.entities_map: Dict[str, Entity] = {}
+        self.entity_names: List[str] = []
+        self.entity_embeddings: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------ utilities
+    def _write(self, name: str, obj: Any) -> None:
+        os.makedirs(self.artifact_dir, exist_ok=True)
+        with open(os.path.join(self.artifact_dir, name), "w", encoding="utf-8") as f:
+            json.dump(obj, f, ensure_ascii=False, indent=2)
+
+    def _llm(self):
+        mgr = get_llm_manager()
+        return mgr if mgr.is_enabled(LLMModule.SEMANTIC_AGGREGATION) else None
+
+    def _llm_json(self, prompt: str, max_tokens: int = 600) -> Optional[Dict[str, Any]]:
+        mgr = self._llm()
+        if mgr is None:
+            return None
+        try:
+            txt = mgr.chat(LLMModule.SEMANTIC_AGGREGATION,
+                           [{"role": "user", "content": prompt}], max_tokens=max_tokens)
+            m = _JSON_RE.search(txt or "")
+            return json.loads(m.group(0)) if m else None
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------ L0 embed
+    def embed_l0_entities(self, l0_extractions: List[HypergraphExtraction]) -> np.ndarray:
+        for extraction in l0_extractions:
+            for entity in extraction.entities:
+                if entity.name not in self.entities_map:
+                    self.entities_map[entity.name] = entity
+        unique = list(self.entities_map.values())
+        self.entity_names = [e.name for e in unique]
+        if not unique:
+            self.entity_embeddings = np.zeros((0, self.encoder.dim), np.float32)
+            return self.entity_embeddings
+        texts = [e.description or e.name for e in unique]
+        self.entity_embeddings = self.encoder.encode(texts)
+        os.makedirs(self.artifact_dir, exist_ok=True)
+        np.save(os.path.join(self.artifact_dir, "embeddings.npy"),
+                self.entity_embeddings)
+        return self.entity_embeddings
+
+    # ----------------------------------------------------------- clustering
+    def cluster_entities(self, prob_threshold: float = 0.10, max_parents: int = 2,
+                         min_topic_size: int = 2, n_topics: Optional[int] = None,
+                         softmax_tau: float = 0.1, seed: int = 42) -> Dict[str, Any]:
+        """Device k-means + soft parent assignment; preserves the topics.json contract."""
+        if self.entity_embeddings is None or not self.entity_names:
+            raise RuntimeError("Embeddings not available. Run embed_l0_entities first.")
+        n = len(self.entity_names)
+        k = n_topics or max(1, min(n // max(1, min_topic_size),
+                                   int(round(math.sqrt(n / 2))) or 1))
+        assign, cents = spherical_kmeans(self.entity_embeddings, k=int(k), seed=seed)
+        assign = np.asarray(assign)
+        cents = np.asarray(cents)
+
+        # soft probabilities from centroid cosines
+        sims = self.entity_embeddings @ cents.T                   # [N, k]
+        logits = sims / max(softmax_tau, 1e-6)
+        logits -= logits.max(axis=1, keepdims=True)
+        probs = np.exp(logits)
+        probs /= probs.sum(axis=1, keepdims=True)
+
+        entity_to_parents: Dict[str, List[Dict[str, Any]]] = {}
+        for i, name in enumerate(self.entity_names):
+            order = np.argsort(-probs[i])
+            selected = [{"topic_id": int(t), "prob": float(probs[i, t])}
+                        for t in order[:max_parents] if probs[i, t] >= prob_threshold]
+            if not selected:
+                selected = [{"topic_id": int(assign[i]), "prob": 1.0}]
+            entity_to_parents[name] = selected
+
+        topic_to_members: Dict[int, List[int]] = {}
+        for i, t in enumerate(assign):
+            topic_to_members.setdefault(int(t), []).append(i)
+
+        l1_nodes: List[Dict[str, Any]] = []
+        for tid in sorted(topic_to_members):
+            member_idx = topic_to_members[tid]
+            members = [self.entity_names[i] for i in member_idx]
+            texts = []
+            for nm in members:
+                ent = self.entities_map.get(nm)
+                texts.append(f"{nm} {(ent.description if ent else '') or ''}")
+            counts = Counter(w.lower() for t in texts for w in _WORD_RE.findall(t)
+                             if w.lower() not in _STOPWORDS)
+            l1_nodes.append({
+                "topic_id": int(tid),
+                "top_words": [w for w, _ in counts.most_common(10)],
+                "members": members,
+                "centroid": np.mean(self.entity_embeddings[member_idx],
+                                    axis=0).tolist(),
+            })
+
+        self._write("topics.json", {"entity_to_parents": entity_to_parents,
+                                    "l1_nodes": l1_nodes})
+        self._write("l1_nodes.json", l1_nodes)
+        return {"entity_to_parents": entity_to_parents, "l1_nodes": l1_nodes,
+                "n_topics": int(k)}
+
+    # --------------------------------------------------------- summarization
+    def _heuristic_topic_summary(self, node: Dict[str, Any]) -> TopicSummary:
+        tw = node.get("top_words", [])
+        title = " / ".join(tw[:3]) or f"Topic {node.get('topic_id')}"
+        snippets = []
+        for name in node.get("members", [])[:20]:
+            ent = self.entities_map.get(name)
+            if ent and (ent.description or ent.name):
+                snippets.append((ent.description or ent.name)[:160])
+        summary = " ".join(snippets[:3]) or "Cluster of semantically related entities."
+        return TopicSummary(topic_id=int(node["topic_id"]), title=title,
+                            summary=summary, confidence=5.0)
+
+    def summarize_topics(self, l1_nodes: List[Dict[str, Any]],
+                         max_members_per_topic: int = 20,
+                         member_snippet_len: int = 160) -> List[TopicSummary]:
+        if not l1_nodes:
+            return []
+        out: List[TopicSummary] = []
+        for node in l1_nodes:
+            texts = []
+            for name in node.get("members", [])[:max_members_per_topic]:
+                ent = self.entities_map.get(name)
+                if ent and (ent.description or ent.name):
+                    texts.append((ent.description or ent.name)[:member_snippet_len])
+            prompt = (
+                "You are a precision knowledge-aggregation assistant. Produce a JSON "
+                "summary for this topic cluster.\n"
+                f"- topic_id: {node.get('topic_id')}\n"
+                f"- keywords: {', '.join(node.get('top_words', []))}\n"
+                f"- member descriptions:\n- " + "\n- ".join(texts) + "\n\n"
+                "Return ONLY one JSON object with fields topic_id (int), title "
+                "(<= 20 words), summary (2-3 sentences synthesizing the common theme, "
+                "no enumerations), confidence (1-10 float).")
+            obj = self._llm_json(prompt)
+            if obj is not None:
+                try:
+                    out.append(TopicSummary.model_validate(
+                        {**obj, "topic_id": int(node["topic_id"])}))
+                    continue
+                except Exception:
+                    pass
+            out.append(self._heuristic_topic_summary(node))
+
+        self._write("l1_summaries.json", [s.model_dump() for s in out])
+        tid_to_summary = {s.topic_id: s for s in out}
+        for n in l1_nodes:
+            s = tid_to_summary.get(int(n["topic_id"]))
+            if s:
+                n["title"], n["summary"], n["confidence"] = s.title, s.summary, s.confidence
+        self._write("l1_nodes.json", l1_nodes)
+        return out
+
+    # -------------------------------------------------------------- relations
+    def generate_l1_relations(self, l1_nodes: List[Dict[str, Any]],
+                              min_overlap: int = 3, min_jaccard: float = 0.2,
+                              min_cosine: float = 0.5,
+                              top_k: Optional[int] = None) -> List[Dict[str, Any]]:
+        if not l1_nodes:
+            return []
+        tids = [int(n["topic_id"]) for n in l1_nodes]
+        members = {int(n["topic_id"]): set(n.get("members", [])) for n in l1_nodes}
+        confidences = {int(n["topic_id"]): float(n.get("confidence", 5.0))
+                       for n in l1_nodes}
+        cents = {}
+        for n in l1_nodes:
+            c = n.get("centroid")
+            if c is not None:
+                arr = np.asarray(c, dtype=np.float32)
+                norm = np.linalg.norm(arr)
+                cents[int(n["topic_id"])] = arr / norm if norm > 0 else arr
+        edges: List[Dict[str, Any]] = []
+        for i, a in enumerate(sorted(tids)):
+            for b in sorted(tids)[i + 1:]:
+                A, B = members.get(a, set()), members.get(b, set())
+                if not A and not B:
+                    continue
+                inter, union = A & B, A | B
+                overlap = len(inter)
+                jaccard = len(inter) / len(union) if union else 0.0
+                ca, cb = cents.get(a), cents.get(b)
+                cosine = float(np.dot(ca, cb)) if ca is not None and cb is not None else 0.0
+                if not (overlap >= min_overlap or jaccard >= min_jaccard
+                        or cosine >= min_cosine):
+                    continue
+                edges.append({
+                    "source": a, "target": b, "relation_type": "related_summary",
+                    "weight": round(0.5 * jaccard + 0.5 * cosine, 4),
+                    "overlap": overlap, "jaccard": round(jaccard, 4),
+                    "cosine": round(cosine, 4),
+                    "confidence": round((confidences.get(a, 5.0)
+                                         + confidences.get(b, 5.0)) / 2.0, 2),
+                })
+        if top_k is not None and len(edges) > top_k:
+            edges = sorted(edges, key=lambda e: e["weight"], reverse=True)[:top_k]
+        self._write("l1_edges.json", edges)
+
+        adj: Dict[int, List] = {t: [] for t in tids}
+        for e in edges:
+            adj[e["source"]].append((e["target"], e["weight"]))
+            adj[e["target"]].append((e["source"], e["weight"]))
+        for n in l1_nodes:
+            tid = int(n["topic_id"])
+            n["neighbors"] = [{"topic_id": t, "weight": w} for t, w in
+                              sorted(adj.get(tid, []), key=lambda x: -x[1])]
+        self._write("l1_nodes.json", l1_nodes)
+        return edges
+
+    # ------------------------------------------------------------------- L2
+    def aggregate_level2_via_communities(self, l1_nodes: List[Dict[str, Any]],
+                                         min_comm_size: int = 3,
+                                         edge_weight_min: float = 0.15
+                                         ) -> List[Dict[str, Any]]:
+        tid_to_node = {int(n["topic_id"]): n for n in l1_nodes}
+        edges_path = os.path.join(self.artifact_dir, "l1_edges.json")
+        raw_edges: List[Dict[str, Any]] = []
+        if os.path.exists(edges_path):
+            with open(edges_path, "r", encoding="utf-8") as f:
+                raw_edges = json.load(f)
+        weighted = [(int(e["source"]), int(e["target"]), float(e.get("weight", 0.0)))
+                    for e in raw_edges
+                    if float(e.get("weight", 0.0)) >= edge_weight_min
+                    and int(e["source"]) in tid_to_node and int(e["target"]) in tid_to_node]
+        if weighted:
+            comms = greedy_modularity_communities(sorted(tid_to_node), weighted)
+        else:
+            comms = [sorted(tid_to_node)] if tid_to_node else []
+        comms = [list(c) for c in comms if len(c) >= min_comm_size]
+        if not comms:
+            self._write("l2_nodes.json", [])
+            self._write("l1_to_l2.json", {})
+            return []
+
+        l2_nodes: List[Dict[str, Any]] = []
+        l1_to_l2: Dict[str, int] = {}
+        for cid, tids in enumerate(comms):
+            member_names, centroids, top_words, bodies = [], [], [], []
+            for tid in tids:
+                n = tid_to_node.get(int(tid))
+                if not n:
+                    continue
+                member_names.append(f"sum:{int(tid)}")
+                if n.get("centroid"):
+                    centroids.append(np.asarray(n["centroid"], dtype=float))
+                top_words.extend((n.get("top_words") or [])[:5])
+                bodies.append(f"- {n.get('title') or ''}: "
+                              f"{n.get('summary') or n.get('summary_text') or ''}")
+            title, summary_txt, conf = f"Community {cid}", \
+                "Community of related L1 topic summaries.", 7.0
+            obj = self._llm_json(
+                "Summarize this community of L1 topic summaries. Return ONLY one JSON "
+                "object with fields topic_id (int), title (one line), summary (2-3 "
+                "sentences covering the shared theme and its variation), confidence "
+                f"(1-10 float).\ncommunity_id: {cid}\nmember summaries:\n"
+                + "\n".join(bodies), max_tokens=800)
+            if obj:
+                title = obj.get("title", title)
+                summary_txt = obj.get("summary", summary_txt)
+                try:
+                    conf = float(obj.get("confidence", conf))
+                except Exception:
+                    pass
+            elif top_words:
+                title = " / ".join(list(dict.fromkeys(top_words))[:3])
+                summary_txt = ("Community spanning topics: "
+                               + "; ".join(b.lstrip("- ") for b in bodies[:3]))
+            l2_nodes.append({
+                "topic_id": int(cid), "title": title, "summary": summary_txt,
+                "confidence": conf,
+                "top_words": list(dict.fromkeys(top_words))[:10],
+                "members": member_names,
+                "centroid": (np.mean(centroids, axis=0).tolist()
+                             if centroids else None),
+                "level": 2,
+            })
+            for tid in tids:
+                l1_to_l2[str(int(tid))] = int(cid)
+        self._write("l2_nodes.json", l2_nodes)
+        self._write("l1_to_l2.json", l1_to_l2)
+        return l2_nodes
+
+    # ----------------------------------------------------------------- judge
+    def _judge_one(self, meta: Dict[str, Any], subject: str,
+                   fallback_id: int) -> JudgeScore:
+        prompt = (
+            f"You are a strict reviewer. Score this {subject} 1-10 (decimals allowed) "
+            "on consistency, accuracy, informativeness, and overall.\n"
+            f"metadata:\n{json.dumps(meta, ensure_ascii=False, indent=2)}\n"
+            "Return ONLY one JSON object with fields id/consistency/accuracy/"
+            "informativeness/overall/comments.")
+        obj = self._llm_json(prompt)
+        if obj is not None:
+            try:
+                return JudgeScore.model_validate({**obj, "id": int(obj.get("id",
+                                                                           fallback_id))})
+            except Exception:
+                pass
+        return JudgeScore(id=fallback_id, consistency=6.0, accuracy=6.0,
+                          informativeness=6.0, overall=6.0, comments="fallback")
+
+    def judge_samples(self, l1_nodes: List[Dict[str, Any]],
+                      l1_edges: List[Dict[str, Any]], node_sample_size: int = 5,
+                      edge_sample_size: int = 5,
+                      seed: int = 42) -> Dict[str, List[JudgeScore]]:
+        if (not l1_nodes and not l1_edges) or self._llm() is None:
+            return {"nodes": [], "edges": []}
+        rng = random.Random(seed)
+        node_samples = rng.sample(l1_nodes, k=min(node_sample_size, len(l1_nodes))) \
+            if l1_nodes else []
+        edge_samples = rng.sample(l1_edges, k=min(edge_sample_size, len(l1_edges))) \
+            if l1_edges else []
+        node_scores = [self._judge_one(
+            {"topic_id": int(n["topic_id"]), "title": n.get("title"),
+             "summary": n.get("summary"), "top_words": n.get("top_words", []),
+             "members": n.get("members", [])[:10]},
+            "topic node", int(n["topic_id"])) for n in node_samples]
+        edge_scores = [self._judge_one(
+            {"source": e.get("source"), "target": e.get("target"),
+             "relation_type": e.get("relation_type"),
+             "diagnostics": {k: e.get(k) for k in ("overlap", "jaccard", "cosine",
+                                                   "weight")}},
+            "topic relation", int(e.get("source", 0))) for e in edge_samples]
+        self._write("l1_judge_nodes.json", [s.model_dump() for s in node_scores])
+        self._write("l1_judge_edges.json", [s.model_dump() for s in edge_scores])
+        return {"nodes": node_scores, "edges": edge_scores}
+
+    def judge_level_nodes(self, nodes: List[Dict[str, Any]], node_sample_size: int = 2,
+                          out_name: str = "l2_judge_nodes.json",
+                          seed: int = 42) -> List[Dict[str, Any]]:
+        if not nodes or self._llm() is None:
+            return []
+        rng = random.Random(seed)
+        samples = rng.sample(nodes, k=min(node_sample_size, len(nodes)))
+        results = [self._judge_one(
+            {"topic_id": int(n["topic_id"]), "title": n.get("title"),
+             "summary": n.get("summary") or n.get("summary_text"),
+             "top_words": n.get("top_words", [])[:10],
+             "members": n.get("members", [])[:10]},
+            "L2 topic node", int(n["topic_id"])).model_dump() for n in samples]
+        self._write(out_name, results)
+        return results
+
+    # ------------------------------------------------------------ escalation
+    def compute_escalation_metrics(self, l1_nodes: List[Dict[str, Any]],
+                                   l2_nodes: List[Dict[str, Any]],
+                                   thresholds: Optional[Dict[str, float]] = None
+                                   ) -> Dict[str, Any]:
+        thresholds = thresholds or {"compression": 1.5, "improvement": 0.2,
+                                    "coverage": 0.9}
+        c_ratio = (len(l1_nodes) / max(1, len(l2_nodes))) if l2_nodes else 0.0
+        l1_to_l2_path = os.path.join(self.artifact_dir, "l1_to_l2.json")
+        l1_to_l2 = {}
+        if os.path.exists(l1_to_l2_path):
+            with open(l1_to_l2_path, "r", encoding="utf-8") as f:
+                l1_to_l2 = json.load(f)
+        covered = sum(1 for n in l1_nodes if str(int(n["topic_id"])) in l1_to_l2)
+        coverage = covered / len(l1_nodes) if l1_nodes else 0.0
+
+        def mean_overall(name: str) -> Optional[float]:
+            p = os.path.join(self.artifact_dir, name)
+            if not os.path.exists(p):
+                return None
+            try:
+                with open(p, "r", encoding="utf-8") as f:
+                    arr = json.load(f)
+                vals = [float(x["overall"]) for x in arr
+                        if isinstance(x.get("overall"), (int, float))]
+                return sum(vals) / len(vals) if vals else None
+            except Exception:
+                return None
+
+        mean_l1 = mean_overall("l1_judge_nodes.json")
+        mean_l2 = mean_overall("l2_judge_nodes.json")
+        improvement = (mean_l2 - mean_l1) if (mean_l1 is not None
+                                              and mean_l2 is not None) else None
+        if not l2_nodes:
+            should_stop = True
+        else:
+            should_stop = not (c_ratio >= thresholds["compression"]
+                               and improvement is not None
+                               and improvement >= thresholds["improvement"]
+                               and coverage >= thresholds["coverage"])
+        metrics = {
+            "compression_ratio_l1_over_l2": round(c_ratio, 4),
+            "coverage_l1_to_l2": round(coverage, 4),
+            "mean_judge_overall_l1": mean_l1,
+            "mean_judge_overall_l2": mean_l2,
+            "improvement_overall": None if improvement is None else round(improvement, 4),
+            "thresholds": thresholds,
+            "should_stop_escalation": should_stop,
+        }
+        self._write("metrics.json", metrics)
+        return metrics

@@ -1,0 +1,280 @@
+"""LLM-prompted N-ary knowledge hypergraph extraction.
+
+Capability parity with the reference extractor (extract/hypergraph_extractor.py:
+10-336): max 8 extractions per chunk over a controlled 8-type entity set, with
+
+- multi-strategy JSON recovery for malformed LLM output: fenced block, outermost
+  braces, ``"extractions"`` array slice, brace-depth object salvage, and regex
+  partial-object stitching (:100-187,:311-323);
+- confidence coercion (numbers, numeric strings, zh 高/中/低 -> 9/6/3, default 6)
+  and clamping to [1, 10];
+- post-processing: entity-type normalization via alias table + keyword heuristics,
+  source-snippet enrichment of descriptions, truncation to 160 chars;
+- deterministic regex/capitalization fallback extraction when the LLM is disabled
+  or fails, so the whole build pipeline runs offline.
+"""
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List, Optional
+
+from ahrag_tpu.schema import (CANONICAL_ENTITY_TYPES, Entity, ExtractionResponse,
+                              HypergraphExtraction)
+from ahrag_tpu.utils.llm import LLMModule, get_llm_manager
+
+TYPE_ALIASES: Dict[str, str] = {
+    **{a: "person" for a in ("human", "individual", "artist", "actor", "director",
+                             "author")},
+    **{a: "organization" for a in ("company", "agency", "institution", "team",
+                                   "studio")},
+    **{a: "position" for a in ("role", "office", "title", "job", "occupation")},
+    **{a: "location" for a in ("place", "city", "country", "region", "state",
+                               "province", "neighborhood")},
+    **{a: "event" for a in ("conference", "war", "summit", "ceremony")},
+    **{a: "work" for a in ("film", "movie", "book", "novel", "song", "album",
+                           "series")},
+    **{a: "concept" for a in ("idea", "theory", "technology", "process")},
+    **{a: "date" for a in ("year", "time", "era")},
+}
+
+_TYPE_KEYWORDS = [
+    ("position", (" governor", "president", "minister", "protocol", "ambassador",
+                  "chief", "captain")),
+    ("organization", (" university", " company", " studio", " society", " committee",
+                      " agency", " government", " department", " network")),
+    ("location", (" city", " village", " town", " district", " county", " province",
+                  " state", " country", " mosque", " mansion", " valley", " river")),
+    ("work", (" film", " movie", " novel", " book", " series", " drama", " song",
+              " album", " comic")),
+    ("event", (" battle", " summit", " war", " ceremony", " festival")),
+    ("person", (" born", " died", " 19", " 20", " century", " 18")),
+    ("concept", (" theory", " concept", " system", " process", " technology")),
+]
+
+_SENT_SPLIT = re.compile(r"(?<=[。！？.!?])\s+")
+_NAME_RE = re.compile(r"(?:[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+|[A-Z][a-z]+)")
+_PARTIAL_RE = re.compile(
+    r"\{\s*\"hyperedge\"[\s\S]*?\}\s*(?=,\s*\{\s*\"hyperedge\"|\s*\]\s*\}|$)")
+
+PROMPT_TEMPLATE = """\
+You are a precision JSON generator. Read the TEXT and return EXACTLY one JSON object.
+Do NOT add commentary, code fences, or explanations.
+
+RULES
+- At most 8 extractions; each describes one atomic fact/event.
+- Each extraction has: hyperedge (short verb phrase), relation_type (CamelCase),
+  entities (objects with keys ["name", "type", "description"]), confidence_score (1-10).
+- Entity type must be one of: person, organization, position, location, work, event,
+  concept, date. Pick the closest if unsure.
+- Descriptions consolidate the key attributes stated in the text (nationality, role,
+  dates, numbers, aliases, relationships); keep them under 160 characters.
+- If the text states a person's nationality/citizenship, include it verbatim in the
+  description. If it states an official title, capture it in a position entity.
+- Cover distinct facts; do not repeat near-identical statements.
+- When one surface form has several facets (a person vs. a same-named film), emit
+  separate typed entities.
+
+Return JSON of the exact shape {{"extractions": [...]}}.
+
+TEXT:
+{text_chunk}
+"""
+
+
+def coerce_confidence(v) -> float:
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        mapping = {"高": 9.0, "中": 6.0, "低": 3.0}
+        s = v.strip()
+        if s in mapping:
+            return mapping[s]
+        try:
+            return float(s)
+        except ValueError:
+            return 6.0
+    return 6.0
+
+
+def salvage_objects(text: str) -> List[dict]:
+    """Extract balanced top-level {...} objects from arbitrary text."""
+    objs: List[dict] = []
+    buf: List[str] = []
+    depth = 0
+    for ch in text:
+        if ch == "{":
+            depth += 1
+        if depth > 0:
+            buf.append(ch)
+        if ch == "}":
+            depth -= 1
+            if depth == 0 and buf:
+                try:
+                    obj = json.loads("".join(buf))
+                    if isinstance(obj, dict):
+                        objs.append(obj)
+                except Exception:
+                    pass
+                buf = []
+    return objs
+
+
+class HypergraphExtractor:
+    def __init__(self, granularity: str = "fine") -> None:
+        self.granularity = granularity
+
+    # ---------------------------------------------------------------- public
+    def extract(self, text_chunk: str) -> List[HypergraphExtraction]:
+        mgr = get_llm_manager()
+        if not mgr.is_enabled(LLMModule.KNOWLEDGE_EXTRACTION):
+            return self.fallback_extract(text_chunk)
+        try:
+            raw = mgr.chat(LLMModule.KNOWLEDGE_EXTRACTION,
+                           [{"role": "user",
+                             "content": PROMPT_TEMPLATE.format(text_chunk=text_chunk)}],
+                           max_tokens=2000)
+        except Exception:
+            raw = None
+        if not raw:
+            return self.fallback_extract(text_chunk)
+        parsed = self.parse_response(raw, text_chunk)
+        return parsed if parsed else self.fallback_extract(text_chunk)
+
+    # ---------------------------------------------------------------- parsing
+    def parse_response(self, raw: str,
+                       text_chunk: str = "") -> List[HypergraphExtraction]:
+        candidates: List[str] = []
+        for m in re.finditer(r"```json\s*([\s\S]*?)```", raw):
+            candidates.append(m.group(1))
+        l, r = raw.find("{"), raw.rfind("}")
+        if 0 <= l < r:
+            candidates.append(raw[l:r + 1])
+        ex_pos = raw.find('"extractions"')
+        if ex_pos != -1:
+            lb, rb = raw.find("[", ex_pos), raw.rfind("]")
+            if 0 <= lb < rb:
+                candidates.append('{"extractions": ' + raw[lb:rb + 1] + "}")
+
+        for cand in candidates:
+            out = self._try_candidate(cand, text_chunk)
+            if out:
+                return out[:8]
+        return []
+
+    def _try_candidate(self, cand: str,
+                       text_chunk: str) -> Optional[List[HypergraphExtraction]]:
+        try:
+            data = json.loads(cand)
+            if isinstance(data, dict) and isinstance(data.get("extractions"), list):
+                return self._validate(data["extractions"], text_chunk)
+        except Exception:
+            pass
+        objs = salvage_objects(cand)
+        if objs:
+            out = self._validate(objs, text_chunk)
+            if out:
+                return out
+        matches = _PARTIAL_RE.findall(cand)
+        if matches:
+            try:
+                data = json.loads('{"extractions": [' + ",".join(matches) + "]}")
+                return self._validate(data["extractions"], text_chunk)
+            except Exception:
+                return None
+        return None
+
+    def _validate(self, items: List[dict],
+                  text_chunk: str) -> Optional[List[HypergraphExtraction]]:
+        for it in items:
+            if isinstance(it, dict) and "confidence_score" in it:
+                it["confidence_score"] = coerce_confidence(it["confidence_score"])
+            elif isinstance(it, dict):
+                it["confidence_score"] = 6.0
+        try:
+            resp = ExtractionResponse.model_validate({"extractions": items})
+        except Exception:
+            return None
+        return self.postprocess(resp.extractions, text_chunk)
+
+    # ----------------------------------------------------------- postprocess
+    def postprocess(self, extractions: List[HypergraphExtraction],
+                    text_chunk: str) -> List[HypergraphExtraction]:
+        context_lower = text_chunk.lower()
+        for ex in extractions:
+            ex.confidence_score = max(1.0, min(10.0, float(ex.confidence_score or 6.0)))
+            normalized: List[Entity] = []
+            for ent in ex.entities:
+                ent_type = self.normalize_entity_type(ent.type, ent.name,
+                                                      ent.description, context_lower)
+                desc = (ent.description or "").strip()
+                snippet = self._snippet(ent.name, text_chunk)
+                if desc:
+                    candidate = (f"{desc} | {snippet}"
+                                 if snippet and snippet.lower() not in desc.lower()
+                                 else desc)
+                else:
+                    candidate = snippet or desc
+                if len(candidate) > 160:
+                    candidate = candidate[:157] + "..."
+                normalized.append(Entity(name=ent.name.strip(), type=ent_type,
+                                         description=candidate))
+            ex.entities = normalized
+        return extractions
+
+    def normalize_entity_type(self, raw_type: Optional[str], name: str,
+                              description: Optional[str], context_lower: str) -> str:
+        candidate = (raw_type or "").strip().lower()
+        if candidate in CANONICAL_ENTITY_TYPES:
+            return candidate
+        if candidate in TYPE_ALIASES:
+            return TYPE_ALIASES[candidate]
+        text = f"{name} {(description or '')}".lower()
+        for canonical, kws in _TYPE_KEYWORDS:
+            if any(k in text for k in kws):
+                return canonical
+        if re.fullmatch(r"\d{4}", name.strip()):
+            return "date"
+        if "person" in context_lower or name.istitle():
+            return "person"
+        return "concept"
+
+    def _snippet(self, name: str, text_chunk: str) -> str:
+        pattern = re.compile(r"[^.!?。]*" + re.escape(name) + r"[^.!?。]*(?:[.!?。]|$)",
+                             re.IGNORECASE)
+        m = pattern.search(text_chunk)
+        if m:
+            return m.group(0).strip()[:160]
+        idx = text_chunk.lower().find(name.lower())
+        if idx != -1:
+            return text_chunk[max(0, idx - 80): idx + 120].strip()[:160]
+        return text_chunk[:160].strip()
+
+    # -------------------------------------------------------------- fallback
+    def fallback_extract(self, text_chunk: str) -> List[HypergraphExtraction]:
+        """Deterministic capitalization-based extraction (LLM-free path)."""
+        out: List[HypergraphExtraction] = []
+        for sent in (s.strip() for s in _SENT_SPLIT.split(text_chunk) if s.strip()):
+            names: List[str] = []
+            seen: set[str] = set()
+            for m in _NAME_RE.findall(sent):
+                if m not in seen:
+                    seen.add(m)
+                    names.append(m)
+            if not names:
+                continue
+            entities = [Entity(name=n,
+                               type=self.normalize_entity_type(None, n, sent,
+                                                               sent.lower()),
+                               description=sent[:240]) for n in names]
+            out.append(HypergraphExtraction(
+                hyperedge=sent[:240],
+                relation_type="CoOccurrence" if len(entities) > 1 else "Mention",
+                entities=entities, confidence_score=5.0))
+        if not out:
+            out.append(HypergraphExtraction(
+                hyperedge=text_chunk[:240], relation_type="DocumentSummary",
+                entities=[Entity(name="Document", type="concept",
+                                 description=text_chunk[:240])],
+                confidence_score=3.0))
+        return out
