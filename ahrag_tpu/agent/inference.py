@@ -1,0 +1,258 @@
+"""InferenceEngine: end-to-end QA orchestration over the environment.
+
+Behavior parity with the reference engine (agent/inference.py:23-314):
+
+- reset with the seed query, then immediately commit the top picks so evidence
+  exists even if later expansions return nothing (:36-41);
+- think-act loop of at most ``steps - 1`` decisions with auto-commit of the current
+  top picks after every action (:43-72);
+- evidence collection: summaries-first, entity ``l1_parents`` pulled in, recursive
+  member expansion to depth 2, caps max_summaries=3 / max_entities=5 (:140-214);
+- context assembly + answer generation from the unified config, with
+  ``context_assembled`` events and ``answer.json`` persisted per session (:96-137);
+- the heuristic ``pick_top_ids``: entity-type priority map (person 5 > position 4 >
+  location 3 > organization/work 2 > event/concept/date 1), query-keyword routing
+  (director/film/when/nationality/...), capitalized-name matching for comparison
+  questions, up to 3 entities + the best summary (:220-314).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, List
+
+from ahrag_tpu.agent.agent import AHRAG_Agent
+from ahrag_tpu.agent.environment import GraphEnvironment
+from ahrag_tpu.answer.context import ContextProcessor
+from ahrag_tpu.answer.generator import AnswerGenerator
+from ahrag_tpu.utils.config import load_config
+
+_PRIORITY = {"person": 5, "position": 4, "location": 3, "organization": 2,
+             "work": 2, "event": 1, "concept": 1, "date": 1}
+_CAP_NAME_RE = re.compile(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b")
+
+
+def pick_top_ids(observation: Dict[str, Any], query: str = "") -> List[str]:
+    """Query-aware selection of the most relevant nodes from an observation."""
+    sel = observation.get("selection") or []
+    entities = [x for x in sel if x.get("node_type") == "entity" and x.get("node_id")]
+    summaries = [x for x in sel if x.get("node_type") == "summary" and x.get("node_id")]
+
+    def prio(item: Dict[str, Any]):
+        return (_PRIORITY.get((item.get("entity_type") or "").lower(), 0),
+                float(item.get("score") or 0.0))
+
+    entities.sort(key=prio, reverse=True)
+    ids: List[str] = []
+    query_lower = query.lower()
+
+    if len(entities) > 1:
+        relevant: List[Dict[str, Any]] = []
+        if any(k in query_lower for k in ("director", "author", "writer")):
+            relevant = [x for x in entities
+                        if (x.get("entity_type") or "").lower() in {"person", "position"}]
+            relevant = relevant or [x for x in entities
+                                    if (x.get("entity_type") or "").lower() == "work"]
+        elif any(k in query_lower for k in ("movie", "film", "cinema")):
+            relevant = [x for x in entities
+                        if (x.get("entity_type") or "").lower() == "work"]
+            relevant = relevant or [x for x in entities
+                                    if any(w in (x.get("name") or "").lower()
+                                           for w in ("film", "movie"))]
+        elif any(k in query_lower for k in ("when", "born", "birth", "died", "death",
+                                            "date")):
+            relevant = [x for x in entities
+                        if (x.get("entity_type") or "").lower() == "date"]
+        elif any(k in query_lower for k in ("nationality", "country", "citizen",
+                                            "where", "location")):
+            relevant = [x for x in entities
+                        if (x.get("entity_type") or "").lower() == "person"]
+            if "same" in query_lower or "both" in query_lower:
+                matched = []
+                for name in _CAP_NAME_RE.findall(query):
+                    nl = name.lower()
+                    for ent in relevant:
+                        en = (ent.get("name") or "").lower()
+                        if (nl in en or any(p in en for p in nl.split())) \
+                                and ent not in matched:
+                            matched.append(ent)
+                if matched:
+                    relevant = matched
+            if not relevant:
+                relevant = [x for x in entities if (x.get("entity_type") or "").lower()
+                            in {"work", "organization", "location"}]
+        ids.extend(x["node_id"] for x in (relevant or entities)[:3])
+    elif entities:
+        ids.append(entities[0]["node_id"])
+
+    if summaries:
+        summaries.sort(key=lambda x: float(x.get("score") or 0.0), reverse=True)
+        top_summary = summaries[0]["node_id"]
+        if top_summary not in ids:
+            ids.append(top_summary)
+    return ids
+
+
+class InferenceEngine:
+    def __init__(self, env: GraphEnvironment, agent: AHRAG_Agent) -> None:
+        self.env = env
+        self.agent = agent
+
+    def run_inference(self, query: str, steps: int = 4) -> Dict[str, Any]:
+        obs, info = self.env.reset(seed_query=query)
+        used_actions: List[Dict[str, Any]] = [info]
+
+        initial = pick_top_ids(obs, query)
+        if initial:
+            _, info_commit = self.env.commit_selection(initial)
+            used_actions.append(info_commit)
+
+        for _ in range(max(1, steps - 1)):
+            decision = self.agent.decide(obs)
+            action = decision.get("action")
+            params = decision.get("params", {})
+            ids = params.get("node_ids", []) or pick_top_ids(obs, query)
+            if action == "semantic_anchor":
+                obs, info = self.env.semantic_anchor(params.get("query") or query)
+            elif action == "expand_parents":
+                obs, info = self.env.expand_parents(ids)
+            elif action == "expand_children":
+                obs, info = self.env.expand_children(ids)
+            elif action == "expand_related":
+                obs, info = self.env.expand_related(ids)
+            elif action == "commit_selection":
+                obs, info = self.env.commit_selection(ids)
+            elif action == "query_node_details":
+                if not ids:
+                    break
+                obs, info = self.env.query_node_details(ids[0])
+            else:
+                break
+            used_actions.append(info)
+            top_ids = pick_top_ids(obs, query)
+            if top_ids:
+                obs, info2 = self.env.commit_selection(top_ids)
+                used_actions.append(info2)
+
+        evidence = self.collect_evidence(max_summaries=3, max_entities=5)
+
+        cfg = load_config()
+        answer_cfg = cfg.get("answer", {})
+        token_budget = int(answer_cfg.get("total_context_budget", 6000))
+        ctx_cfg = {
+            "skeleton_ratio": answer_cfg.get("skeleton_ratio", 0.2),
+            "reserve_ratio": answer_cfg.get("reserve_ratio", 0.1),
+            "enable_kept_spans": answer_cfg.get("enable_kept_spans", True),
+            "enable_cache": answer_cfg.get("enable_cache", True),
+            "summarizer_max_tokens": answer_cfg.get("summarizer_max_tokens", 256),
+            "rank_weights": {"judge": 0.4, "conf": 0.2, "layer": 0.4},
+        }
+        context = ContextProcessor().build_context(evidence, self.env.hg,
+                                                   token_budget, ctx_cfg)
+        try:
+            os.makedirs(self.env.session_path, exist_ok=True)
+            with open(os.path.join(self.env.session_path, "events.jsonl"), "a",
+                      encoding="utf-8") as f:
+                f.write(json.dumps({"event": "context_assembled",
+                                    "stats": context.get("stats", {}),
+                                    "used_nodes": context.get("used_nodes", [])},
+                                   ensure_ascii=False) + "\n")
+        except Exception:
+            pass
+
+        gen_cfg = {
+            "use_llm": answer_cfg.get("use_llm", False),
+            "model": answer_cfg.get("model"),
+            "temperature": answer_cfg.get("temperature", 0.1),
+            "max_retries": answer_cfg.get("max_retries", 2),
+        }
+        answer = AnswerGenerator().generate(query, context, gen_cfg)
+        summary = self.env.end_episode()
+        out = {
+            "query": query,
+            "answer": answer.get("answer"),
+            "rationale": answer.get("rationale"),
+            "citations": answer.get("citations"),
+            "used_actions": used_actions,
+            "metrics": summary.get("stats", {}).get("cumulative", {}),
+            "session_path": self.env.session_path,
+            "evidence": evidence,
+            "context": context,
+            "retrieved_nodes": sorted(self.env.selection_set),
+            "session_data": summary,
+        }
+        try:
+            with open(os.path.join(self.env.session_path, "answer.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(out, f, ensure_ascii=False, indent=2)
+        except Exception:
+            pass
+        return out
+
+    # ------------------------------------------------------------- evidence
+    def collect_evidence(self, max_summaries: int = 3,
+                         max_entities: int = 5) -> Dict[str, Any]:
+        hg = self.env.hg
+        selection_ids = list(self.env.selection_set)
+        summaries: List[str] = []
+        entities: List[str] = []
+        for nid in selection_ids:
+            d = hg.nodes.get(nid, {})
+            if d.get("node_type") == "summary":
+                summaries.append(nid)
+            elif d.get("node_type") == "entity":
+                entities.append(nid)
+                parents = d.get("l1_parents") or {}
+                if isinstance(parents, str):
+                    try:
+                        parents = json.loads(parents)
+                    except Exception:
+                        parents = {}
+                for tid in parents:
+                    try:
+                        sid = hg.topic_to_summary_id.get(int(tid))
+                    except (TypeError, ValueError):
+                        continue
+                    if sid and sid not in summaries:
+                        summaries.append(sid)
+        summaries = list(dict.fromkeys(summaries))[:max_summaries]
+        entities = list(dict.fromkeys(entities))[:max_entities]
+
+        def brief(nid: str) -> Dict[str, Any]:
+            d = hg.nodes.get(nid, {})
+            return {"node_id": nid, "node_type": d.get("node_type"),
+                    "title": (d.get("title") or d.get("name") or "")[:120],
+                    "summary": (d.get("summary_text") or d.get("summary")
+                                or d.get("description") or "")[:240]}
+
+        summary_briefs = [brief(n) for n in summaries]
+        entity_briefs = [brief(n) for n in entities]
+
+        def add_members(summary_id: str, depth: int = 0) -> None:
+            if depth > 2 or len(entity_briefs) >= max_entities:
+                return
+            members = hg.nodes.get(summary_id, {}).get("members") or []
+            if isinstance(members, str):
+                try:
+                    members = json.loads(members)
+                except Exception:
+                    members = []
+            for member in members:
+                if len(entity_briefs) >= max_entities:
+                    return
+                if isinstance(member, str) and member.startswith("sum:"):
+                    add_members(member, depth + 1)
+                    continue
+                ent_id = hg.name_to_entity_id.get(member) if isinstance(member, str) \
+                    else None
+                if ent_id and ent_id not in entities:
+                    entity_briefs.append(brief(ent_id))
+                    entities.append(ent_id)
+
+        if len(entity_briefs) < max_entities:
+            for sid in summaries:
+                add_members(sid)
+                if len(entity_briefs) >= max_entities:
+                    break
+        return {"summaries": summary_briefs, "entities": entity_briefs}
