@@ -1,0 +1,308 @@
+"""PPO training: clipped surrogate + GAE, host-gym and on-device batched paths.
+
+Semantics parity with the reference PPO stack (policy_ppo.py:37-260): PPOConfig
+defaults (epochs 3, gamma .99, clip .2, entropy .01, value .5, lr 3e-4, batch 256),
+GAE(lambda=.95) with advantage normalization, clipped-surrogate + value MSE +
+entropy bonus + grad clip 1.0, masked sampling, early stop on moving-average
+episode reward.
+
+Two rollout paths:
+
+- ``ppo_train``: drives any host gym (AHRAGGymEnv protocol) — the
+  reference-equivalent loop, but with the jitted update;
+- ``ppo_train_device``: batched on-device episodes via agent/vec_env.rollout_batch —
+  whole env batches execute as one XLA program per step (BASELINE.json config 5,
+  replacing the reference's sequential Python roll at :144-215).
+
+Conscious fix vs the reference (SURVEY §7.1 step 7): inference-time ``act_ppo``
+applies the action mask; the reference samples unmasked at :254-260.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ahrag_tpu.models.policy.nets import ActorCritic
+
+
+@dataclass
+class PPOConfig:
+    epochs: int = 3
+    gamma: float = 0.99
+    clip_eps: float = 0.2
+    entropy_coef: float = 0.01
+    value_coef: float = 0.5
+    lr: float = 3e-4
+    batch_size: int = 256
+    gae_lambda: float = 0.95
+
+
+def compute_gae(rews: Sequence[float], vals: Sequence[float], dones: Sequence[bool],
+                gamma: float = 0.99, lam: float = 0.95) -> Tuple[np.ndarray, np.ndarray]:
+    """GAE with terminal bootstrapping and advantage normalization
+    (policy_ppo.py:99-113)."""
+    n = len(rews)
+    adv = np.zeros(n, dtype=np.float32)
+    last = 0.0
+    for t in reversed(range(n)):
+        nonterminal = 0.0 if (t == n - 1 or dones[t]) else 1.0
+        next_value = 0.0 if (t == n - 1 or dones[t]) else vals[t + 1]
+        delta = rews[t] + gamma * next_value * nonterminal - vals[t]
+        last = delta + gamma * lam * nonterminal * last
+        adv[t] = last
+    returns = adv + np.asarray(vals, dtype=np.float32)
+    if np.std(adv) > 1e-8:
+        adv = (adv - np.mean(adv)) / (np.std(adv) + 1e-8)
+    return adv.astype(np.float32), returns.astype(np.float32)
+
+
+class PPOLearner:
+    """ActorCritic + optax with a jitted minibatch update."""
+
+    def __init__(self, in_dim: int, n_actions: int, cfg: Optional[PPOConfig] = None,
+                 seed: int = 0) -> None:
+        self.cfg = cfg or PPOConfig()
+        self.in_dim = in_dim
+        self.n_actions = n_actions
+        self.model = ActorCritic(n_actions=n_actions)
+        self.params = self.model.init(jax.random.PRNGKey(seed),
+                                      jnp.zeros((1, in_dim)))["params"]
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0),
+                              optax.adam(self.cfg.lr))
+        self.opt_state = self.tx.init(self.params)
+
+        model, tx, cfg_ = self.model, self.tx, self.cfg
+
+        @jax.jit
+        def _update(params, opt_state, obs, actions, old_logp, returns, adv):
+            def loss_fn(p):
+                logits, value = model.apply({"params": p}, obs)
+                logp_all = jax.nn.log_softmax(logits, axis=-1)
+                logp = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
+                ratio = jnp.exp(logp - old_logp)
+                unclipped = ratio * adv
+                clipped = jnp.clip(ratio, 1.0 - cfg_.clip_eps,
+                                   1.0 + cfg_.clip_eps) * adv
+                policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+                value_loss = jnp.mean((value - returns) ** 2)
+                entropy = jnp.mean(-jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
+                loss = (policy_loss + cfg_.value_coef * value_loss
+                        - cfg_.entropy_coef * entropy)
+                return loss, (policy_loss, value_loss, entropy)
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, aux
+
+        self._update = _update
+
+        @jax.jit
+        def _forward(params, obs):
+            return model.apply({"params": params}, obs)
+
+        self.apply_fn = _forward
+
+    # -------------------------------------------------------------- update
+    def update(self, obs: np.ndarray, actions: np.ndarray, old_logp: np.ndarray,
+               returns: np.ndarray, adv: np.ndarray,
+               seed: int = 0) -> Dict[str, float]:
+        n = obs.shape[0]
+        rng = np.random.default_rng(seed)
+        losses = {"policy": 0.0, "value": 0.0, "entropy": 0.0}
+        for _ in range(self.cfg.epochs):
+            perm = rng.permutation(n)
+            for i in range(0, n, self.cfg.batch_size):
+                b = perm[i:i + self.cfg.batch_size]
+                self.params, self.opt_state, aux = self._update(
+                    self.params, self.opt_state, jnp.asarray(obs[b]),
+                    jnp.asarray(actions[b].astype(np.int32)),
+                    jnp.asarray(old_logp[b]), jnp.asarray(returns[b]),
+                    jnp.asarray(adv[b]))
+                pl_, vl, ent = (float(x) for x in aux)
+                losses["policy"] += pl_ * len(b)
+                losses["value"] += vl * len(b)
+                losses["entropy"] += ent * len(b)
+        for k in losses:
+            losses[k] /= max(1, n * self.cfg.epochs)
+        return losses
+
+    # -------------------------------------------------------------- sampling
+    def act_and_logp(self, obs_vec: np.ndarray, mask: Optional[np.ndarray] = None,
+                     seed: int = 0) -> Tuple[int, float, float]:
+        logits, value = self.apply_fn(self.params,
+                                      jnp.asarray(obs_vec.reshape(1, -1)))
+        if mask is not None:
+            logits = jnp.where(jnp.asarray(mask.reshape(1, -1)) > 0.5, logits, -1e9)
+        key = jax.random.PRNGKey(seed)
+        a = int(jax.random.categorical(key, logits[0]))
+        logp = float(jax.nn.log_softmax(logits[0])[a])
+        return a, logp, float(value[0])
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {"params": jax.tree_util.tree_map(np.asarray, self.params),
+                   "in_dim": self.in_dim, "n_actions": self.n_actions}
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    @classmethod
+    def load(cls, path: str, cfg: Optional[PPOConfig] = None) -> "PPOLearner":
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        learner = cls(int(payload["in_dim"]), int(payload["n_actions"]), cfg)
+        learner.params = payload["params"]
+        return learner
+
+
+def load_ppo(path: str) -> PPOLearner:
+    return PPOLearner.load(path)
+
+
+def act_ppo(learner: PPOLearner, obs_vec: np.ndarray,
+            mask: Optional[np.ndarray] = None, seed: int = 0) -> int:
+    """Masked inference-time sampling (mask bug in the reference fixed here)."""
+    return learner.act_and_logp(obs_vec, mask=mask, seed=seed)[0]
+
+
+# --------------------------------------------------------------------- train
+def ppo_train(env_ctor: Callable[[], Any], questions: List[str],
+              total_episodes: int = 50, max_steps: int = 6,
+              ppo_cfg: Optional[PPOConfig] = None,
+              save_path: str = "artifacts/rl/ppo_policy.msgpack",
+              n_envs: int = 1, early_stop_patience: int = 5,
+              early_stop_min_improve: float = 0.05, seed: int = 0,
+              log: Callable[[str], None] = print) -> PPOLearner:
+    """Host-gym PPO loop (reference-equivalent, jitted update)."""
+    cfg = ppo_cfg or PPOConfig()
+    n_envs = max(1, int(n_envs))
+    envs = [env_ctor() for _ in range(n_envs)]
+    obs0, _ = envs[0].reset(questions[0] if questions else "warmup question")
+    learner = PPOLearner(int(obs0.shape[0]), int(envs[0].action_size), cfg, seed=seed)
+
+    best_mavg = -1e9
+    stale = 0
+    ep_idx = 0
+    step_seed = seed
+    data = questions[: total_episodes * n_envs] or ["warmup question"]
+    for i in range(0, len(data), n_envs):
+        batch_qs = data[i:i + n_envs]
+        batch = {"obs": [], "act": [], "logp": [], "ret": [], "adv": []}
+        ep_rewards: List[float] = []
+        for e, env in enumerate(envs):
+            q = batch_qs[e] if e < len(batch_qs) else ""
+            obs, _ = env.reset(q)
+            obs_l, act_l, logp_l, rew_l, val_l, done_l = [], [], [], [], [], []
+            done, steps = False, 0
+            while not done and steps < max_steps:
+                try:
+                    mask = np.asarray(env.get_action_mask(), dtype=np.float32)
+                except Exception:
+                    mask = None
+                step_seed += 1
+                a, lp, v = learner.act_and_logp(obs, mask=mask, seed=step_seed)
+                nobs, r, done, _info = env.step(a)
+                obs_l.append(obs)
+                act_l.append(a)
+                logp_l.append(lp)
+                rew_l.append(r)
+                val_l.append(v)
+                done_l.append(done)
+                obs = nobs
+                steps += 1
+            adv, ret = compute_gae(rew_l, val_l, done_l, cfg.gamma, cfg.gae_lambda)
+            batch["obs"].append(np.stack(obs_l))
+            batch["act"].append(np.asarray(act_l, dtype=np.int64))
+            batch["logp"].append(np.asarray(logp_l, dtype=np.float32))
+            batch["ret"].append(ret)
+            batch["adv"].append(adv)
+            ep_idx += 1
+            ep_rewards.append(float(np.sum(rew_l)))
+            log(f"[PPO] episode={ep_idx} env={e} steps={steps} "
+                f"ep_reward={ep_rewards[-1]:.3f}")
+        losses = learner.update(np.concatenate(batch["obs"]),
+                                np.concatenate(batch["act"]),
+                                np.concatenate(batch["logp"]),
+                                np.concatenate(batch["ret"]),
+                                np.concatenate(batch["adv"]), seed=seed + i)
+        mavg = float(np.mean(ep_rewards))
+        log(f"[PPO] update mavg_ep_reward={mavg:.3f} loss={losses}")
+        if mavg > best_mavg + early_stop_min_improve:
+            best_mavg, stale = mavg, 0
+        else:
+            stale += 1
+            if stale >= max(1, early_stop_patience):
+                log(f"[PPO] early stopping: best mavg={best_mavg:.3f}")
+                break
+    learner.save(save_path)
+    log(f"Saved PPO policy to {save_path}")
+    return learner
+
+
+def ppo_train_device(gt, q_embs: np.ndarray, search_weights, n_updates: int = 10,
+                     max_steps: int = 6, batch_size: int = 16,
+                     ppo_cfg: Optional[PPOConfig] = None,
+                     save_path: Optional[str] = None, top_k: int = 5,
+                     member_top_m: int = 5, seed: int = 0,
+                     log: Callable[[str], None] = print) -> PPOLearner:
+    """On-device batched PPO: rollout_batch + GAE + jitted updates.
+
+    ``q_embs [N, D]`` are pre-encoded query embeddings; each update consumes one
+    batch of episodes executed entirely on device.
+    """
+    from ahrag_tpu.agent.featurizer import OBS_DIM
+    from ahrag_tpu.agent.vec_env import N_ACTIONS, rollout_batch
+
+    cfg = ppo_cfg or PPOConfig()
+    learner = PPOLearner(OBS_DIM, N_ACTIONS, cfg, seed=seed)
+    key = jax.random.PRNGKey(seed)
+    n = q_embs.shape[0]
+    for u in range(n_updates):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (batch_size,), 0, n)
+        batch_q = jnp.asarray(q_embs)[idx]
+        key, sub = jax.random.split(key)
+        traj, _ = rollout_batch(gt, batch_q, learner.params, learner.apply_fn, sub,
+                                search_weights, max_steps=max_steps, top_k=top_k,
+                                member_top_m=member_top_m)
+        obs = np.asarray(traj.obs)       # [B, T, D]
+        act = np.asarray(traj.actions)
+        logp = np.asarray(traj.logps)
+        rew = np.asarray(traj.rewards)
+        val = np.asarray(traj.values.swapaxes(0, 1)).swapaxes(0, 1)
+        done = np.asarray(traj.dones)
+        live = np.asarray(traj.mask)
+        flat = {"obs": [], "act": [], "logp": [], "ret": [], "adv": []}
+        ep_rewards = []
+        for b in range(obs.shape[0]):
+            m = live[b]
+            if not m.any():
+                continue
+            t_live = int(m.sum())
+            adv, ret = compute_gae(rew[b][:t_live].tolist(), val[b][:t_live].tolist(),
+                                   done[b][:t_live].tolist(), cfg.gamma,
+                                   cfg.gae_lambda)
+            flat["obs"].append(obs[b][:t_live])
+            flat["act"].append(act[b][:t_live])
+            flat["logp"].append(logp[b][:t_live])
+            flat["ret"].append(ret)
+            flat["adv"].append(adv)
+            ep_rewards.append(float(rew[b][:t_live].sum()))
+        if not flat["obs"]:
+            continue
+        losses = learner.update(np.concatenate(flat["obs"]),
+                                np.concatenate(flat["act"]).astype(np.int64),
+                                np.concatenate(flat["logp"]),
+                                np.concatenate(flat["ret"]),
+                                np.concatenate(flat["adv"]), seed=seed + u)
+        log(f"[PPO/device] update={u} mavg_ep_reward={np.mean(ep_rewards):.3f} "
+            f"loss={losses}")
+    if save_path:
+        learner.save(save_path)
+    return learner
