@@ -245,6 +245,92 @@ def ppo_train(env_ctor: Callable[[], Any], questions: List[str],
     return learner
 
 
+def gae_device(rewards: jnp.ndarray, values: jnp.ndarray, dones: jnp.ndarray,
+               mask: jnp.ndarray, gamma: float = 0.99,
+               lam: float = 0.95) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched GAE on device over [B, T] trajectories with a live-step mask.
+
+    Matches ``compute_gae`` (terminal bootstrapping at episode end / done steps,
+    masked advantage normalization) without leaving the device.
+    """
+    B, T = rewards.shape
+    nonterminal = jnp.concatenate(
+        [mask[:, 1:] & ~dones[:, :-1], jnp.zeros((B, 1), bool)], axis=1
+    ).astype(jnp.float32)
+    next_values = jnp.concatenate([values[:, 1:], jnp.zeros((B, 1))], axis=1)
+    deltas = rewards + gamma * next_values * nonterminal - values
+
+    def back(carry, xs):
+        delta_t, nt_t = xs
+        adv_t = delta_t + gamma * lam * nt_t * carry
+        return adv_t, adv_t
+
+    _, adv_rev = jax.lax.scan(back, jnp.zeros(B),
+                              (deltas.T[::-1], nonterminal.T[::-1]))
+    adv = adv_rev[::-1].T * mask
+    returns = adv + values * mask
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(m.sum(), 1.0)
+    mean = (adv * m).sum() / denom
+    var = (((adv - mean) ** 2) * m).sum() / denom
+    std = jnp.sqrt(var)
+    adv = jnp.where(std > 1e-8, (adv - mean) / (std + 1e-8), adv) * mask
+    return adv, returns
+
+
+def make_sharded_train_step(learner: PPOLearner, w, max_steps: int = 6,
+                            top_k: int = 5, member_top_m: int = 5):
+    """Build ONE jitted PPO training step: batched on-device rollouts + device GAE
+    + a full-batch clipped-surrogate update.
+
+    This is the function the multi-chip dry-run jits over the mesh: GraphTensors
+    leaves shard over the ``corpus`` axis, the query batch over ``dp`` — XLA
+    partitions the search matmuls and inserts the collectives.
+    """
+    from ahrag_tpu.agent.vec_env import rollout_batch
+
+    cfg = learner.cfg
+    model, tx = learner.model, learner.tx
+
+    def train_step(gt, q_embs, params, opt_state, key):
+        traj, _ = rollout_batch(gt, q_embs, params, learner.apply_fn, key, w,
+                                max_steps=max_steps, top_k=top_k,
+                                member_top_m=member_top_m)
+        adv, ret = gae_device(traj.rewards, traj.values, traj.dones, traj.mask,
+                              cfg.gamma, cfg.gae_lambda)
+        obs = traj.obs.reshape(-1, traj.obs.shape[-1])
+        actions = traj.actions.reshape(-1)
+        old_logp = traj.logps.reshape(-1)
+        adv_f = adv.reshape(-1)
+        ret_f = ret.reshape(-1)
+        m = traj.mask.reshape(-1).astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+
+        def loss_fn(p):
+            logits, value = model.apply({"params": p}, obs)
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
+            ratio = jnp.exp(logp - old_logp)
+            unclipped = ratio * adv_f
+            clipped = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv_f
+            policy_loss = -jnp.sum(jnp.minimum(unclipped, clipped) * m) / denom
+            value_loss = jnp.sum(((value - ret_f) ** 2) * m) / denom
+            entropy = jnp.sum(-jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1) * m) / denom
+            return (policy_loss + cfg.value_coef * value_loss
+                    - cfg.entropy_coef * entropy), (policy_loss, value_loss, entropy)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        mean_reward = jnp.sum(traj.rewards * traj.mask) / jnp.maximum(
+            jnp.sum(traj.mask.any(axis=1)), 1)
+        metrics = {"policy_loss": aux[0], "value_loss": aux[1], "entropy": aux[2],
+                   "mean_ep_reward": mean_reward}
+        return params, opt_state, metrics
+
+    return jax.jit(train_step)
+
+
 def ppo_train_device(gt, q_embs: np.ndarray, search_weights, n_updates: int = 10,
                      max_steps: int = 6, batch_size: int = 16,
                      ppo_cfg: Optional[PPOConfig] = None,

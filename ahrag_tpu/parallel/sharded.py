@@ -1,0 +1,87 @@
+"""Sharded retrieval and training over the device mesh.
+
+Two composition levels, both idiomatic JAX SPMD:
+
+- ``sharded_dense_topk``: explicit shard_map — each device computes exact top-k over
+  its corpus shard, candidates all_gather over ICI, and a tiny replicated re-top-k
+  merges them. Rank-equivalent to the flat search with deterministic global-index
+  tie-breaking (SURVEY §7.3.2).
+- ``shard_graph_tensors`` + the existing jitted search/rollout functions: GSPMD —
+  annotate the corpus axis on GraphTensors leaves and the data axis on query
+  batches, jit as usual, and XLA partitions the matmuls and inserts the collectives
+  (the scaling-book recipe).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ahrag_tpu.graph.tensors import GraphTensors
+from ahrag_tpu.ops.topk import NEG_INF
+from ahrag_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
+
+
+def sharded_dense_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
+                       mesh: Mesh) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a corpus-sharded embedding matrix.
+
+    q: [B, D] (replicated), emb: [N, D] sharded along rows over ``corpus``.
+    Returns replicated ([B, k] scores, [B, k] global indices).
+    """
+    n_shards = mesh.shape[CORPUS_AXIS]
+    n_total = emb.shape[0]
+    assert n_total % n_shards == 0, (n_total, n_shards)
+    rows = n_total // n_shards
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    kk = min(k, rows)
+
+    def local_fn(q_l, emb_l, nv):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        offset = shard * rows
+        scores = jnp.dot(q_l, emb_l.T, preferred_element_type=jnp.float32)
+        col = offset + jnp.arange(rows)[None, :]
+        scores = jnp.where(col < nv, scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, kk)          # shard-local top-k
+        gidx = idx + offset
+        # ICI merge: gather [n_shards, B, kk] candidates, re-top-k (replicated)
+        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
+        all_idx = jax.lax.all_gather(gidx, CORPUS_AXIS)
+        b = q_l.shape[0]
+        cand_v = all_vals.transpose(1, 0, 2).reshape(b, n_shards * kk)
+        cand_i = all_idx.transpose(1, 0, 2).reshape(b, n_shards * kk)
+        v, pos = jax.lax.top_k(cand_v, min(k, n_shards * kk))
+        i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return v, i
+
+    # check_vma=False: after the all_gather every shard computes the identical
+    # merge, so the outputs are replicated — the varying-axes inference can't
+    # prove that because the local stage used axis_index.
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(CORPUS_AXIS, None), P()),
+        out_specs=(P(), P()), check_vma=False)
+    vals, idx = fn(q, emb, n_valid)
+    if k > vals.shape[1]:
+        pad = k - vals.shape[1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    return vals, idx
+
+
+def shard_graph_tensors(gt: GraphTensors, mesh: Mesh) -> GraphTensors:
+    """Place every per-node leaf with its node axis sharded over ``corpus``."""
+    def place(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == gt.n_pad:
+            spec = [CORPUS_AXIS] + [None] * (leaf.ndim - 1)
+            return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+        return leaf
+    return jax.tree_util.tree_map(place, gt)
+
+
+def shard_queries(q_embs: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Shard a query/episode batch over the data axis."""
+    return jax.device_put(q_embs, NamedSharding(mesh, P(DATA_AXIS, None)))
