@@ -148,8 +148,12 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
                   top_k: int = 5, member_top_m: int = 5) -> SearchResult:
     """Full hybrid search for a single query embedding ``q_emb [D]``."""
     n_pad = gt.n_pad
-    # 1) seeds over the indexed subset: mask non-indexed rows to -inf
-    scores = jnp.dot(gt.emb, q_emb, preferred_element_type=jnp.float32)
+    # 1) seeds over the indexed subset: mask non-indexed rows to -inf.
+    # HIGHEST precision: the TPU's default bf16 matmul can flip seed membership at
+    # the top-k boundary, changing the expansion set (observed in bench parity);
+    # this matmul is a negligible fraction of the search cost.
+    scores = jnp.dot(gt.emb, q_emb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     seed_sim, seed_idx = masked_topk(scores[None, :], (gt.indexed & gt.valid)[None, :], top_k)
     seed_sim, seed_idx = seed_sim[0], seed_idx[0]
     seed_valid = seed_sim > NEG_INF / 2

@@ -42,8 +42,14 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("k",))
 def dense_topk_xla(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray,
                    k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k by full matmul. q: [B, D], emb: [N, D] -> ([B, k], [B, k])."""
-    scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+    """Exact top-k by full matmul. q: [B, D], emb: [N, D] -> ([B, k], [B, k]).
+
+    HIGHEST precision keeps ranking exact on TPU (default bf16 passes can flip
+    near-boundary ranks); the Pallas path trades that for throughput and is
+    validated against this oracle at rtol 1e-4.
+    """
+    scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     col = jnp.arange(emb.shape[0])[None, :]
     scores = jnp.where(col < n_valid, scores, NEG_INF)
     return jax.lax.top_k(scores, k)

@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Benchmark: hybrid-search throughput, device vs reference-style CPU baseline.
+
+Builds a synthetic hierarchical graph (deterministic, no LLM/network), then measures
+
+- **baseline**: a pure-Python/NumPy per-query search loop with the exact reference
+  semantics (seed top-k by full cosine scan + dict-based 1-hop expansion + Python
+  rerank loop) — the computational shape of the reference's Chroma-query +
+  NetworkX-expansion + Python-rerank path (hierarchical_graph.py:706-789), run
+  sequentially per query as the reference does;
+- **device**: the jitted batched hybrid search over GraphTensors.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. Also verifies
+rank parity between the two paths before timing (a benchmark of a wrong answer is
+meaningless).
+
+Scale knobs via env: AHRAG_BENCH_ENTITIES (default 4000), AHRAG_BENCH_QUERIES (256).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_bench_graph(n_entities: int, n_topics: int):
+    from ahrag_tpu.graph import HierarchicalGraph
+
+    rng = np.random.default_rng(7)
+    first = ["Ada", "Ben", "Cara", "Dan", "Eve", "Fay", "Gil", "Hana", "Ivan", "Joan",
+             "Kent", "Lena", "Milo", "Nina", "Otto", "Pia", "Quin", "Rosa", "Sam",
+             "Tara"]
+    last = ["Archer", "Baker", "Carter", "Dalton", "Ellis", "Foster", "Gibson",
+            "Harper", "Irwin", "Jensen", "Keller", "Lowell", "Mercer", "Norris",
+            "Oakes", "Parker", "Quimby", "Ramsey", "Sutton", "Turner"]
+    topics = ["quantum computing", "film directing", "marine biology", "jazz music",
+              "mountain climbing", "renaissance art", "particle physics",
+              "urban farming", "deep learning", "ancient history", "space travel",
+              "culinary arts", "civil engineering", "sports medicine",
+              "wildlife photography", "volcanology"]
+
+    hg = HierarchicalGraph(encoder_name="hashed")
+    topic_ids = list(range(n_topics))
+    per_topic = {t: [] for t in topic_ids}
+    for i in range(n_entities):
+        t = i % n_topics
+        topic = topics[t % len(topics)]
+        name = f"{first[i % 20]} {last[(i // 20) % 20]} {i}"
+        desc = (f"{name} is a specialist in {topic}, known for work number {i} "
+                f"and collaboration {i % 97} in the field of {topic}")
+        hg.add_entity(name, desc, "person")
+        per_topic[t].append(name)
+    for t in topic_ids:
+        topic = topics[t % len(topics)]
+        hg.add_summary(t, f"Experts in {topic}",
+                       f"People working on {topic} and its applications",
+                       confidence=5.0 + (t % 5), members=per_topic[t])
+        if t % 3 == 0:
+            hg.nodes[f"sum:{t}"]["judge_scores"] = {"overall": 6.0 + (t % 4)}
+    for t in topic_ids:
+        for name in per_topic[t]:
+            hg.add_belongs_to(hg.find_entity(name), f"sum:{t}", prob=0.9)
+    for t in topic_ids[:-1]:
+        if t % 2 == 0:
+            hg.add_related(f"sum:{t}", f"sum:{t + 1}", weight=0.4)
+    # L2 communities
+    n_l2 = max(1, n_topics // 8)
+    for c in range(n_l2):
+        members = [f"sum:{t}" for t in topic_ids if t % n_l2 == c]
+        hg.add_summary(n_topics + c, f"Community {c}",
+                       f"Broad community {c} of topics", confidence=7.0,
+                       members=members, level=2)
+        for m in members:
+            hg.add_belongs_to(m, f"sum:{n_topics + c}", prob=1.0)
+    hg.build_vector_index(layers=(0, 1, 2))
+    return hg, topics
+
+
+def cpu_reference_search(hg, emb_ids, emb_mat, q_vec, top_k=5, member_top_m=5):
+    """Reference-shaped per-query search: full cosine scan + python expansion/rerank."""
+    sims = emb_mat @ q_vec
+    order = np.argsort(-sims, kind="stable")[:top_k]
+    seeds = [(emb_ids[i], float(sims[i])) for i in order]
+    expanded = {}
+    for nid, sem in seeds:
+        nt = hg.nodes[nid].get("node_type")
+        expanded[nid] = sem
+        if nt == "entity":
+            for parent in hg.get_belongs_to(nid)[:2]:
+                if parent not in expanded:
+                    expanded[parent] = sem * 0.9
+        elif nt == "summary":
+            for child in hg.get_summary_members(nid)[:member_top_m]:
+                if child not in expanded:
+                    expanded[child] = sem * 0.85
+    results = []
+    for nid, sem in expanded.items():
+        judge = hg.node_judge_overall(nid)
+        conf = hg.node_confidence(nid)
+        nt = hg.nodes[nid].get("node_type")
+        judge_term = 1.0 / (1.0 + math.exp(-(judge / 10.0))) if judge is not None else 0.0
+        conf_term = conf / 10.0 if conf is not None else 0.0
+        boost = 1.0 if nt == "summary" else 0.0
+        score = 0.6 * sem + 0.2 * judge_term + 0.1 * conf_term + 0.1 * boost
+        results.append((nid, score))
+    results.sort(key=lambda x: -x[1])
+    return results[:top_k]
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ahrag_tpu.graph.search import SearchWeights, hybrid_search_batch
+
+    n_entities = int(os.environ.get("AHRAG_BENCH_ENTITIES", 4000))
+    n_queries = int(os.environ.get("AHRAG_BENCH_QUERIES", 256))
+    n_topics = max(8, n_entities // 64)
+
+    hg, topics = build_bench_graph(n_entities, n_topics)
+    gt = hg.tensors()
+    enc = hg._encoder()
+
+    queries = [f"Who is the specialist in {topics[i % len(topics)]} number {i}?"
+               for i in range(n_queries)]
+    q_mat = enc.encode(queries)  # encoding cost excluded from both sides equally
+
+    # CPU baseline data: flat id/embedding table like the reference's collection
+    emb_ids = [nid for nid in hg.nodes if nid in hg._embeddings]
+    emb_mat = np.stack([hg._embeddings[i] for i in emb_ids])
+
+    w = SearchWeights.create()
+    q_dev = jnp.asarray(q_mat)
+
+    # parity check on a query subset before timing
+    res = hybrid_search_batch(gt, q_dev[:8], w, top_k=5, member_top_m=5)
+    dev_ids = [[hg.idx_to_id(int(i)) for i, ok in zip(np.asarray(res.reranked_idx[b]),
+                                                      np.asarray(res.reranked_valid[b]))
+                if ok] for b in range(8)]
+    mismatches = 0
+    for b in range(8):
+        ref = [nid for nid, _ in cpu_reference_search(hg, emb_ids, emb_mat, q_mat[b])]
+        if ref != dev_ids[b]:
+            mismatches += 1
+    if mismatches:
+        print(f"WARNING: rank parity mismatches on {mismatches}/8 probe queries",
+              file=sys.stderr)
+
+    # --- CPU baseline timing (sequential per query, as the reference runs) ---
+    t0 = time.perf_counter()
+    for b in range(n_queries):
+        cpu_reference_search(hg, emb_ids, emb_mat, q_mat[b])
+    cpu_s = time.perf_counter() - t0
+    qps_cpu = n_queries / cpu_s
+
+    # --- device timing (batched, jitted; warmup then steady-state) ---
+    out = hybrid_search_batch(gt, q_dev, w, top_k=5, member_top_m=5)
+    jax.block_until_ready(out)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = hybrid_search_batch(gt, q_dev, w, top_k=5, member_top_m=5)
+    jax.block_until_ready(out)
+    dev_s = (time.perf_counter() - t0) / reps
+    qps_dev = n_queries / dev_s
+
+    print(json.dumps({
+        "metric": "hybrid_search_qps",
+        "value": round(qps_dev, 2),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps_dev / qps_cpu, 2),
+        "detail": {
+            "backend": jax.default_backend(),
+            "n_nodes": hg.number_of_nodes(),
+            "n_queries": n_queries,
+            "cpu_baseline_qps": round(qps_cpu, 2),
+            "parity_mismatches_of_8": mismatches,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
