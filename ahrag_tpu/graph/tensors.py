@@ -73,6 +73,18 @@ class GraphTensors:
 def _ell(adj: Dict[int, List[int]], n_pad: int, min_k: int = 8) -> np.ndarray:
     k = round_up(max([len(v) for v in adj.values()], default=1), 8)
     k = max(k, min_k)
+    total = sum(len(v) for v in adj.values())
+    if total >= 10_000:  # large graphs: native ELL builder (C++ hot path)
+        from ahrag_tpu import native
+        src = np.empty(total, dtype=np.int32)
+        dst = np.empty(total, dtype=np.int32)
+        pos = 0
+        for i, nbrs in adj.items():
+            m = len(nbrs)
+            src[pos:pos + m] = i
+            dst[pos:pos + m] = nbrs
+            pos += m
+        return native.ell_from_edges(src, dst, n_pad, n_pad, k)
     out = np.full((n_pad, k), -1, dtype=np.int32)
     for i, nbrs in adj.items():
         out[i, : len(nbrs)] = nbrs[:k]

@@ -1,0 +1,129 @@
+"""ctypes bindings for the native C++ runtime library, with Python fallbacks.
+
+Build: ``make -C ahrag_tpu/native`` (or set AHRAG_BUILD_NATIVE=1 to auto-build at
+first import). Every entry point degrades to a pure-Python implementation when the
+shared library is absent, so the framework is fully functional unbuilt.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libahrag_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and os.environ.get("AHRAG_BUILD_NATIVE") == "1":
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        except Exception:
+            return None
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.ell_max_degree.restype = ctypes.c_int32
+        lib.ell_max_degree.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                       ctypes.c_int64, ctypes.c_int32]
+        lib.ell_build.restype = None
+        lib.ell_build.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                  ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                                  ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.POINTER(ctypes.c_int32)]
+        lib.token_estimate.restype = ctypes.c_int64
+        lib.token_estimate.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.exact_topk_f32.restype = None
+        lib.exact_topk_f32.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.c_int32, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr_i32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _ptr_f32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def ell_from_edges(src: np.ndarray, dst: np.ndarray, n_nodes: int, n_pad: int,
+                   k: int) -> np.ndarray:
+    """Padded ELL table from an edge list (insertion order preserved)."""
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    out = np.full((n_pad, k), -1, dtype=np.int32)
+    lib = _load()
+    if lib is not None and len(src):
+        lib.ell_build(_ptr_i32(src), _ptr_i32(dst), np.int64(len(src)),
+                      np.int32(n_nodes), np.int32(n_pad), np.int32(k),
+                      _ptr_i32(out))
+        return out
+    fill: Dict[int, int] = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        pos = fill.get(s, 0)
+        if 0 <= s < n_nodes and pos < k:
+            out[s, pos] = d
+            fill[s] = pos + 1
+    return out
+
+
+def max_degree(src: np.ndarray, n_nodes: int) -> int:
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    lib = _load()
+    if lib is not None and len(src):
+        return int(lib.ell_max_degree(_ptr_i32(src), np.int64(len(src)),
+                                      np.int32(n_nodes)))
+    if not len(src):
+        return 0
+    counts = np.bincount(src[(src >= 0) & (src < n_nodes)], minlength=1)
+    return int(counts.max()) if counts.size else 0
+
+
+def token_estimate(text: str) -> int:
+    lib = _load()
+    if lib is not None:
+        raw = text.encode("utf-8")
+        return int(lib.token_estimate(raw, np.int64(len(raw))))
+    return max(1, len(text) // 4) if text else 0
+
+
+def exact_topk(q: np.ndarray, emb: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Blocked exact top-k on host (the CPU baseline for bench)."""
+    q = np.ascontiguousarray(q, dtype=np.float32)
+    emb = np.ascontiguousarray(emb, dtype=np.float32)
+    b, d = q.shape
+    n = emb.shape[0]
+    k = min(k, n)
+    lib = _load()
+    if lib is not None:
+        vals = np.empty((b, k), dtype=np.float32)
+        idx = np.empty((b, k), dtype=np.int32)
+        lib.exact_topk_f32(_ptr_f32(q), _ptr_f32(emb), np.int32(b), np.int64(n),
+                           np.int32(d), np.int32(k), _ptr_f32(vals), _ptr_i32(idx))
+        return vals, idx
+    scores = q @ emb.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k].astype(np.int32)
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx

@@ -1,0 +1,138 @@
+// ahrag_native: C++ runtime kernels around the TPU compute path.
+//
+// The reference delegates its native-performance work to third-party wheels
+// (hnswlib inside ChromaDB, torch ATen, tiktoken's Rust BPE — SURVEY §2.3).
+// This library provides the first-party equivalents for the host side:
+//
+//   - ell_build:        padded ELL adjacency construction (the graph-compiler
+//                       hot path feeding GraphTensors);
+//   - ell_max_degree:   degree scan used to size ELL rows;
+//   - token_estimate:   fast BPE-approximating token count (words + digits +
+//                       punctuation + CJK, calibrated against cl100k);
+//   - exact_topk_f32:   blocked exact cosine top-k (the honest CPU baseline
+//                       the bench compares the TPU path against).
+//
+// Exposed as a plain C ABI consumed via ctypes (ahrag_tpu/native/__init__.py);
+// every entry point has a pure-Python fallback so the framework runs unbuilt.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Scan edge list degrees. src: [n_edges] source node ids. Returns max degree.
+int32_t ell_max_degree(const int32_t* src, int64_t n_edges, int32_t n_nodes) {
+  std::vector<int32_t> deg(n_nodes, 0);
+  int32_t maxd = 0;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int32_t s = src[e];
+    if (s < 0 || s >= n_nodes) continue;
+    maxd = std::max(maxd, ++deg[s]);
+  }
+  return maxd;
+}
+
+// Build a padded ELL table: out [n_pad, k] int32, pre-filled with -1 by caller.
+// Neighbors keep edge order (insertion order — load-bearing for expansion
+// parity, see graph/tensors.py docstring). Rows overflowing k are truncated.
+void ell_build(const int32_t* src, const int32_t* dst, int64_t n_edges,
+               int32_t n_nodes, int32_t n_pad, int32_t k, int32_t* out) {
+  std::vector<int32_t> fill(n_nodes, 0);
+  (void)n_pad;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int32_t s = src[e];
+    if (s < 0 || s >= n_nodes) continue;
+    int32_t pos = fill[s];
+    if (pos >= k) continue;
+    out[static_cast<int64_t>(s) * k + pos] = dst[e];
+    fill[s] = pos + 1;
+  }
+}
+
+// Fast token estimate: approximates cl100k BPE counts without a vocabulary.
+// Heuristic: 1 token per word chunk of <=4 chars (longer words count
+// ceil(len/4)), 1 per punctuation/symbol run char, 1 per digit pair, ~1 per
+// CJK codepoint. Matches the reference's public fallback contract
+// (context_processor.py:12-22: >= 1 for non-empty text).
+int64_t token_estimate(const char* text, int64_t len) {
+  if (len <= 0) return 0;
+  int64_t tokens = 0;
+  int64_t word_len = 0, digit_len = 0;
+  auto flush_word = [&]() {
+    if (word_len > 0) tokens += (word_len + 3) / 4;
+    word_len = 0;
+  };
+  auto flush_digits = [&]() {
+    if (digit_len > 0) tokens += (digit_len + 1) / 2;
+    digit_len = 0;
+  };
+  for (int64_t i = 0; i < len; ++i) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (c >= 0xE0) {           // 3/4-byte UTF-8 lead (CJK etc.): ~1 token each
+      flush_word();
+      flush_digits();
+      ++tokens;
+      i += (c >= 0xF0) ? 3 : 2;
+    } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c >= 0x80) {
+      flush_digits();
+      ++word_len;
+    } else if (c >= '0' && c <= '9') {
+      flush_word();
+      ++digit_len;
+    } else if (c == ' ' || c == '\n' || c == '\t' || c == '\r') {
+      flush_word();
+      flush_digits();
+    } else {  // punctuation / symbols
+      flush_word();
+      flush_digits();
+      ++tokens;
+    }
+  }
+  flush_word();
+  flush_digits();
+  return tokens > 0 ? tokens : 1;
+}
+
+// Exact top-k of q @ emb^T. q: [b, d], emb: [n, d] row-major.
+// out_vals/out_idx: [b, k]. Blocked over rows for cache locality; ties break to
+// the lowest index (matches the device kernels' determinism contract).
+void exact_topk_f32(const float* q, const float* emb, int32_t b, int64_t n,
+                    int32_t d, int32_t k, float* out_vals, int32_t* out_idx) {
+  const float NEG = -1e30f;
+  for (int32_t bi = 0; bi < b; ++bi) {
+    const float* qv = q + static_cast<int64_t>(bi) * d;
+    // (value, index) min-heap emulation via sorted insertion on a small array
+    std::vector<float> vals(k, NEG);
+    std::vector<int32_t> idx(k, 0);
+    float worst = NEG;
+    for (int64_t r = 0; r < n; ++r) {
+      const float* ev = emb + r * d;
+      float dot = 0.f;
+      int32_t j = 0;
+      for (; j + 4 <= d; j += 4) {
+        dot += qv[j] * ev[j] + qv[j + 1] * ev[j + 1] + qv[j + 2] * ev[j + 2] +
+               qv[j + 3] * ev[j + 3];
+      }
+      for (; j < d; ++j) dot += qv[j] * ev[j];
+      if (dot <= worst) continue;  // strict: equal scores keep earlier index
+      // insert into the sorted top-k (descending)
+      int32_t pos = k - 1;
+      while (pos > 0 && vals[pos - 1] < dot) {
+        vals[pos] = vals[pos - 1];
+        idx[pos] = idx[pos - 1];
+        --pos;
+      }
+      vals[pos] = dot;
+      idx[pos] = static_cast<int32_t>(r);
+      worst = vals[k - 1];
+    }
+    std::memcpy(out_vals + static_cast<int64_t>(bi) * k, vals.data(),
+                sizeof(float) * k);
+    std::memcpy(out_idx + static_cast<int64_t>(bi) * k, idx.data(),
+                sizeof(int32_t) * k);
+  }
+}
+
+}  // extern "C"

@@ -28,4 +28,10 @@ def count_tokens(text: str, encoding: str = "cl100k_base") -> int:
             return len(_encoding(encoding).encode(text))
         except Exception:
             pass
+    try:  # native C++ estimator (BPE-approximating), then the crude heuristic
+        from ahrag_tpu import native
+        if native.available():
+            return native.token_estimate(text)
+    except Exception:
+        pass
     return max(1, len(text) // 4)
