@@ -160,6 +160,31 @@ class PPOLearner:
         learner.params = payload["params"]
         return learner
 
+    # Mid-training resume (beyond the reference — SURVEY §5.4 notes it has none):
+    # the full training state (params + optimizer state + loop progress) round-trips
+    # through flax state-dicts.
+    def save_training_state(self, path: str, progress: Dict[str, Any]) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "params": serialization.to_state_dict(
+                jax.tree_util.tree_map(np.asarray, self.params)),
+            "opt_state": serialization.to_state_dict(
+                jax.tree_util.tree_map(np.asarray, self.opt_state)),
+            "in_dim": self.in_dim, "n_actions": self.n_actions,
+            "progress": progress,
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def restore_training_state(self, path: str) -> Dict[str, Any]:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        assert int(payload["in_dim"]) == self.in_dim
+        self.params = serialization.from_state_dict(self.params, payload["params"])
+        self.opt_state = serialization.from_state_dict(self.opt_state,
+                                                       payload["opt_state"])
+        return dict(payload.get("progress") or {})
+
 
 def load_ppo(path: str) -> PPOLearner:
     return PPOLearner.load(path)
@@ -178,20 +203,30 @@ def ppo_train(env_ctor: Callable[[], Any], questions: List[str],
               save_path: str = "artifacts/rl/ppo_policy.msgpack",
               n_envs: int = 1, early_stop_patience: int = 5,
               early_stop_min_improve: float = 0.05, seed: int = 0,
+              resume: bool = False,
               log: Callable[[str], None] = print) -> PPOLearner:
-    """Host-gym PPO loop (reference-equivalent, jitted update)."""
+    """Host-gym PPO loop (reference-equivalent, jitted update, resumable)."""
     cfg = ppo_cfg or PPOConfig()
     n_envs = max(1, int(n_envs))
     envs = [env_ctor() for _ in range(n_envs)]
     obs0, _ = envs[0].reset(questions[0] if questions else "warmup question")
     learner = PPOLearner(int(obs0.shape[0]), int(envs[0].action_size), cfg, seed=seed)
 
+    train_ckpt = save_path + ".train"
     best_mavg = -1e9
     stale = 0
     ep_idx = 0
+    start_index = 0
+    if resume and os.path.exists(train_ckpt):
+        progress = learner.restore_training_state(train_ckpt)
+        best_mavg = float(progress.get("best_mavg", best_mavg))
+        stale = int(progress.get("stale", 0))
+        ep_idx = int(progress.get("ep_idx", 0))
+        start_index = int(progress.get("next_index", 0))
+        log(f"[PPO] resumed at batch index {start_index} (ep_idx={ep_idx})")
     step_seed = seed
     data = questions[: total_episodes * n_envs] or ["warmup question"]
-    for i in range(0, len(data), n_envs):
+    for i in range(start_index, len(data), n_envs):
         batch_qs = data[i:i + n_envs]
         batch = {"obs": [], "act": [], "logp": [], "ret": [], "adv": []}
         ep_rewards: List[float] = []
@@ -240,6 +275,9 @@ def ppo_train(env_ctor: Callable[[], Any], questions: List[str],
             if stale >= max(1, early_stop_patience):
                 log(f"[PPO] early stopping: best mavg={best_mavg:.3f}")
                 break
+        learner.save_training_state(train_ckpt, {
+            "next_index": i + n_envs, "best_mavg": best_mavg,
+            "stale": stale, "ep_idx": ep_idx})
     learner.save(save_path)
     log(f"Saved PPO policy to {save_path}")
     return learner
