@@ -19,7 +19,6 @@ hierarchical_graph.py:655,709-712.
 """
 from __future__ import annotations
 
-import hashlib
 import re
 from functools import partial
 from typing import List
@@ -30,10 +29,22 @@ import numpy as np
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _fnv1a(data: bytes) -> int:
+    """FNV-1a 64 — bit-identical to the native hasher (ahrag_native.cpp) so
+    graphs featurized by either path interoperate."""
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
 
 def _bucket(feature: str, buckets: int) -> int:
-    h = hashlib.blake2b(feature.encode("utf-8"), digest_size=8).digest()
-    return int.from_bytes(h, "little") % buckets
+    return _fnv1a(feature.encode("utf-8")) % buckets
 
 
 def _features(text: str) -> List[str]:
@@ -66,17 +77,26 @@ class HashedNGramEncoder:
         self._proj = jax.random.normal(key, (buckets, dim), dtype=jnp.float32) / np.sqrt(dim)
 
     def _count_matrix(self, texts: List[str]) -> np.ndarray:
+        from ahrag_tpu import native
+        counts = native.hash_features_counts(texts, self.buckets)
+        if counts is not None:  # C++ fast path (identical features + hash)
+            return counts
         counts = np.zeros((len(texts), self.buckets), dtype=np.float32)
         for i, text in enumerate(texts):
             for f in _features(text or ""):
                 counts[i, _bucket(f, self.buckets)] += 1.0
         return counts
 
-    def encode_device(self, texts: List[str]) -> jnp.ndarray:
+    def encode_device(self, texts: List[str], chunk: int = 1024) -> jnp.ndarray:
+        """Batch encode; inputs chunk so the dense [chunk, buckets] count matrix
+        stays small (64 MB at the defaults) regardless of corpus size."""
         if not texts:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
-        counts = jnp.asarray(self._count_matrix(texts))
-        return _project_normalize(counts, self._proj)
+        outs = []
+        for i in range(0, len(texts), chunk):
+            counts = jnp.asarray(self._count_matrix(texts[i:i + chunk]))
+            outs.append(_project_normalize(counts, self._proj))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def encode(self, texts: List[str]) -> np.ndarray:
         return np.asarray(self.encode_device(texts))

@@ -43,6 +43,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                   ctypes.POINTER(ctypes.c_int32)]
         lib.token_estimate.restype = ctypes.c_int64
         lib.token_estimate.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.hash_features.restype = None
+        lib.hash_features.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_int32,
+                                      ctypes.POINTER(ctypes.c_float)]
         lib.exact_topk_f32.restype = None
         lib.exact_topk_f32.argtypes = [ctypes.POINTER(ctypes.c_float),
                                        ctypes.POINTER(ctypes.c_float),
@@ -107,6 +111,19 @@ def token_estimate(text: str) -> int:
         raw = text.encode("utf-8")
         return int(lib.token_estimate(raw, np.int64(len(raw))))
     return max(1, len(text) // 4) if text else 0
+
+
+def hash_features_counts(texts: List[str], buckets: int) -> Optional[np.ndarray]:
+    """[len(texts), buckets] float32 hashed n-gram counts, or None if unbuilt."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros((len(texts), buckets), dtype=np.float32)
+    for i, text in enumerate(texts):
+        raw = (text or "").encode("utf-8")
+        lib.hash_features(raw, np.int64(len(raw)), np.int32(buckets),
+                          _ptr_f32(out[i]))
+    return out
 
 
 def exact_topk(q: np.ndarray, emb: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:

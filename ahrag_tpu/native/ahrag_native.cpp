@@ -95,6 +95,65 @@ int64_t token_estimate(const char* text, int64_t len) {
   return tokens > 0 ? tokens : 1;
 }
 
+// Hashed n-gram featurization for the default encoder: lowercased [a-z0-9]+
+// words -> word unigrams + bigrams + char 3..5-grams of the space-joined word
+// string, each FNV-1a-64 hashed into `buckets` counts. Must stay bit-identical
+// to the Python fallback in models/encoder/hashed.py (same features, same hash)
+// so graphs built with either path are queryable by the other.
+static inline uint64_t fnv1a(const char* s, int64_t len, uint64_t h = 14695981039346656037ULL) {
+  for (int64_t i = 0; i < len; ++i) {
+    h ^= static_cast<unsigned char>(s[i]);
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
+void hash_features(const char* text, int64_t len, int32_t buckets, float* out) {
+  // normalize: lowercase, non-[a-z0-9] -> separator; build the compact
+  // space-joined word string
+  std::vector<char> compact;
+  compact.reserve(len + 1);
+  std::vector<std::pair<int64_t, int64_t>> words;  // (start, len) into compact
+  int64_t wstart = -1;
+  for (int64_t i = 0; i <= len; ++i) {
+    char c = (i < len) ? text[i] : ' ';
+    if (c >= 'A' && c <= 'Z') c = static_cast<char>(c - 'A' + 'a');
+    bool ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9');
+    if (ok) {
+      if (wstart < 0) {
+        if (!compact.empty()) compact.push_back(' ');
+        wstart = static_cast<int64_t>(compact.size());
+      }
+      compact.push_back(c);
+    } else if (wstart >= 0) {
+      words.emplace_back(wstart, static_cast<int64_t>(compact.size()) - wstart);
+      wstart = -1;
+    }
+  }
+  const char* buf = compact.data();
+  // word unigrams
+  for (auto& w : words)
+    out[fnv1a(buf + w.first, w.second) % buckets] += 1.0f;
+  // word bigrams: "a_b"
+  for (size_t i = 0; i + 1 < words.size(); ++i) {
+    uint64_t h = fnv1a(buf + words[i].first, words[i].second);
+    h ^= static_cast<unsigned char>('_');
+    h *= 1099511628211ULL;
+    h = fnv1a(buf + words[i + 1].first, words[i + 1].second, h);
+    out[h % buckets] += 1.0f;
+  }
+  // char 3..5-grams over the compact string, prefixed "c<n>:"
+  int64_t clen = static_cast<int64_t>(compact.size());
+  for (int n = 3; n <= 5; ++n) {
+    char prefix[4] = {'c', static_cast<char>('0' + n), ':', 0};
+    for (int64_t i = 0; i + n <= clen; ++i) {
+      uint64_t h = fnv1a(prefix, 3);
+      h = fnv1a(buf + i, n, h);
+      out[h % buckets] += 1.0f;
+    }
+  }
+}
+
 // Exact top-k of q @ emb^T. q: [b, d], emb: [n, d] row-major.
 // out_vals/out_idx: [b, k]. Blocked over rows for cache locality; ties break to
 // the lowest index (matches the device kernels' determinism contract).
