@@ -16,13 +16,18 @@ from ahrag_tpu.agent.reward import step_reward
 
 N_ACTIONS = 6
 ACTION_NAMES = ("expand_parents", "expand_children", "expand_related",
-                "commit_top", "query_details_top", "end_episode")
+                "commit_top", "query_details_top", "end_episode", "expand_to_lca")
 
 
 class AHRAGGymEnv:
+    """``include_lca_action=True`` exposes ``expand_to_lca`` as action 6 — the
+    reference defines the verb but no agent can ever select it (SURVEY §7.4);
+    off by default to keep the 6-action contract."""
+
     def __init__(self, graph_dir: str = "graph", hg=None, max_steps: int = 6,
                  debug: bool = False, enable_action_mask: bool = True,
-                 repeat_penalty: float = 0.02) -> None:
+                 repeat_penalty: float = 0.02,
+                 include_lca_action: bool = False) -> None:
         self.env = GraphEnvironment(graph_dir=graph_dir, hg=hg, debug=debug,
                                     log_level="off", redact=True)
         self.max_steps = max(1, int(max_steps))
@@ -32,10 +37,11 @@ class AHRAGGymEnv:
         self.enable_action_mask = bool(enable_action_mask)
         self.repeat_penalty = float(repeat_penalty)
         self._last_action: Optional[int] = None
+        self.include_lca_action = bool(include_lca_action)
 
     @property
     def action_size(self) -> int:
-        return N_ACTIONS
+        return N_ACTIONS + (1 if self.include_lca_action else 0)
 
     def reset(self, query: str) -> Tuple[Any, Dict[str, Any]]:
         self._query = query
@@ -53,9 +59,12 @@ class AHRAGGymEnv:
         """1 = valid. When the current observation has no top nodes, only
         end_episode is allowed (gym_env.py:54-75)."""
         raw = self._last_raw_obs or {}
+        n = self.action_size
         if not (raw.get("selection") or []):
-            return [0] * (N_ACTIONS - 1) + [1]
-        return [1] * N_ACTIONS
+            mask = [0] * n
+            mask[5] = 1  # end_episode stays id 5
+            return mask
+        return [1] * n
 
     def _pick_top_ids(self, raw_obs: Dict[str, Any], k: int = 2) -> List[str]:
         return [n["node_id"] for n in (raw_obs.get("selection") or [])[:k]
@@ -79,6 +88,8 @@ class AHRAGGymEnv:
         elif action == 4:
             ids = self._pick_top_ids(prev_raw, 1)
             obs = self.env.query_node_details(ids[0])[0] if ids else prev_raw
+        elif action == 6 and self.include_lca_action:
+            obs, _ = self.env.expand_to_lca(self._pick_top_ids(prev_raw, 2))
         else:
             done = True
             obs = prev_raw

@@ -166,6 +166,59 @@ def act_end(gt: GraphTensors, state: EnvState) -> EnvState:
     return state.replace(done=jnp.bool_(True))
 
 
+def act_expand_to_lca(gt: GraphTensors, state: EnvState, max_levels: int = 4,
+                      max_results: int = 5) -> EnvState:
+    """Lowest common ancestors of the top-2 nodes over the belongs_to DAG
+    (environment.py:243-299): ancestor sets via ``max_levels`` rounds of parent
+    propagation, intersect, keep nodes with no parent inside the intersection,
+    order by (level-or-1, node index). Frontier is NOT updated (reference parity).
+
+    Deviation: ties within a level order by node index (insertion order) rather
+    than the reference's lexicographic hash-id sort — both are arbitrary total
+    orders over content hashes.
+    """
+    n_pad = gt.n_pad
+    tops = state.top_ids[:2]
+    valid_in = tops < n_pad
+
+    def ancestors(start: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+        anc = jnp.zeros(n_pad + 1, bool).at[jnp.where(ok, start, n_pad)].set(True)
+
+        def body(_, a):
+            rows = jnp.where(a[:n_pad, None], gt.parents, -1)
+            tgt = jnp.where(rows >= 0, rows, n_pad).reshape(-1)
+            return a.at[tgt].set(True)
+
+        return jax.lax.fori_loop(0, max_levels, body, anc)[:n_pad]
+
+    anc0 = ancestors(tops[0], valid_in[0])
+    anc1 = ancestors(tops[1], valid_in[1])
+    inter = (jnp.where(valid_in[0], anc0, True)
+             & jnp.where(valid_in[1], anc1, True)
+             & gt.valid & jnp.any(valid_in))
+    inter_ext = jnp.concatenate([inter, jnp.zeros(1, bool)])
+    tgt = jnp.where(gt.parents >= 0, gt.parents, n_pad)
+    parent_in_inter = inter_ext[tgt].any(axis=1)
+    lca = inter & ~parent_in_inter
+
+    # smallest (level-or-1, index) first: int32 top-k of the negated composite key
+    lvl = jnp.where(gt.level == 0, 1, gt.level)
+    key = -(lvl * n_pad + jnp.arange(n_pad, dtype=jnp.int32))
+    masked_key = jnp.where(lca, key, jnp.int32(-(2 ** 31 - 1)))
+    _, order = jax.lax.top_k(masked_key[None, :], max_results)
+    count = jnp.sum(lca).astype(jnp.int32)
+    slots = jnp.arange(max_results)
+    ids = jnp.where(slots < jnp.minimum(count, max_results), order[0], n_pad)
+    top_ids = jnp.full(TOP_CAP, n_pad, jnp.int32).at[:max_results].set(
+        ids.astype(jnp.int32))
+    zeros = jnp.zeros(TOP_CAP, jnp.float32)
+    n_found = jnp.minimum(count, max_results)
+    return state.replace(top_ids=top_ids, top_score=zeros, top_sem=zeros,
+                         n_seeds=n_found,
+                         obs_sel_size=jnp.sum(state.selection).astype(jnp.int32),
+                         obs_frontier_size=_obs_frontier_size(state.frontier))
+
+
 # ------------------------------------------------------------------ reset
 def env_reset(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
               top_k: int = 5, member_top_m: int = 5) -> EnvState:
@@ -223,13 +276,14 @@ def env_step(gt: GraphTensors, state: EnvState, action: jnp.ndarray,
     prev_sel = state.obs_sel_size
     prev_frontier = state.obs_frontier_size
     bumped = state.replace(step=state.step + 1)
-    new = jax.lax.switch(jnp.clip(action, 0, N_ACTIONS - 1), [
+    new = jax.lax.switch(jnp.clip(action, 0, N_ACTIONS), [
         lambda s: act_expand_parents(gt, s),
         lambda s: act_expand_children(gt, s),
         lambda s: act_expand_related(gt, s),
         lambda s: act_commit_top(gt, s),
         lambda s: act_query_details(gt, s),
         lambda s: act_end(gt, s),
+        lambda s: act_expand_to_lca(gt, s),  # optional action 6 (gym flag)
     ], bumped)
     ended = action == N_ACTIONS - 1
     # selection only grows, and obs sizes zero out on detail steps, so the host's

@@ -160,3 +160,31 @@ def test_ppo_train_device_smoke(graph, tmp_path):
                                log=lambda s: None)
     import os
     assert os.path.exists(tmp_path / "ppo_dev.msgpack")
+
+
+class TestLCAAction:
+    def test_gym_lca_action(self, graph):
+        gym = AHRAGGymEnv(hg=graph, max_steps=6, include_lca_action=True)
+        assert gym.action_size == 7
+        gym.reset("Who directed the film Ed Wood?")
+        vec, r, done, info = gym.step(6)
+        ids = info["aux"]["top_node_ids"]
+        assert ids, "LCA action returned nothing"
+
+    def test_device_lca_parity(self, graph):
+        query = "Who directed the film Ed Wood?"
+        gym = AHRAGGymEnv(hg=graph, max_steps=6, include_lca_action=True)
+        hvec, _ = gym.reset(query)
+        gt = graph.tensors()
+        q = jnp.asarray(graph._encoder().encode([query])[0])
+        dstate = vec_env.env_reset(gt, q, SearchWeights.create())
+        hvec, hr, hdone, hinfo = gym.step(6)
+        dstate, dr, ddone = vec_env.env_step(gt, dstate, jnp.int32(6))
+        dvec = np.asarray(vec_env.observe(gt, dstate))
+        np.testing.assert_allclose(hvec, dvec, atol=2e-3)
+        assert abs(float(dr) - hr) < 1e-5
+        # same LCA node ids, in order
+        host_ids = hinfo["aux"]["top_node_ids"]
+        dev_ids = [graph.idx_to_id(int(i)) for i in np.asarray(dstate.top_ids)
+                   if i < gt.n_pad]
+        assert dev_ids == host_ids
