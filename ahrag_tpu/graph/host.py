@@ -707,13 +707,14 @@ class HierarchicalGraph:
                     for i, s, m, ok in zip(rr_idx, rr_score, rr_sem, rr_ok) if ok]
 
         if return_cluster:
-            cand = np.asarray(res.cand_mask)
-            sem = np.asarray(res.cand_sem)
-            order = np.argsort(-sem * cand)
+            c_idx = np.asarray(res.cand_idx)
+            c_sem = np.asarray(res.cand_sem)
+            c_win = np.asarray(res.cand_win)
+            # candidate priority order == the reference's dict insertion order
             expanded = [{"node_id": self._idx_to_id[int(i)],
-                         "semantic": round(float(sem[i]), 6),
+                         "semantic": round(float(s), 6),
                          "node_type": self.nodes[self._idx_to_id[int(i)]].get("node_type")}
-                        for i in order if cand[i]]
+                        for i, s, ok in zip(c_idx, c_sem, c_win) if ok]
             return {"seeds": seeds, "expanded": expanded, "reranked": reranked}
         return reranked
 

@@ -76,23 +76,25 @@ class SearchResult(NamedTuple):
     reranked_score: jnp.ndarray  # [top_k] f32
     reranked_sem: jnp.ndarray   # [top_k] f32
     reranked_valid: jnp.ndarray  # [top_k] bool
-    cand_mask: jnp.ndarray      # [N_pad] bool - the "expanded" cluster
-    cand_sem: jnp.ndarray       # [N_pad] f32 - semantic per candidate
+    cand_idx: jnp.ndarray       # [C] i32 - candidate node ids (n_pad = invalid)
+    cand_sem: jnp.ndarray       # [C] f32 - candidate semantics
+    cand_win: jnp.ndarray       # [C] bool - dedup winners (the "expanded" cluster)
 
 
 def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.ndarray,
                       seed_valid: jnp.ndarray, member_top_m: int):
-    """1-hop expansion with decay; returns (sem_buf [N_pad+1], cand [N_pad+1] bool).
+    """1-hop expansion with decay, in **candidate space**.
 
-    Dedup discipline (parity with the reference's dict building, :727-740): seed
-    self-entries always win; among expansion entries the first occurrence wins.
-    ``.at[].set`` with duplicate indices is order-unspecified in XLA, so this uses an
-    exact two-pass scheme: (1) scatter-max each candidate's unique priority rank,
-    (2) only the rank winner scatters its semantic — winners are unique per node, so
-    the second scatter has no duplicate conflicts.
+    Returns (cand_idx [C], cand_sem [C], cand_win [C]) where C =
+    top_k * (1 + 2 + member_top_m). Candidates are laid out in the reference's
+    dict-insertion priority order (:727-740): all seed self-entries first (they
+    always win), then per-seed expansion rows seed-major (parents then children —
+    mutually exclusive by seed type). Dedup is an O(C^2) earlier-occurrence test:
+    tiny, and it avoids the O(N) scatter buffers entirely (the former
+    implementation's dominant cost at large corpora).
     """
     n_pad = gt.n_pad
-    dump = n_pad  # scatter slot for invalid candidates
+    dump = n_pad
     safe_seed = jnp.clip(seed_idx, 0, n_pad - 1)
 
     seed_type = jnp.where(seed_valid, gt.node_type[safe_seed], -1)
@@ -107,46 +109,57 @@ def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.nda
     mem_ok = (mem >= 0) & is_sum[:, None] & seed_valid[:, None]
     mem_sem = jnp.broadcast_to((seed_sim * 0.85)[:, None], mem.shape)
 
-    # candidate list in priority order: all seed selfs, then expansions seed-major
-    tgt = jnp.concatenate([
-        jnp.where(seed_valid, seed_idx, dump),
-        jnp.where(par_ok, par, dump).reshape(-1),
-        jnp.where(mem_ok, mem, dump).reshape(-1),
-    ])
-    sem = jnp.concatenate([seed_sim, par_sem.reshape(-1), mem_sem.reshape(-1)])
-    n_cand = tgt.shape[0]
-    prio = jnp.arange(n_cand, 0, -1, dtype=jnp.int32)  # earlier = higher
+    # per-seed expansion block [K, 2+M] keeps the reference's seed-major insertion
+    # order (a node can be reachable both as a parent and as a member of two
+    # different seeds; first-seen must win)
+    exp_tgt = jnp.concatenate([jnp.where(par_ok, par, dump),
+                               jnp.where(mem_ok, mem, dump)], axis=1).reshape(-1)
+    exp_sem = jnp.concatenate([par_sem, mem_sem], axis=1).reshape(-1)
 
-    prio_buf = jnp.zeros(n_pad + 1, jnp.int32).at[tgt].max(prio)
-    win = (prio_buf[tgt] == prio) & (tgt < n_pad)
-    sem_buf = jnp.zeros(n_pad + 1, jnp.float32).at[jnp.where(win, tgt, dump)].set(sem)
-    cand = jnp.zeros(n_pad + 1, dtype=bool).at[jnp.where(win, tgt, dump)].set(True)
-    cand = cand.at[dump].set(False)
-    return sem_buf, cand
+    tgt = jnp.concatenate([jnp.where(seed_valid, seed_idx, dump), exp_tgt])
+    sem = jnp.concatenate([seed_sim, exp_sem])
+    valid = tgt < n_pad
+    pos = jnp.arange(tgt.shape[0])
+    eq_earlier = ((tgt[:, None] == tgt[None, :]) & valid[:, None] & valid[None, :]
+                  & (pos[None, :] < pos[:, None]))
+    win = valid & ~eq_earlier.any(axis=1)
+    return tgt, sem, win
 
 
-def rerank_scores(gt: GraphTensors, sem: jnp.ndarray, w: SearchWeights) -> jnp.ndarray:
-    """Vectorized rerank formula over all nodes (hierarchical_graph.py:764-768)."""
-    nt = jnp.clip(gt.node_type, 0, 2)
-    judge_term = jnp.where(gt.has_judge, jax.nn.sigmoid(gt.judge / 10.0), 0.0)
-    conf_term = jnp.where(gt.has_conf, gt.conf / 10.0, 0.0)
+def rerank_scores_at(gt: GraphTensors, idx: jnp.ndarray, sem: jnp.ndarray,
+                     w: SearchWeights) -> jnp.ndarray:
+    """Rerank formula evaluated at candidate node ids (hierarchical_graph.py:764-768)."""
+    safe = jnp.clip(idx, 0, gt.n_pad - 1)
+    nt = jnp.clip(gt.node_type[safe], 0, 2)
+    judge_term = jnp.where(gt.has_judge[safe], jax.nn.sigmoid(gt.judge[safe] / 10.0),
+                           0.0)
+    conf_term = jnp.where(gt.has_conf[safe], gt.conf[safe] / 10.0, 0.0)
     boost = w.layer_boost[nt]
     return w.alpha * sem + w.beta * judge_term + w.gamma * conf_term + w.delta * boost
 
 
-def filter_mask(gt: GraphTensors, w: SearchWeights) -> jnp.ndarray:
-    """Type/judge/confidence filters; null judge/conf fail their thresholds (:759-761)."""
-    nt = jnp.clip(gt.node_type, 0, 2)
-    keep = gt.valid & w.type_mask[nt]
-    keep &= jnp.where(w.use_judge_min > 0, gt.has_judge & (gt.judge >= w.judge_min), True)
-    keep &= jnp.where(w.use_conf_min > 0, gt.has_conf & (gt.conf >= w.conf_min), True)
+def filter_mask_at(gt: GraphTensors, idx: jnp.ndarray, w: SearchWeights) -> jnp.ndarray:
+    """Type/judge/confidence filters at candidate ids; null judge/conf fail their
+    thresholds (:759-761)."""
+    safe = jnp.clip(idx, 0, gt.n_pad - 1)
+    nt = jnp.clip(gt.node_type[safe], 0, 2)
+    keep = (idx < gt.n_pad) & gt.valid[safe] & w.type_mask[nt]
+    keep &= jnp.where(w.use_judge_min > 0,
+                      gt.has_judge[safe] & (gt.judge[safe] >= w.judge_min), True)
+    keep &= jnp.where(w.use_conf_min > 0,
+                      gt.has_conf[safe] & (gt.conf[safe] >= w.conf_min), True)
     return keep
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "member_top_m"))
 def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
                   top_k: int = 5, member_top_m: int = 5) -> SearchResult:
-    """Full hybrid search for a single query embedding ``q_emb [D]``."""
+    """Full hybrid search for a single query embedding ``q_emb [D]``.
+
+    Only the seed scoring touches O(N); expansion/filter/rerank/final-cut all run
+    in candidate space (C ~ tens), so batched throughput is seed-matmul-bound.
+    Final ties break by candidate priority position — exactly the reference's
+    stable sort over dict-insertion order (:781)."""
     n_pad = gt.n_pad
     # 1) seeds over the indexed subset: mask non-indexed rows to -inf.
     # HIGHEST precision: the TPU's default bf16 matmul can flip seed membership at
@@ -158,27 +171,32 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     seed_sim, seed_idx = seed_sim[0], seed_idx[0]
     seed_valid = seed_sim > NEG_INF / 2
 
-    # 2) expansion + dedup
-    sem_buf, cand = expand_candidates(gt, seed_idx, seed_sim, seed_valid, member_top_m)
-    sem = sem_buf[:n_pad]
-    cand = cand[:n_pad]
+    # 2) expansion + dedup (candidate space)
+    cand_idx, cand_sem, cand_win = expand_candidates(gt, seed_idx, seed_sim,
+                                                     seed_valid, member_top_m)
 
-    # 3) filter + rerank
-    keep = cand & filter_mask(gt, w)
-    score = rerank_scores(gt, sem, w)
+    # 3) filter + rerank per candidate
+    keep = cand_win & filter_mask_at(gt, cand_idx, w)
+    score = rerank_scores_at(gt, cand_idx, cand_sem, w)
 
-    # 4) final cut
-    rr_score, rr_idx = masked_topk(score[None, :], keep[None, :], top_k)
-    rr_score, rr_idx = rr_score[0], rr_idx[0]
+    # 4) final cut over C candidates; lax.top_k ties -> lowest candidate position
+    # = highest insertion priority (reference parity)
+    masked = jnp.where(keep, score, NEG_INF)
+    k = min(top_k, masked.shape[0])
+    rr_score, rr_pos = jax.lax.top_k(masked, k)
+    if k < top_k:
+        rr_score = jnp.pad(rr_score, (0, top_k - k), constant_values=NEG_INF)
+        rr_pos = jnp.pad(rr_pos, (0, top_k - k))
     rr_valid = rr_score > NEG_INF / 2
+    rr_idx = jnp.where(rr_valid, cand_idx[rr_pos], n_pad)
     return SearchResult(
         seed_idx=jnp.where(seed_valid, seed_idx, n_pad),
         seed_sim=seed_sim, seed_valid=seed_valid,
-        reranked_idx=jnp.where(rr_valid, rr_idx, n_pad),
+        reranked_idx=rr_idx,
         reranked_score=rr_score,
-        reranked_sem=sem[jnp.clip(rr_idx, 0, n_pad - 1)],
+        reranked_sem=jnp.where(rr_valid, cand_sem[rr_pos], 0.0),
         reranked_valid=rr_valid,
-        cand_mask=cand, cand_sem=sem,
+        cand_idx=cand_idx, cand_sem=cand_sem, cand_win=cand_win,
     )
 
 

@@ -128,12 +128,18 @@ class TestGym:
         _, r, done, _ = gym.step(5)
         assert done and r == 0.0
 
-    def test_repeat_penalty(self, gym):
-        gym.reset("Tim Burton")
-        _, r1, _, _ = gym.step(0)
-        _, r2, _, _ = gym.step(0)  # repeated action
-        # penalty applies on the second identical action
-        assert r2 <= r1 + 1e-9
+    def test_repeat_penalty(self):
+        hg = build_film_graph()
+        hg.build_vector_index(layers=(0, 1, 2))
+        rewards = {}
+        for penalty in (0.0, 0.02):
+            g = AHRAGGymEnv(hg=hg, max_steps=6, repeat_penalty=penalty)
+            g.reset("Tim Burton")
+            g.step(0)
+            _, r2, _, _ = g.step(0)  # repeated action
+            rewards[penalty] = r2
+        # identical transition; the only difference is the repeat penalty
+        assert abs((rewards[0.0] - rewards[0.02]) - 0.02) < 1e-9
 
     def test_commit_action_moves_selection(self, gym):
         gym.reset("Who directed Ed Wood?")
