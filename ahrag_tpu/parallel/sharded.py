@@ -85,3 +85,29 @@ def shard_graph_tensors(gt: GraphTensors, mesh: Mesh) -> GraphTensors:
 def shard_queries(q_embs: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Shard a query/episode batch over the data axis."""
     return jax.device_put(q_embs, NamedSharding(mesh, P(DATA_AXIS, None)))
+
+
+def shard_minilm_params(params, mesh: Mesh, axis: str = CORPUS_AXIS):
+    """Megatron-style tensor parallelism for the MiniLM encoder (SURVEY §2.4 TP
+    row: 'keep mesh-ready pjit partitioning of the encoder matmuls as an option').
+
+    Column-parallel: q/k/v and ff_in kernels split on the output dim (head/ffn
+    axis); row-parallel: attn_out and ff_out split on the input dim. XLA inserts
+    the psum at each row-parallel boundary. Embeddings/LayerNorms replicate.
+    """
+    col = {"q", "k", "v", "ff_in"}
+    row = {"attn_out", "ff_out"}
+
+    def place(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        layer = next((n for n in names if n in col | row), None)
+        param = names[-1] if names else ""
+        if layer in col:
+            spec = P(None, axis) if param == "kernel" else P(axis)
+        elif layer in row and param == "kernel":
+            spec = P(axis, None)
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -92,3 +92,17 @@ def test_sharded_train_step_runs_on_mesh():
     leaf0 = jax.tree_util.tree_leaves(learner.params)[0]
     leaf1 = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_minilm_tensor_parallel_matches_replicated():
+    from ahrag_tpu.models.encoder.minilm import MiniLMConfig, MiniLMEncoder
+    from ahrag_tpu.parallel.sharded import shard_minilm_params
+
+    enc = MiniLMEncoder(MiniLMConfig(layers=2, max_len=16), seed=0)
+    base = enc.encode(["hello world", "tensor parallel encoders"])
+    mesh = make_mesh(dp=1)  # 8-way tp over the ffn/head axis
+    sharded_params = shard_minilm_params(enc.params, mesh)
+    ids, attn = enc._tokenize(["hello world", "tensor parallel encoders"])
+    out = jax.jit(lambda p, i, m: enc.model.apply({"params": p}, i, m))(
+        sharded_params, jnp.asarray(ids), jnp.asarray(attn))
+    np.testing.assert_allclose(base, np.asarray(out), rtol=2e-4, atol=2e-5)
