@@ -93,3 +93,29 @@ def test_eval_gate_runs(built, tmp_path, monkeypatch, capsys):
     eval_gate.main()  # must not raise with zero thresholds
     out = capsys.readouterr().out
     assert '"passed": true' in out
+
+
+def test_benchmark_per_question_context_build(tmp_path):
+    """HotpotQA-style per-question KG build, in-process (no subprocess)."""
+    import json as _json
+    data = tmp_path / "ctx.jsonl"
+    item = {
+        "id": "c1",
+        "question": "Who directed Ed Wood?",
+        "answers": ["Tim Burton"],
+        "context": {
+            "title": ["Tim Burton", "Ed Wood (film)"],
+            "sentences": [
+                ["Tim Burton is an American director.",
+                 "He directed the 1994 film Ed Wood."],
+                ["Ed Wood is a 1994 American film.",
+                 "It was directed by Tim Burton."],
+            ],
+        },
+    }
+    data.write_text(_json.dumps(item) + "\n")
+    report = run_benchmark("local", system="ah_rag", limit=1,
+                           data_path=str(data), judge_sample=0.0,
+                           out=str(tmp_path / "r.json"))
+    assert report["aggregate"][0]["n"] == 1
+    assert report["items"][0]["system"] == "ah_rag"
