@@ -1,0 +1,203 @@
+"""Serving layer: device-resident retrieval service with micro-batching.
+
+The reference has no serving story (single-process CLIs only). This module turns a
+graph snapshot into a long-lived service suited to the TPU's batching economics:
+
+- ``RetrievalService``: holds GraphTensors on device and answers ``search`` /
+  ``beam`` / ``answer`` requests; concurrent ``search`` callers are coalesced by a
+  ``MicroBatcher`` into single device batches (the jitted batched search amortizes
+  dispatch + compile across requests);
+- ``serve_http``: a ThreadingHTTPServer with JSON endpoints
+  POST /search {"queries": [...], "top_k"} , POST /answer {"query"},
+  GET /healthz, GET /stats (profiling counters).
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ahrag_tpu.graph import HierarchicalGraph
+from ahrag_tpu.graph.search import hybrid_search_batch
+from ahrag_tpu.utils.profiling import Timers
+
+
+class MicroBatcher:
+    """Coalesce concurrent single requests into batched calls.
+
+    ``submit(item)`` blocks until the batch containing it is processed; batches
+    flush when ``max_batch`` items collect or ``max_wait_s`` elapses after the
+    first pending item.
+    """
+
+    def __init__(self, process: Callable[[List[Any]], List[Any]],
+                 max_batch: int = 64, max_wait_s: float = 0.002) -> None:
+        self._process = process
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self._lock = threading.Condition()
+        self._pending: List[Any] = []
+        self._results: List[Any] = []
+        self._generation = 0
+        self._flushed_generation = -1
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                while not self._pending and not self._closed:
+                    self._lock.wait()
+                if self._closed and not self._pending:
+                    return
+                deadline = time.monotonic() + self.max_wait_s
+                while (len(self._pending) < self.max_batch
+                       and time.monotonic() < deadline):
+                    self._lock.wait(timeout=max(0.0, deadline - time.monotonic()))
+                batch = self._pending
+                gen = self._generation
+                self._pending = []
+                self._generation += 1
+            results = self._process(batch)
+            with self._lock:
+                self._results = results
+                self._flushed_generation = gen
+                self._lock.notify_all()
+
+    def submit(self, item: Any) -> Any:
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            gen = self._generation
+            index = len(self._pending)
+            self._pending.append(item)
+            self._lock.notify_all()
+            while self._flushed_generation < gen:
+                self._lock.wait()
+            return self._results[index]
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+
+
+class RetrievalService:
+    def __init__(self, graph_dir: str = "graph", hg: Optional[HierarchicalGraph] = None,
+                 max_batch: int = 64, max_wait_s: float = 0.002) -> None:
+        self.hg = hg or HierarchicalGraph.load(graph_dir)
+        if self.hg.dirty or not self.hg._embeddings:
+            self.hg.build_vector_index(layers=(0, 1, 2))
+        self.gt = self.hg.tensors()
+        self.enc = self.hg._encoder()
+        self.timers = Timers()
+        self._batcher = MicroBatcher(self._process_batch, max_batch=max_batch,
+                                     max_wait_s=max_wait_s)
+        self._default_top_k = 5
+
+    # -- batched search ------------------------------------------------------
+    def _process_batch(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
+        with self.timers.timed("search_batch"):
+            q = jnp.asarray(self.enc.encode(queries))
+            w = self.hg._resolve_weights()
+            res = hybrid_search_batch(self.gt, q, w, top_k=self._default_top_k,
+                                      member_top_m=int(
+                                          self.hg.search_params.get("member_top_m", 5)))
+            idx = np.asarray(res.reranked_idx)
+            score = np.asarray(res.reranked_score)
+            sem = np.asarray(res.reranked_sem)
+            ok = np.asarray(res.reranked_valid)
+        out = []
+        for b in range(len(queries)):
+            out.append([self.hg._result_entry(int(i), float(s), float(m))
+                        for i, s, m, o in zip(idx[b], score[b], sem[b], ok[b]) if o])
+        return out
+
+    def search(self, query: str) -> List[Dict[str, Any]]:
+        """Single query; coalesced with concurrent callers into one device batch."""
+        return self._batcher.submit(query)
+
+    def search_many(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
+        return self._process_batch(queries)
+
+    # -- full QA -------------------------------------------------------------
+    def answer(self, query: str, steps: int = 4) -> Dict[str, Any]:
+        from ahrag_tpu.agent.agent import AHRAG_Agent
+        from ahrag_tpu.agent.environment import GraphEnvironment
+        from ahrag_tpu.agent.inference import InferenceEngine
+        with self.timers.timed("answer"):
+            env = GraphEnvironment(hg=self.hg, log_level="off")
+            out = InferenceEngine(env, AHRAG_Agent(env)).run_inference(query,
+                                                                      steps=steps)
+        return {k: out[k] for k in ("query", "answer", "rationale", "citations",
+                                    "retrieved_nodes", "metrics")}
+
+    def stats(self) -> Dict[str, Any]:
+        return {"graph": self.hg.stats(), "timers": self.timers.snapshot()}
+
+    def close(self) -> None:
+        self._batcher.close()
+
+
+def serve_http(service: RetrievalService, host: str = "127.0.0.1",
+               port: int = 8080) -> ThreadingHTTPServer:
+    """Start the HTTP front end (returns the server; call serve_forever/shutdown)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj: Any) -> None:
+            body = json.dumps(obj, ensure_ascii=False, default=str).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "nodes": service.hg.number_of_nodes()})
+            elif self.path == "/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except Exception:
+                self._json(400, {"error": "bad json"})
+                return
+            try:
+                if self.path == "/search":
+                    queries = payload.get("queries") or (
+                        [payload["query"]] if payload.get("query") else [])
+                    if not queries:
+                        self._json(400, {"error": "no queries"})
+                        return
+                    if len(queries) == 1:
+                        self._json(200, {"results": [service.search(queries[0])]})
+                    else:
+                        self._json(200, {"results": service.search_many(queries)})
+                elif self.path == "/answer":
+                    query = payload.get("query")
+                    if not query:
+                        self._json(400, {"error": "no query"})
+                        return
+                    self._json(200, service.answer(
+                        query, steps=int(payload.get("steps", 4))))
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as exc:  # pragma: no cover - defensive
+                self._json(500, {"error": str(exc)})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server

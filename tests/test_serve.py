@@ -1,0 +1,99 @@
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from ahrag_tpu.serve import MicroBatcher, RetrievalService, serve_http
+from tests.helpers import build_film_graph
+
+
+@pytest.fixture(scope="module")
+def service():
+    hg = build_film_graph()
+    hg.build_vector_index(layers=(0, 1, 2))
+    svc = RetrievalService(hg=hg, max_wait_s=0.005)
+    yield svc
+    svc.close()
+
+
+def test_microbatcher_coalesces():
+    batches = []
+
+    def process(items):
+        batches.append(list(items))
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(process, max_batch=8, max_wait_s=0.05)
+    results = {}
+
+    def call(x):
+        results[x] = mb.submit(x)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert results == {i: i * 2 for i in range(6)}
+    assert sum(len(b) for b in batches) == 6
+    assert max(len(b) for b in batches) > 1  # actually coalesced
+
+
+def test_service_search_and_answer(service):
+    res = service.search("Who directed Ed Wood?")
+    assert res and res[0]["score"] >= res[-1]["score"]
+    many = service.search_many(["Tim Burton", "Doctor Strange"])
+    assert len(many) == 2
+    ans = service.answer("Who directed the film Ed Wood?")
+    assert ans["answer"] and "retrieved_nodes" in ans
+    stats = service.stats()
+    assert stats["graph"]["n_nodes"] == 10
+    assert "search_batch" in stats["timers"]
+
+
+def test_concurrent_search_consistency(service):
+    """Coalesced concurrent calls return each caller's own result."""
+    queries = ["Tim Burton", "Doctor Strange", "Adam Collis", "Ed Wood film"]
+    expected = {q: [r["node_id"] for r in service.search_many([q])[0]]
+                for q in queries}
+    results = {}
+
+    def call(q):
+        results[q] = [r["node_id"] for r in service.search(q)]
+
+    threads = [threading.Thread(target=call, args=(q,)) for q in queries * 2]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for q in queries:
+        assert results[q] == expected[q], q
+
+
+def test_http_endpoints(service):
+    server = serve_http(service, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            assert json.loads(r.read())["ok"] is True
+        req = urllib.request.Request(
+            f"{base}/search", data=json.dumps({"query": "Ed Wood"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+            assert body["results"][0]
+        req = urllib.request.Request(
+            f"{base}/answer",
+            data=json.dumps({"query": "Who directed Ed Wood?"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["answer"]
+        with urllib.request.urlopen(f"{base}/stats") as r:
+            assert "timers" in json.loads(r.read())
+    finally:
+        server.shutdown()
