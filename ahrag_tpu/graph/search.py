@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ahrag_tpu.graph.tensors import GraphTensors
-from ahrag_tpu.ops.topk import NEG_INF, dense_topk_xla, masked_topk
+from ahrag_tpu.ops.topk import NEG_INF, masked_topk
 
 
 class SearchWeights(NamedTuple):

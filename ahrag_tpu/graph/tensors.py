@@ -25,7 +25,7 @@ judge/confidence is a mask, not 0.0 (filter semantics, SURVEY §7.3.4).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Two composition levels, both idiomatic JAX SPMD:
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -7,7 +7,7 @@ reference-built artifacts compile directly into GraphTensors.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from pydantic import BaseModel, Field
 
