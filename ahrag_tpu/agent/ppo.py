@@ -395,38 +395,21 @@ def ppo_train_device(gt, q_embs: np.ndarray, search_weights, n_updates: int = 10
         traj, _ = rollout_batch(gt, batch_q, learner.params, learner.apply_fn, sub,
                                 search_weights, max_steps=max_steps, top_k=top_k,
                                 member_top_m=member_top_m)
-        obs = np.asarray(traj.obs)       # [B, T, D]
-        act = np.asarray(traj.actions)
-        logp = np.asarray(traj.logps)
-        rew = np.asarray(traj.rewards)
-        val = np.asarray(traj.values.swapaxes(0, 1)).swapaxes(0, 1)
-        done = np.asarray(traj.dones)
-        live = np.asarray(traj.mask)
-        flat = {"obs": [], "act": [], "logp": [], "ret": [], "adv": []}
-        ep_rewards = []
-        for b in range(obs.shape[0]):
-            m = live[b]
-            if not m.any():
-                continue
-            t_live = int(m.sum())
-            adv, ret = compute_gae(rew[b][:t_live].tolist(), val[b][:t_live].tolist(),
-                                   done[b][:t_live].tolist(), cfg.gamma,
-                                   cfg.gae_lambda)
-            flat["obs"].append(obs[b][:t_live])
-            flat["act"].append(act[b][:t_live])
-            flat["logp"].append(logp[b][:t_live])
-            flat["ret"].append(ret)
-            flat["adv"].append(adv)
-            ep_rewards.append(float(rew[b][:t_live].sum()))
-        if not flat["obs"]:
+        adv, ret = gae_device(traj.rewards, traj.values, traj.dones, traj.mask,
+                              cfg.gamma, cfg.gae_lambda)
+        live = np.asarray(traj.mask).reshape(-1)
+        if not live.any():
             continue
-        losses = learner.update(np.concatenate(flat["obs"]),
-                                np.concatenate(flat["act"]).astype(np.int64),
-                                np.concatenate(flat["logp"]),
-                                np.concatenate(flat["ret"]),
-                                np.concatenate(flat["adv"]), seed=seed + u)
-        log(f"[PPO/device] update={u} mavg_ep_reward={np.mean(ep_rewards):.3f} "
-            f"loss={losses}")
+        obs = np.asarray(traj.obs).reshape(-1, traj.obs.shape[-1])[live]
+        losses = learner.update(obs,
+                                np.asarray(traj.actions).reshape(-1)[live]
+                                .astype(np.int64),
+                                np.asarray(traj.logps).reshape(-1)[live],
+                                np.asarray(ret).reshape(-1)[live],
+                                np.asarray(adv).reshape(-1)[live], seed=seed + u)
+        ep_reward = float((np.asarray(traj.rewards) * np.asarray(traj.mask)).sum()
+                          / max(1, np.asarray(traj.mask).any(axis=1).sum()))
+        log(f"[PPO/device] update={u} mavg_ep_reward={ep_reward:.3f} loss={losses}")
     if save_path:
         learner.save(save_path)
     return learner
