@@ -289,7 +289,14 @@ class SemanticAggregator:
 
         l2_nodes: List[Dict[str, Any]] = []
         l1_to_l2: Dict[str, int] = {}
+        # L2 topic ids are namespaced past the L1 range. The reference numbers
+        # communities from 0 (semantic_aggregator.py:533), which collides with L1
+        # topic ids in the shared topic_id -> summary map and silently merges
+        # sum:<cid> nodes across levels (self-loop belongs_to) — a latent reference
+        # bug, fixed here (the loader also defends against colliding artifacts).
+        base = (max(int(n["topic_id"]) for n in l1_nodes) + 1) if l1_nodes else 0
         for cid, tids in enumerate(comms):
+            cid = base + cid
             member_names, centroids, top_words, bodies = [], [], [], []
             for tid in tids:
                 n = tid_to_node.get(int(tid))

@@ -36,7 +36,8 @@ def load_local_jsonl(path: str, limit: Optional[int] = None) -> List[Dict[str, A
             items.append({"id": str(obj.get("id", len(items))),
                           "question": obj.get("question", ""),
                           "answers": obj.get("answers") or [],
-                          "context": obj.get("context")})
+                          "context": obj.get("context"),
+                          "gold_titles": obj.get("gold_titles") or []})
             if limit and len(items) >= limit:
                 break
     return items
@@ -52,9 +53,11 @@ def load_dataset(name: str, limit: Optional[int] = None) -> List[Dict[str, Any]]
             ans = i.get("answer")
             golds = [x for x in ans if x] if isinstance(ans, list) else \
                 ([ans] if ans else [])
+            sf = i.get("supporting_facts") or {}
             items.append({"id": str(i.get("_id") or i.get("id") or idx),
                           "question": i.get("question") or "",
-                          "answers": golds, "context": i.get("context")})
+                          "answers": golds, "context": i.get("context"),
+                          "gold_titles": list(dict.fromkeys(sf.get("title") or []))})
             if limit and len(items) >= limit:
                 break
         return items
@@ -161,7 +164,11 @@ def evaluate_item(item: Dict[str, Any], sys_name: str, ans: Dict[str, Any],
     unified = evaluator.evaluate(answer_obj, graph=hg, config=eval_cfg)
     scores = unified["scores"]
     diagnosis = unified["details"]["diagnosis"]
+    from ahrag_tpu.eval.retrieval import recall_at_k
+    retrieval_recall = recall_at_k(ans.get("retrieved_nodes", []),
+                                   item.get("gold_titles") or [], hg, k=10)
     return {
+        "retrieval_recall_at_10": retrieval_recall,
         "id": item.get("id"), "system": sys_name,
         "f1": scores.get("f1", 0.0), "em": scores.get("em", 0.0),
         "judge_overall": scores.get("judge_overall", 0.0),
@@ -180,7 +187,8 @@ def evaluate_item(item: Dict[str, Any], sys_name: str, ans: Dict[str, Any],
 def aggregate(results: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
     metrics = ["f1", "em", "judge_overall", "contextual_recall",
                "contextual_relevancy", "contextual_precision", "faithfulness",
-               "answer_relevancy", "overall_score", "diagnosis_confidence"]
+               "answer_relevancy", "overall_score", "diagnosis_confidence",
+               "retrieval_recall_at_10"]
     by_system: Dict[str, List[Dict[str, Any]]] = {}
     for r in results:
         by_system.setdefault(r["system"], []).append(r)

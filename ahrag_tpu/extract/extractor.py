@@ -54,6 +54,10 @@ _TYPE_KEYWORDS = [
 
 _SENT_SPLIT = re.compile(r"(?<=[。！？.!?])\s+")
 _NAME_RE = re.compile(r"(?:[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+|[A-Z][a-z]+)")
+# single capitalized words that are sentence-starters, not entities
+_CAP_STOPWORDS = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This",
+                  "That", "They", "His", "Her", "Its", "After", "Before", "When",
+                  "While", "During", "From", "For", "With", "And", "But", "Or"}
 _PARTIAL_RE = re.compile(
     r"\{\s*\"hyperedge\"[\s\S]*?\}\s*(?=,\s*\{\s*\"hyperedge\"|\s*\]\s*\}|$)")
 
@@ -258,6 +262,8 @@ class HypergraphExtractor:
             names: List[str] = []
             seen: set[str] = set()
             for m in _NAME_RE.findall(sent):
+                if " " not in m and m in _CAP_STOPWORDS:
+                    continue  # lone sentence-starter, not an entity
                 if m not in seen:
                     seen.add(m)
                     names.append(m)

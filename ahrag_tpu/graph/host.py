@@ -501,18 +501,29 @@ class HierarchicalGraph:
                 if eid:
                     self.add_participation(eid, hid, role=ent.get("role"))
 
+        # Defend against L1/L2 topic-id collisions in reference-produced artifacts
+        # (the reference numbers communities from 0, silently merging sum:<id>
+        # nodes across levels — see aggregator.aggregate_level2_via_communities).
+        next_free = max(self.topic_to_summary_id, default=-1) + 1
+        l2_remap: Dict[int, int] = {}
         for n in l2_nodes:
-            self.add_summary(topic_id=int(n["topic_id"]), title=n.get("title"),
+            tid = int(n["topic_id"])
+            if tid in self.topic_to_summary_id:
+                l2_remap[tid] = next_free
+                next_free += 1
+        for n in l2_nodes:
+            tid = int(n["topic_id"])
+            self.add_summary(topic_id=l2_remap.get(tid, tid), title=n.get("title"),
                              summary_text=n.get("summary"), confidence=n.get("confidence"),
                              top_words=n.get("top_words"), members=n.get("members"),
                              centroid=n.get("centroid"), level=2)
         for l1_tid, l2_tid in (l1_to_l2 or {}).items():
             try:
                 a = self.topic_to_summary_id.get(int(l1_tid))
-                b = self.topic_to_summary_id.get(int(l2_tid))
+                b = self.topic_to_summary_id.get(l2_remap.get(int(l2_tid), int(l2_tid)))
             except Exception:
                 continue
-            if a and b:
+            if a and b and a != b:
                 self.add_belongs_to(a, b, prob=1.0)
 
         for s in judge_nodes:
