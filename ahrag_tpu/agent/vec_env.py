@@ -66,14 +66,21 @@ def _obs_frontier_size(frontier: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dedup_cap(ids: jnp.ndarray, n_pad: int, cap: int) -> jnp.ndarray:
-    """Order-preserving dedup of ``ids`` (n_pad = invalid), compacted to [cap]."""
+    """Order-preserving dedup of ``ids`` (n_pad = invalid), compacted to [cap].
+
+    Candidate-space O(C^2) earlier-occurrence test — C is tens, and under
+    vmap(switch) every branch runs for every lane, so nothing here may touch
+    O(N_pad) buffers.
+    """
     n = ids.shape[0]
-    prio = jnp.arange(n, 0, -1, dtype=jnp.int32)
-    buf = jnp.zeros(n_pad + 1, jnp.int32).at[ids].max(prio)
-    win = (buf[ids] == prio) & (ids < n_pad)
-    pos = jnp.cumsum(win) - 1
+    pos = jnp.arange(n)
+    valid = ids < n_pad
+    eq_earlier = ((ids[:, None] == ids[None, :]) & valid[:, None] & valid[None, :]
+                  & (pos[None, :] < pos[:, None]))
+    win = valid & ~eq_earlier.any(axis=1)
+    slot_pos = jnp.cumsum(win) - 1
     out = jnp.full(cap + 1, n_pad, jnp.int32)
-    slot = jnp.where(win & (pos < cap), pos, cap)
+    slot = jnp.where(win & (slot_pos < cap), slot_pos, cap)
     out = out.at[slot].set(jnp.where(win, ids, n_pad))
     # duplicate writes to the dump slot `cap` are all n_pad -> deterministic
     return out[:cap]
@@ -269,13 +276,20 @@ def observe(gt: GraphTensors, state: EnvState) -> jnp.ndarray:
 
 
 def env_step(gt: GraphTensors, state: EnvState, action: jnp.ndarray,
-             max_steps: int = 6,
-             repeat_penalty: float = 0.02) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+             max_steps: int = 6, repeat_penalty: float = 0.02,
+             enable_lca: bool = False) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
     """One gym step; returns (new_state, reward, done). Matches AHRAGGymEnv.step
-    including the obs-visible reward accounting (reward.py:6-26 over obs state)."""
+    including the obs-visible reward accounting (reward.py:6-26 over obs state).
+
+    ``enable_lca`` statically gates action 6: under vmap, ``lax.switch`` computes
+    EVERY branch for every lane, and the LCA branch is the only O(N_pad) action —
+    leaving it off keeps rollout steps candidate-space-only.
+    """
     prev_sel = state.obs_sel_size
     prev_frontier = state.obs_frontier_size
     bumped = state.replace(step=state.step + 1)
+    lca_branch = (lambda s: act_expand_to_lca(gt, s)) if enable_lca else \
+        (lambda s: s)  # disabled: inert branch (mask excludes action 6 anyway)
     new = jax.lax.switch(jnp.clip(action, 0, N_ACTIONS), [
         lambda s: act_expand_parents(gt, s),
         lambda s: act_expand_children(gt, s),
@@ -283,7 +297,7 @@ def env_step(gt: GraphTensors, state: EnvState, action: jnp.ndarray,
         lambda s: act_commit_top(gt, s),
         lambda s: act_query_details(gt, s),
         lambda s: act_end(gt, s),
-        lambda s: act_expand_to_lca(gt, s),  # optional action 6 (gym flag)
+        lca_branch,
     ], bumped)
     ended = action == N_ACTIONS - 1
     # selection only grows, and obs sizes zero out on detail steps, so the host's

@@ -179,7 +179,8 @@ class TestLCAAction:
         q = jnp.asarray(graph._encoder().encode([query])[0])
         dstate = vec_env.env_reset(gt, q, SearchWeights.create())
         hvec, hr, hdone, hinfo = gym.step(6)
-        dstate, dr, ddone = vec_env.env_step(gt, dstate, jnp.int32(6))
+        dstate, dr, ddone = vec_env.env_step(gt, dstate, jnp.int32(6),
+                                             enable_lca=True)
         dvec = np.asarray(vec_env.observe(gt, dstate))
         np.testing.assert_allclose(hvec, dvec, atol=2e-3)
         assert abs(float(dr) - hr) < 1e-5
