@@ -106,3 +106,11 @@ def test_minilm_tensor_parallel_matches_replicated():
     out = jax.jit(lambda p, i, m: enc.model.apply({"params": p}, i, m))(
         sharded_params, jnp.asarray(ids), jnp.asarray(attn))
     np.testing.assert_allclose(base, np.asarray(out), rtol=2e-4, atol=2e-5)
+
+
+def test_distributed_initialize_single_process_noop(monkeypatch):
+    from ahrag_tpu.parallel import distributed
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert distributed.initialize() is False  # single process: no-op
+    info = distributed.process_info()
+    assert info["process_count"] == 1 and info["global_devices"] == 8
