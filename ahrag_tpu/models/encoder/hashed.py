@@ -67,6 +67,21 @@ def _project_normalize(counts: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
     return emb / jnp.maximum(norm, 1e-9)
 
 
+@partial(jax.jit, static_argnames=("n_rows",))
+def _project_normalize_sparse(rows: jnp.ndarray, cols: jnp.ndarray,
+                              vals: jnp.ndarray, proj: jnp.ndarray,
+                              n_rows: int) -> jnp.ndarray:
+    """Sparse-COO variant: scatter the counts on device, then project.
+
+    Host->device transfer is the nonzero triplets only (~150 features/text vs the
+    full bucket row) — material when the device sits behind a network tunnel.
+    Padding triplets use an extra dump row.
+    """
+    buckets = proj.shape[0]
+    counts = jnp.zeros((n_rows + 1, buckets), jnp.float32).at[rows, cols].add(vals)
+    return _project_normalize(counts[:n_rows], proj)
+
+
 class HashedNGramEncoder:
     def __init__(self, dim: int = 384, buckets: int = 16384, seed: int = 7) -> None:
         self.name = f"hashed-ngram-b{buckets}-d{dim}-s{seed}"
@@ -88,14 +103,27 @@ class HashedNGramEncoder:
         return counts
 
     def encode_device(self, texts: List[str], chunk: int = 1024) -> jnp.ndarray:
-        """Batch encode; inputs chunk so the dense [chunk, buckets] count matrix
-        stays small (64 MB at the defaults) regardless of corpus size."""
+        """Batch encode in fixed-size chunks; counts ship to the device as sparse
+        COO triplets (padded to a static nnz bucket so jit doesn't respecialize),
+        scattered and projected on device."""
         if not texts:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
         outs = []
         for i in range(0, len(texts), chunk):
-            counts = jnp.asarray(self._count_matrix(texts[i:i + chunk]))
-            outs.append(_project_normalize(counts, self._proj))
+            block = texts[i:i + chunk]
+            counts = self._count_matrix(block)
+            rows, cols = np.nonzero(counts)
+            vals = counts[rows, cols]
+            # pad nnz to a power-of-two-ish bucket; dump row absorbs padding
+            nnz = len(rows)
+            cap = max(4096, 1 << (nnz - 1).bit_length()) if nnz else 4096
+            pad = cap - nnz
+            rows = np.concatenate([rows, np.full(pad, len(block))]).astype(np.int32)
+            cols = np.concatenate([cols, np.zeros(pad)]).astype(np.int32)
+            vals = np.concatenate([vals, np.zeros(pad)]).astype(np.float32)
+            outs.append(_project_normalize_sparse(
+                jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+                self._proj, n_rows=len(block)))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def encode(self, texts: List[str]) -> np.ndarray:

@@ -49,3 +49,14 @@ def test_factory_default_and_cache():
     e2 = create_encoder({"encoder": {"name": "hashed", "dim": 384, "seed": 7}})
     assert e1 is e2
     assert e1.name.startswith("hashed-ngram")
+
+
+def test_sparse_and_dense_projection_agree():
+    from ahrag_tpu.models.encoder import hashed
+    import jax.numpy as jnp
+    enc = HashedNGramEncoder()
+    texts = ["Tim Burton directed Ed Wood", "quantum computing", "a b c d e"]
+    sparse = enc.encode(texts)
+    dense = np.asarray(hashed._project_normalize(
+        jnp.asarray(enc._count_matrix(texts)), enc._proj))
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-6)
