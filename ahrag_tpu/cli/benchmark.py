@@ -238,6 +238,8 @@ def run_benchmark(dataset: str, system: str = "both", limit: int = 10,
 
     results: List[Dict[str, Any]] = []
     shared_hg = None
+    import threading
+    shared_lock = threading.Lock()
 
     def process(item: Dict[str, Any], use_llm_judge: bool) -> List[Dict[str, Any]]:
         nonlocal shared_hg
@@ -247,9 +249,10 @@ def run_benchmark(dataset: str, system: str = "both", limit: int = 10,
                 return [evaluate_item(item, s, run_system(s, item["question"],
                                                           cfg, hg), hg, cfg,
                                       use_llm_judge) for s in systems]
-        if shared_hg is None:
-            from ahrag_tpu.graph import HierarchicalGraph
-            shared_hg = HierarchicalGraph.load(graph_dir)
+        with shared_lock:
+            if shared_hg is None:
+                from ahrag_tpu.graph import HierarchicalGraph
+                shared_hg = HierarchicalGraph.load(graph_dir)
         hg = shared_hg
         return [evaluate_item(item, s, run_system(s, item["question"], cfg, hg),
                               hg, cfg, use_llm_judge) for s in systems]

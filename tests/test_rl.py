@@ -189,3 +189,27 @@ class TestLCAAction:
         dev_ids = [graph.idx_to_id(int(i)) for i in np.asarray(dstate.top_ids)
                    if i < gt.n_pad]
         assert dev_ids == host_ids
+
+
+def test_collect_trajectories_device_mode(graph, tmp_path, monkeypatch):
+    import sys
+    d = str(tmp_path / "graph")
+    graph.save(d)
+    out = str(tmp_path / "traj.jsonl")
+    from ahrag_tpu.cli import collect_trajectories as ct
+    data = tmp_path / "q.jsonl"
+    data.write_text('{"id": "1", "question": "Who directed Ed Wood?", '
+                    '"answers": ["Tim Burton"]}\n'
+                    '{"id": "2", "question": "American directors", '
+                    '"answers": []}\n')
+    monkeypatch.setattr(sys, "argv", [
+        "collect", "--data", str(data), "--graph", d, "--out", out,
+        "--max-steps", "3", "--device"])
+    ct.main()
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 2
+    traj = json.loads(lines[0])
+    assert traj["steps"] and len(traj["steps"][0]["obs_vec"]) == OBS_DIM
+    # BC trains from device-collected trajectories
+    report = train_bc(out, str(tmp_path / "bc.msgpack"), epochs=1)
+    assert report["n_samples"] > 0
