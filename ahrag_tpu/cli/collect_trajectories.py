@@ -25,7 +25,7 @@ def collect_device(items, graph_dir: str, out: str, max_steps: int,
     hg = HierarchicalGraph.load(graph_dir)
     gt = hg.tensors()
     questions = [it["question"] for it in items]
-    q_embs = jnp.asarray(hg._encoder().encode(questions))
+    q_embs = jnp.asarray(hg.encode_query(questions))
 
     def random_policy(params, obs):
         logits = jnp.zeros((obs.shape[0], N_ACTIONS))

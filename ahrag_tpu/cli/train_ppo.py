@@ -35,7 +35,7 @@ def main() -> None:
         from ahrag_tpu.graph.search import SearchWeights
         hg = HierarchicalGraph.load(args.graph)
         gt = hg.tensors()
-        q_embs = hg._encoder().encode(questions)
+        q_embs = hg.encode_query(questions)
         ppo_train_device(gt, q_embs, SearchWeights.create(), n_updates=args.updates,
                          max_steps=args.max_steps, batch_size=args.batch,
                          ppo_cfg=cfg, save_path=args.out)

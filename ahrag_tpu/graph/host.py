@@ -77,6 +77,7 @@ class HierarchicalGraph:
         self.vector_index: Dict[str, Any] = {"model": None, "indexed_nodes": 0,
                                              "indexed_meta": {}}
         self._embeddings: Dict[str, np.ndarray] = {}        # node_id -> [D]
+        self._idf: Optional[np.ndarray] = None              # [buckets] corpus weights
         # compiled tensors cache
         self._tensors: Optional[GraphTensors] = None
         self._idx_to_id: List[str] = []
@@ -352,8 +353,11 @@ class HierarchicalGraph:
         if self._embeddings:
             ids = list(self._embeddings.keys())
             mat = np.stack([self._embeddings[i] for i in ids])
+            extra = {}
+            if getattr(self, "_idf", None) is not None:
+                extra["idf"] = self._idf
             np.savez_compressed(os.path.join(directory, "embeddings.npz"),
-                                ids=np.asarray(ids), emb=mat)
+                                ids=np.asarray(ids), emb=mat, **extra)
 
     def _iter_edges_in_order(self):
         """Edges in insertion order (edge_set is a set; rebuild from adjacency)."""
@@ -413,6 +417,8 @@ class HierarchicalGraph:
             z = np.load(emb_path, allow_pickle=False)
             for nid, row in zip(z["ids"].tolist(), z["emb"]):
                 hg._embeddings[str(nid)] = np.asarray(row, dtype=np.float32)
+            if "idf" in z:
+                hg._idf = np.asarray(z["idf"], dtype=np.float32)
         else:
             hg.dirty = True  # needs (re)indexing before search
         hg._tensors = None
@@ -567,28 +573,52 @@ class HierarchicalGraph:
 
     def build_vector_index(self, layers: Sequence[int] = (0, 1),
                            include_hyperedges: bool = False,
-                           upsert_only: bool = True, reset: bool = False) -> int:
-        """(Re)encode node texts into the embedding table. Incremental by content hash."""
+                           upsert_only: bool = True, reset: bool = False,
+                           use_idf: bool = True) -> int:
+        """(Re)encode node texts into the embedding table. Incremental by content hash.
+
+        With ``use_idf`` (and an encoder exposing ``document_frequencies``), a full
+        (re)build computes corpus IDF weights ln((1+N)/(1+df))+1 per hash bucket and
+        bakes them into document AND query embeddings — the lexical weighting the
+        reference gets implicitly from its pretrained encoder. Incremental upserts
+        reuse the stored weights (approximation, refreshed on the next full build).
+        """
         enc = self._encoder()
         if reset:
             self.vector_index["indexed_meta"] = {}
             self._embeddings.clear()
+            self._idf = None
         prev: Dict[str, str] = dict(self.vector_index.get("indexed_meta") or {})
-        todo_ids, todo_texts = [], []
+        eligible_ids: List[str] = []
         for nid, d in self.nodes.items():
             nt = d.get("node_type")
-            eligible = ((nt == "entity" and 0 in layers) or
-                        (nt == "summary" and (1 in layers or 2 in layers)) or
-                        (nt == "hyperedge" and include_hyperedges))
-            if not eligible:
-                continue
-            key = self._index_key(nid)
-            if upsert_only and prev.get(nid) == key and nid in self._embeddings:
-                continue
-            todo_ids.append(nid)
-            todo_texts.append(self._embedding_text(nid))
+            if ((nt == "entity" and 0 in layers) or
+                    (nt == "summary" and (1 in layers or 2 in layers)) or
+                    (nt == "hyperedge" and include_hyperedges)):
+                eligible_ids.append(nid)
+
+        supports_idf = use_idf and hasattr(enc, "document_frequencies")
+        full_build = supports_idf and (getattr(self, "_idf", None) is None
+                                       or not upsert_only)
+        if full_build and len(eligible_ids) >= 2:
+            texts = [self._embedding_text(nid) for nid in eligible_ids]
+            df = enc.document_frequencies(texts)
+            n_docs = len(texts)
+            self._idf = (np.log((1.0 + n_docs) / (1.0 + df)) + 1.0).astype(np.float32)
+            todo_ids, todo_texts = eligible_ids, texts
+        else:
+            todo_ids, todo_texts = [], []
+            for nid in eligible_ids:
+                key = self._index_key(nid)
+                if upsert_only and prev.get(nid) == key and nid in self._embeddings:
+                    continue
+                todo_ids.append(nid)
+                todo_texts.append(self._embedding_text(nid))
         if todo_ids:
-            mat = enc.encode(todo_texts)
+            if supports_idf:
+                mat = enc.encode(todo_texts, idf=getattr(self, "_idf", None))
+            else:
+                mat = enc.encode(todo_texts)
             for nid, row in zip(todo_ids, mat):
                 self._embeddings[nid] = np.asarray(row, dtype=np.float32)
                 prev[nid] = self._index_key(nid)
@@ -650,6 +680,15 @@ class HierarchicalGraph:
         self.tensors()
         return self._id_to_idx.get(nid, -1)
 
+    def encode_query(self, texts: List[str]) -> np.ndarray:
+        """Encode queries in the index's embedding space (applies the stored
+        corpus-IDF weights when present) — use this, not the raw encoder, for
+        anything that scores against ``tensors().emb``."""
+        enc = self._encoder()
+        if hasattr(enc, "document_frequencies") and getattr(self, "_idf", None) is not None:
+            return enc.encode(texts, idf=self._idf)
+        return enc.encode(texts)
+
     # ----------------------------------------------------------------- search
     def _resolve_weights(self, alpha=None, beta=None, gamma=None, delta=None,
                          judge_overall_min=None, confidence_min=None,
@@ -699,8 +738,7 @@ class HierarchicalGraph:
         weights = self._resolve_weights(alpha, beta, gamma, delta,
                                         judge_overall_min, confidence_min, type_filter)
         gt = self.tensors()
-        enc = self._encoder()
-        q = jnp.asarray(enc.encode([query])[0])
+        q = jnp.asarray(self.encode_query([query])[0])
         res = hybrid_search(gt, q, weights, top_k=int(top_k), member_top_m=int(member_top_m))
 
         seed_idx = np.asarray(res.seed_idx)

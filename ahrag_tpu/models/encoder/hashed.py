@@ -59,9 +59,11 @@ def _features(text: str) -> List[str]:
 
 
 @partial(jax.jit, static_argnames=())
-def _project_normalize(counts: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
-    # sublinear tf then random projection on the MXU, then L2 normalize
+def _project_normalize(counts: jnp.ndarray, proj: jnp.ndarray,
+                       idf: jnp.ndarray) -> jnp.ndarray:
+    # sublinear tf (x idf) then random projection on the MXU, then L2 normalize
     tf = jnp.where(counts > 0, 1.0 + jnp.log(jnp.maximum(counts, 1.0)), 0.0)
+    tf = tf * idf[None, :]
     emb = jnp.dot(tf, proj, preferred_element_type=jnp.float32)
     norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
     return emb / jnp.maximum(norm, 1e-9)
@@ -70,7 +72,7 @@ def _project_normalize(counts: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("n_rows",))
 def _project_normalize_sparse(rows: jnp.ndarray, cols: jnp.ndarray,
                               vals: jnp.ndarray, proj: jnp.ndarray,
-                              n_rows: int) -> jnp.ndarray:
+                              idf: jnp.ndarray, n_rows: int) -> jnp.ndarray:
     """Sparse-COO variant: scatter the counts on device, then project.
 
     Host->device transfer is the nonzero triplets only (~150 features/text vs the
@@ -79,7 +81,7 @@ def _project_normalize_sparse(rows: jnp.ndarray, cols: jnp.ndarray,
     """
     buckets = proj.shape[0]
     counts = jnp.zeros((n_rows + 1, buckets), jnp.float32).at[rows, cols].add(vals)
-    return _project_normalize(counts[:n_rows], proj)
+    return _project_normalize(counts[:n_rows], proj, idf)
 
 
 class HashedNGramEncoder:
@@ -102,12 +104,20 @@ class HashedNGramEncoder:
                 counts[i, _bucket(f, self.buckets)] += 1.0
         return counts
 
-    def encode_device(self, texts: List[str], chunk: int = 1024) -> jnp.ndarray:
+    def encode_device(self, texts: List[str], chunk: int = 1024,
+                      idf: np.ndarray | None = None) -> jnp.ndarray:
         """Batch encode in fixed-size chunks; counts ship to the device as sparse
         COO triplets (padded to a static nnz bucket so jit doesn't respecialize),
-        scattered and projected on device."""
+        scattered and projected on device.
+
+        ``idf`` ([buckets] f32, optional) weights features before projection —
+        corpus-frequency weights computed at index-build time (graph/host.py)
+        and applied identically to documents and queries.
+        """
         if not texts:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
+        idf_dev = jnp.asarray(np.ones(self.buckets, np.float32) if idf is None
+                              else np.asarray(idf, np.float32))
         outs = []
         for i in range(0, len(texts), chunk):
             block = texts[i:i + chunk]
@@ -123,8 +133,16 @@ class HashedNGramEncoder:
             vals = np.concatenate([vals, np.zeros(pad)]).astype(np.float32)
             outs.append(_project_normalize_sparse(
                 jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
-                self._proj, n_rows=len(block)))
+                self._proj, idf_dev, n_rows=len(block)))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def encode(self, texts: List[str]) -> np.ndarray:
-        return np.asarray(self.encode_device(texts))
+    def encode(self, texts: List[str], idf: np.ndarray | None = None) -> np.ndarray:
+        return np.asarray(self.encode_device(texts, idf=idf))
+
+    def document_frequencies(self, texts: List[str], chunk: int = 1024) -> np.ndarray:
+        """Per-bucket document frequencies over ``texts`` ([buckets] int64)."""
+        df = np.zeros(self.buckets, np.int64)
+        for i in range(0, len(texts), chunk):
+            counts = self._count_matrix(texts[i:i + chunk])
+            df += (counts > 0).sum(axis=0)
+        return df

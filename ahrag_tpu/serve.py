@@ -104,7 +104,7 @@ class RetrievalService:
     # -- batched search ------------------------------------------------------
     def _process_batch(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
         with self.timers.timed("search_batch"):
-            q = jnp.asarray(self.enc.encode(queries))
+            q = jnp.asarray(self.hg.encode_query(queries))
             w = self.hg._resolve_weights()
             res = hybrid_search_batch(self.gt, q, w, top_k=self._default_top_k,
                                       member_top_m=int(

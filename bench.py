@@ -123,11 +123,10 @@ def main() -> None:
 
     hg, topics = build_bench_graph(n_entities, n_topics)
     gt = hg.tensors()
-    enc = hg._encoder()
 
     queries = [f"Who is the specialist in {topics[i % len(topics)]} number {i}?"
                for i in range(n_queries)]
-    q_mat = enc.encode(queries)  # encoding cost excluded from both sides equally
+    q_mat = hg.encode_query(queries)  # encoding cost excluded from both sides equally
 
     # CPU baseline data: flat id/embedding table like the reference's collection
     emb_ids = [nid for nid in hg.nodes if nid in hg._embeddings]

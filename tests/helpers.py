@@ -62,8 +62,7 @@ def oracle_search(hg: HierarchicalGraph, query: str, top_k: int = 5,
                   judge_min=None, conf_min=None, type_filter=None) -> List[Dict[str, Any]]:
     """Pure-python re-implementation of the reference search semantics
     (hierarchical_graph.py:706-789) against the host graph — the parity oracle."""
-    enc = hg._encoder()
-    q = enc.encode([query])[0]
+    q = hg.encode_query([query])[0]
     indexed = [nid for nid in hg.nodes if nid in hg._embeddings]
     sims = {nid: float(np.dot(hg._embeddings[nid], q)) for nid in indexed}
     seeds = sorted(indexed, key=lambda nid: (-sims[nid], list(hg.nodes).index(nid)))[:top_k]

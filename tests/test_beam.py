@@ -17,7 +17,7 @@ def hg():
 
 def test_beam_reaches_multilevel_evidence(hg):
     gt = hg.tensors()
-    q = jnp.asarray(hg._encoder().encode(["Who directed the film Ed Wood?"])[0])
+    q = jnp.asarray(hg.encode_query(["Who directed the film Ed Wood?"])[0])
     res = beam_search(gt, q, SearchWeights.create(), beam_width=4, depth=3, top_k=8)
     ids = [hg.idx_to_id(int(i)) for i, ok in zip(np.asarray(res.evidence_idx),
                                                  np.asarray(res.evidence_valid)) if ok]
@@ -30,7 +30,7 @@ def test_beam_reaches_multilevel_evidence(hg):
 
 def test_beam_scores_sorted_and_deterministic(hg):
     gt = hg.tensors()
-    q = jnp.asarray(hg._encoder().encode(["American directors"])[0])
+    q = jnp.asarray(hg.encode_query(["American directors"])[0])
     r1 = beam_search(gt, q, SearchWeights.create())
     r2 = beam_search(gt, q, SearchWeights.create())
     np.testing.assert_array_equal(np.asarray(r1.evidence_idx),
@@ -41,7 +41,7 @@ def test_beam_scores_sorted_and_deterministic(hg):
 
 def test_beam_respects_type_filter(hg):
     gt = hg.tensors()
-    q = jnp.asarray(hg._encoder().encode(["American directors"])[0])
+    q = jnp.asarray(hg.encode_query(["American directors"])[0])
     w = SearchWeights.create(type_filter=["summary"])
     res = beam_search(gt, q, w, beam_width=4, depth=3, top_k=8)
     for i, ok in zip(np.asarray(res.evidence_idx), np.asarray(res.evidence_valid)):
@@ -51,7 +51,7 @@ def test_beam_respects_type_filter(hg):
 
 def test_beam_batch(hg):
     gt = hg.tensors()
-    qs = jnp.asarray(hg._encoder().encode(["Ed Wood film", "Doctor Strange"]))
+    qs = jnp.asarray(hg.encode_query(["Ed Wood film", "Doctor Strange"]))
     res = beam_search_batch(gt, qs, SearchWeights.create(), top_k=5)
     assert res.evidence_idx.shape == (2, 5)
     assert np.asarray(res.evidence_valid).any(axis=1).all()

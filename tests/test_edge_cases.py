@@ -112,7 +112,7 @@ def test_device_search_invalid_rows_never_surface():
     hg = build_film_graph()
     hg.build_vector_index(layers=(0, 1, 2))
     gt = hg.tensors()
-    q = jnp.asarray(hg._encoder().encode(["zzz completely unrelated query"])[0])
+    q = jnp.asarray(hg.encode_query(["zzz completely unrelated query"])[0])
     res = hybrid_search(gt, q, SearchWeights.create(), top_k=10)
     idx = np.asarray(res.reranked_idx)
     ok = np.asarray(res.reranked_valid)

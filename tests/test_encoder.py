@@ -58,5 +58,6 @@ def test_sparse_and_dense_projection_agree():
     texts = ["Tim Burton directed Ed Wood", "quantum computing", "a b c d e"]
     sparse = enc.encode(texts)
     dense = np.asarray(hashed._project_normalize(
-        jnp.asarray(enc._count_matrix(texts)), enc._proj))
+        jnp.asarray(enc._count_matrix(texts)), enc._proj,
+        jnp.ones(enc.buckets)))
     np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-6)

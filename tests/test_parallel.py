@@ -47,7 +47,7 @@ def test_sharded_hybrid_search_matches_unsharded():
     hg = build_film_graph()
     hg.build_vector_index(layers=(0, 1, 2))
     gt = hg.tensors()
-    q = jnp.asarray(hg._encoder().encode(["Who directed Ed Wood?"])[0])
+    q = jnp.asarray(hg.encode_query(["Who directed Ed Wood?"])[0])
     w = SearchWeights.create()
     base = hybrid_search(gt, q, w)
     mesh = make_mesh(dp=1)
@@ -79,7 +79,7 @@ def test_sharded_train_step_runs_on_mesh():
     gt = hg.tensors()
     mesh = make_mesh(dp=2)
     gt_sharded = shard_graph_tensors(gt, mesh)
-    qs = hg._encoder().encode(["Who directed Ed Wood?", "American directors",
+    qs = hg.encode_query(["Who directed Ed Wood?", "American directors",
                                "Doctor Strange", "Tim Burton films"])
     q_sharded = shard_queries(jnp.asarray(qs), mesh)
     learner = PPOLearner(OBS_DIM, 6, PPOConfig(epochs=1))

@@ -106,8 +106,7 @@ class TestVecEnvParity:
         query = "Who directed the film Ed Wood?"
         w = SearchWeights.create()
         gt = graph.tensors()
-        enc = graph._encoder()
-        q = jnp.asarray(enc.encode([query])[0])
+        q = jnp.asarray(graph.encode_query([query])[0])
 
         gym = AHRAGGymEnv(hg=graph, max_steps=6)
         hvec, _ = gym.reset(query)
@@ -128,7 +127,7 @@ class TestVecEnvParity:
     def test_end_action_parity(self, graph):
         w = SearchWeights.create()
         gt = graph.tensors()
-        q = jnp.asarray(graph._encoder().encode(["Tim Burton"])[0])
+        q = jnp.asarray(graph.encode_query(["Tim Burton"])[0])
         state = vec_env.env_reset(gt, q, w)
         state, r, done = vec_env.env_step(gt, state, jnp.int32(5))
         assert bool(done) and float(r) == 0.0
@@ -136,9 +135,8 @@ class TestVecEnvParity:
 
 def test_rollout_batch_shapes(graph):
     gt = graph.tensors()
-    enc = graph._encoder()
-    qs = enc.encode(["Who directed Ed Wood?", "American directors",
-                     "Doctor Strange film"])
+    qs = graph.encode_query(["Who directed Ed Wood?", "American directors",
+                             "Doctor Strange film"])
     learner = PPOLearner(OBS_DIM, 6)
     traj, final = vec_env.rollout_batch(gt, jnp.asarray(qs), learner.params,
                                         learner.apply_fn, jax.random.PRNGKey(0),
@@ -152,7 +150,7 @@ def test_rollout_batch_shapes(graph):
 def test_ppo_train_device_smoke(graph, tmp_path):
     from ahrag_tpu.agent.ppo import ppo_train_device
     gt = graph.tensors()
-    qs = graph._encoder().encode(["Who directed Ed Wood?", "American directors"])
+    qs = graph.encode_query(["Who directed Ed Wood?", "American directors"])
     learner = ppo_train_device(gt, qs, SearchWeights.create(), n_updates=2,
                                max_steps=3, batch_size=2,
                                ppo_cfg=PPOConfig(epochs=1, batch_size=8),
@@ -176,7 +174,7 @@ class TestLCAAction:
         gym = AHRAGGymEnv(hg=graph, max_steps=6, include_lca_action=True)
         hvec, _ = gym.reset(query)
         gt = graph.tensors()
-        q = jnp.asarray(graph._encoder().encode([query])[0])
+        q = jnp.asarray(graph.encode_query([query])[0])
         dstate = vec_env.env_reset(gt, q, SearchWeights.create())
         hvec, hr, hdone, hinfo = gym.step(6)
         dstate, dr, ddone = vec_env.env_step(gt, dstate, jnp.int32(6),
