@@ -95,7 +95,6 @@ class RetrievalService:
         if self.hg.dirty or not self.hg._embeddings:
             self.hg.build_vector_index(layers=(0, 1, 2))
         self.gt = self.hg.tensors()
-        self.enc = self.hg._encoder()
         self.timers = Timers()
         self._batcher = MicroBatcher(self._process_batch, max_batch=max_batch,
                                      max_wait_s=max_wait_s)
