@@ -102,6 +102,17 @@ class AnswerGenerator:
     # -------------------------------------------------------------- fallback
     def _fallback(self, query: str, context: Dict[str, Any],
                   allowed: List[str]) -> Dict[str, Any]:
+        query_l = query.lower()
+        is_comparison = any(k in query_l for k in _COMPARISON_KWS)
+        if not is_comparison:
+            # typed extractive answer first: exact spans beat snippet synthesis
+            from ahrag_tpu.answer.extractive import extract_answer
+            span = extract_answer(query, context.get("context_text", ""))
+            if span:
+                return {"answer": span[:200],
+                        "rationale": f"Extracted from evidence matching the "
+                                     f"question terms: '{span}'."[:600],
+                        "citations": allowed[:3]}
         lines = [ln.strip() for ln in context.get("context_text", "").splitlines()
                  if ln.strip().startswith("-")]
         entity_lines = [ln for ln in lines if "(entity)" in ln]

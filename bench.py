@@ -135,8 +135,9 @@ def main() -> None:
     w = SearchWeights.create()
     q_dev = jnp.asarray(q_mat)
 
-    # parity check on a query subset before timing
-    res = hybrid_search_batch(gt, q_dev[:8], w, top_k=5, member_top_m=5)
+    # parity check on a query subset before timing (full batch shape — avoids a
+    # second remote compile for a probe-only batch size; doubles as the warmup)
+    res = hybrid_search_batch(gt, q_dev, w, top_k=5, member_top_m=5)
     dev_ids = [[hg.idx_to_id(int(i)) for i, ok in zip(np.asarray(res.reranked_idx[b]),
                                                       np.asarray(res.reranked_valid[b]))
                 if ok] for b in range(8)]
@@ -156,9 +157,7 @@ def main() -> None:
     cpu_s = time.perf_counter() - t0
     qps_cpu = n_queries / cpu_s
 
-    # --- device timing (batched, jitted; warmup then steady-state) ---
-    out = hybrid_search_batch(gt, q_dev, w, top_k=5, member_top_m=5)
-    jax.block_until_ready(out)
+    # --- device timing (batched, jitted; warmed up by the parity pass) ---
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
