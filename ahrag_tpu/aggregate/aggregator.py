@@ -211,7 +211,10 @@ class SemanticAggregator:
     def generate_l1_relations(self, l1_nodes: List[Dict[str, Any]],
                               min_overlap: int = 3, min_jaccard: float = 0.2,
                               min_cosine: float = 0.5,
-                              top_k: Optional[int] = None) -> List[Dict[str, Any]]:
+                              top_k: Optional[int] = None,
+                              out_edges_name: str = "l1_edges.json",
+                              out_nodes_name: str = "l1_nodes.json"
+                              ) -> List[Dict[str, Any]]:
         if not l1_nodes:
             return []
         tids = [int(n["topic_id"]) for n in l1_nodes]
@@ -249,7 +252,7 @@ class SemanticAggregator:
                 })
         if top_k is not None and len(edges) > top_k:
             edges = sorted(edges, key=lambda e: e["weight"], reverse=True)[:top_k]
-        self._write("l1_edges.json", edges)
+        self._write(out_edges_name, edges)
 
         adj: Dict[int, List] = {t: [] for t in tids}
         for e in edges:
@@ -259,16 +262,20 @@ class SemanticAggregator:
             tid = int(n["topic_id"])
             n["neighbors"] = [{"topic_id": t, "weight": w} for t, w in
                               sorted(adj.get(tid, []), key=lambda x: -x[1])]
-        self._write("l1_nodes.json", l1_nodes)
+        self._write(out_nodes_name, l1_nodes)
         return edges
 
     # ------------------------------------------------------------------- L2
     def aggregate_level2_via_communities(self, l1_nodes: List[Dict[str, Any]],
                                          min_comm_size: int = 3,
-                                         edge_weight_min: float = 0.15
+                                         edge_weight_min: float = 0.15,
+                                         level: int = 2,
+                                         edges_name: str = "l1_edges.json",
+                                         out_nodes_name: str = "l2_nodes.json",
+                                         out_map_name: str = "l1_to_l2.json"
                                          ) -> List[Dict[str, Any]]:
         tid_to_node = {int(n["topic_id"]): n for n in l1_nodes}
-        edges_path = os.path.join(self.artifact_dir, "l1_edges.json")
+        edges_path = os.path.join(self.artifact_dir, edges_name)
         raw_edges: List[Dict[str, Any]] = []
         if os.path.exists(edges_path):
             with open(edges_path, "r", encoding="utf-8") as f:
@@ -283,8 +290,8 @@ class SemanticAggregator:
             comms = [sorted(tid_to_node)] if tid_to_node else []
         comms = [list(c) for c in comms if len(c) >= min_comm_size]
         if not comms:
-            self._write("l2_nodes.json", [])
-            self._write("l1_to_l2.json", {})
+            self._write(out_nodes_name, [])
+            self._write(out_map_name, {})
             return []
 
         l2_nodes: List[Dict[str, Any]] = []
@@ -334,12 +341,12 @@ class SemanticAggregator:
                 "members": member_names,
                 "centroid": (np.mean(centroids, axis=0).tolist()
                              if centroids else None),
-                "level": 2,
+                "level": level,
             })
             for tid in tids:
                 l1_to_l2[str(int(tid))] = int(cid)
-        self._write("l2_nodes.json", l2_nodes)
-        self._write("l1_to_l2.json", l1_to_l2)
+        self._write(out_nodes_name, l2_nodes)
+        self._write(out_map_name, l1_to_l2)
         return l2_nodes
 
     # ----------------------------------------------------------------- judge
@@ -404,14 +411,61 @@ class SemanticAggregator:
         return results
 
     # ------------------------------------------------------------ escalation
+    def escalate(self, l1_nodes: List[Dict[str, Any]], max_levels: int = 4,
+                 min_comm_size: int = 3,
+                 judge_sample_size: int = 2) -> List[List[Dict[str, Any]]]:
+        """Build L3, L4, ... by re-applying community aggregation until the
+        escalation metrics raise ``should_stop_escalation``.
+
+        The reference computes the stop flag (semantic_aggregator.py:406-460) but
+        never loops on it — L2 is always its last level. This driver completes the
+        design: each round clusters the previous level's nodes by member overlap /
+        centroid cosine, summarizes the communities, judges a sample, recomputes
+        the metrics, and stops when the thresholds say so. Artifacts per level:
+        l<k>_nodes.json, l<k-1>_to_l<k>.json, l<k>_judge_nodes.json.
+
+        Returns the list of node-lists per built level (starting at L2).
+        """
+        built: List[List[Dict[str, Any]]] = []
+        prev = l1_nodes
+        for level in range(2, max_levels + 1):
+            edges_name = "l1_edges.json" if level == 2 else f"l{level - 1}_edges.json"
+            if level > 2:
+                # relations among the previous (summary) level feed its communities
+                self.generate_l1_relations(
+                    prev, min_overlap=1, min_jaccard=0.05, min_cosine=0.3,
+                    out_edges_name=edges_name,
+                    out_nodes_name=f"l{level - 1}_nodes.json")
+            nodes = self.aggregate_level2_via_communities(
+                prev, min_comm_size=min_comm_size, level=level,
+                edges_name=edges_name,
+                out_nodes_name=f"l{level}_nodes.json",
+                out_map_name=f"l{level - 1}_to_l{level}.json")
+            if not nodes:
+                break
+            self.judge_level_nodes(nodes, node_sample_size=judge_sample_size,
+                                   out_name=f"l{level}_judge_nodes.json")
+            metrics = self.compute_escalation_metrics(
+                prev, nodes,
+                l1_to_l2_name=f"l{level - 1}_to_l{level}.json",
+                l2_judge_name=f"l{level}_judge_nodes.json")
+            built.append(nodes)
+            if metrics.get("should_stop_escalation"):
+                break
+            prev = nodes
+        return built
+
     def compute_escalation_metrics(self, l1_nodes: List[Dict[str, Any]],
                                    l2_nodes: List[Dict[str, Any]],
-                                   thresholds: Optional[Dict[str, float]] = None
+                                   thresholds: Optional[Dict[str, float]] = None,
+                                   l1_to_l2_name: str = "l1_to_l2.json",
+                                   l1_judge_name: str = "l1_judge_nodes.json",
+                                   l2_judge_name: str = "l2_judge_nodes.json"
                                    ) -> Dict[str, Any]:
         thresholds = thresholds or {"compression": 1.5, "improvement": 0.2,
                                     "coverage": 0.9}
         c_ratio = (len(l1_nodes) / max(1, len(l2_nodes))) if l2_nodes else 0.0
-        l1_to_l2_path = os.path.join(self.artifact_dir, "l1_to_l2.json")
+        l1_to_l2_path = os.path.join(self.artifact_dir, l1_to_l2_name)
         l1_to_l2 = {}
         if os.path.exists(l1_to_l2_path):
             with open(l1_to_l2_path, "r", encoding="utf-8") as f:
@@ -432,8 +486,8 @@ class SemanticAggregator:
             except Exception:
                 return None
 
-        mean_l1 = mean_overall("l1_judge_nodes.json")
-        mean_l2 = mean_overall("l2_judge_nodes.json")
+        mean_l1 = mean_overall(l1_judge_name)
+        mean_l2 = mean_overall(l2_judge_name)
         improvement = (mean_l2 - mean_l1) if (mean_l1 is not None
                                               and mean_l2 is not None) else None
         if not l2_nodes:

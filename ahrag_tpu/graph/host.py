@@ -532,6 +532,30 @@ class HierarchicalGraph:
             if a and b and a != b:
                 self.add_belongs_to(a, b, prob=1.0)
 
+        # escalated levels beyond L2 (aggregator.escalate artifacts)
+        level = 3
+        while True:
+            lvl_nodes = _load(f"l{level}_nodes.json", None)
+            if not lvl_nodes:
+                break
+            lvl_map = _load(f"l{level - 1}_to_l{level}.json", {})
+            for n in lvl_nodes:
+                self.add_summary(topic_id=int(n["topic_id"]), title=n.get("title"),
+                                 summary_text=n.get("summary"),
+                                 confidence=n.get("confidence"),
+                                 top_words=n.get("top_words"),
+                                 members=n.get("members"),
+                                 centroid=n.get("centroid"), level=level)
+            for child_tid, parent_tid in (lvl_map or {}).items():
+                try:
+                    a = self.topic_to_summary_id.get(int(child_tid))
+                    b = self.topic_to_summary_id.get(int(parent_tid))
+                except Exception:
+                    continue
+                if a and b and a != b:
+                    self.add_belongs_to(a, b, prob=1.0)
+            level += 1
+
         for s in judge_nodes:
             nid = self.topic_to_summary_id.get(int(s.get("id", -1)))
             if nid:

@@ -138,3 +138,20 @@ def test_judge_llm_failure_neutral_fallback(agg, fake_llm):
                             node_sample_size=1)
     assert out["nodes"][0].overall == 6.0
     assert out["nodes"][0].comments == "fallback"
+
+
+def test_escalate_builds_levels_until_stop(agg, tmp_path):
+    res = agg.cluster_entities(seed=42, n_topics=6)
+    agg.summarize_topics(res["l1_nodes"])
+    agg.generate_l1_relations(res["l1_nodes"], min_overlap=1, min_jaccard=0.01,
+                              min_cosine=0.1)
+    built = agg.escalate(res["l1_nodes"], max_levels=4, min_comm_size=2)
+    # L2 exists; each built level's artifacts are present with correct levels
+    assert built, "no levels built"
+    for i, nodes in enumerate(built, start=2):
+        assert all(n["level"] == i for n in nodes)
+        assert os.path.exists(tmp_path / f"l{i}_nodes.json")
+    # L1 artifacts not clobbered by higher-level relation passes
+    l1 = json.loads((tmp_path / "l1_nodes.json").read_text())
+    assert all("topic_id" in n for n in l1)
+    assert len(l1) == 6
