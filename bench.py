@@ -117,8 +117,11 @@ def main() -> None:
 
     from ahrag_tpu.graph.search import SearchWeights, hybrid_search_batch
 
-    n_entities = int(os.environ.get("AHRAG_BENCH_ENTITIES", 4000))
-    n_queries = int(os.environ.get("AHRAG_BENCH_QUERIES", 256))
+    # Defaults sized so the run (dominated by the tunnel's remote-compile latency,
+    # not compute) stays well under driver timeouts; scale up via env for the
+    # larger datapoints recorded in README.
+    n_entities = int(os.environ.get("AHRAG_BENCH_ENTITIES", 2000))
+    n_queries = int(os.environ.get("AHRAG_BENCH_QUERIES", 128))
     n_topics = max(8, n_entities // 64)
 
     hg, topics = build_bench_graph(n_entities, n_topics)
