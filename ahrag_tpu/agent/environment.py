@@ -19,6 +19,10 @@ Conscious parity details kept from the reference:
 - frontier display truncates at 50 ids in observations (:134);
 - ``expand_to_lca`` exists but no stock agent selects it (SURVEY §7.4) — it is,
   however, exposed to users and tested here.
+
+Deviation: ``set_search_weights(top_k=...)`` actually takes effect on subsequent
+anchors here; the reference stores the knob but its anchor ignores it
+(environment.py:200-210 always uses the call argument).
 """
 from __future__ import annotations
 
