@@ -121,7 +121,7 @@ def main() -> None:
     # not compute) stays well under driver timeouts; scale up via env for the
     # larger datapoints recorded in README.
     n_entities = int(os.environ.get("AHRAG_BENCH_ENTITIES", 2000))
-    n_queries = int(os.environ.get("AHRAG_BENCH_QUERIES", 128))
+    n_queries = int(os.environ.get("AHRAG_BENCH_QUERIES", 512))
     n_topics = max(8, n_entities // 64)
 
     hg, topics = build_bench_graph(n_entities, n_topics)
