@@ -118,22 +118,26 @@ class HashedNGramEncoder:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
         idf_dev = jnp.asarray(np.ones(self.buckets, np.float32) if idf is None
                               else np.asarray(idf, np.float32))
+        # ONE compiled shape for every call: rows padded to the full chunk, nnz
+        # padded to a fixed per-chunk cap (remote compiles through the device
+        # tunnel cost tens of seconds each; shape churn is the real cost here).
+        fixed_cap = chunk * 256
         outs = []
         for i in range(0, len(texts), chunk):
             block = texts[i:i + chunk]
             counts = self._count_matrix(block)
             rows, cols = np.nonzero(counts)
             vals = counts[rows, cols]
-            # pad nnz to a power-of-two-ish bucket; dump row absorbs padding
             nnz = len(rows)
-            cap = max(4096, 1 << (nnz - 1).bit_length()) if nnz else 4096
+            cap = fixed_cap if nnz <= fixed_cap else 1 << (nnz - 1).bit_length()
             pad = cap - nnz
-            rows = np.concatenate([rows, np.full(pad, len(block))]).astype(np.int32)
+            rows = np.concatenate([rows, np.full(pad, chunk)]).astype(np.int32)
             cols = np.concatenate([cols, np.zeros(pad)]).astype(np.int32)
             vals = np.concatenate([vals, np.zeros(pad)]).astype(np.float32)
-            outs.append(_project_normalize_sparse(
+            out = _project_normalize_sparse(
                 jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
-                self._proj, idf_dev, n_rows=len(block)))
+                self._proj, idf_dev, n_rows=chunk)
+            outs.append(out[: len(block)])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def encode(self, texts: List[str], idf: np.ndarray | None = None) -> np.ndarray:
