@@ -654,9 +654,19 @@ class HierarchicalGraph:
 
     # ---------------------------------------------------------- tensor compile
     def tensors(self) -> GraphTensors:
-        """Compile (and cache) the device representation."""
+        """Compile (and cache) the device representation (thread-safe: concurrent
+        serving callers may race the first compile)."""
         if self._tensors is not None:
             return self._tensors
+        import threading
+        if not hasattr(self, "_compile_lock"):
+            self._compile_lock = threading.Lock()
+        with self._compile_lock:
+            if self._tensors is not None:
+                return self._tensors
+            return self._compile_tensors()
+
+    def _compile_tensors(self) -> GraphTensors:
         ids = list(self.nodes.keys())
         self._idx_to_id = ids
         self._id_to_idx = {nid: i for i, nid in enumerate(ids)}
