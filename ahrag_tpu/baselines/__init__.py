@@ -1,0 +1,1 @@
+from ahrag_tpu.baselines.naive import NaiveRAG

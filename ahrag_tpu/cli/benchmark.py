@@ -288,11 +288,16 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--data", default=None, help="local JSONL dataset path")
     ap.add_argument("--graph", default="graph")
+    ap.add_argument("--corpus", default="graph",
+                    help="graph | dataset (dataset uses "
+                         "graph_datasets/<dataset>_distractor)")
     ap.add_argument("--judge-sample", type=float, default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    graph_dir = (f"graph_datasets/{args.dataset}_distractor"
+                 if args.corpus == "dataset" else args.graph)
     run_benchmark(args.dataset, system=args.system, limit=args.limit,
-                  data_path=args.data, graph_dir=args.graph,
+                  data_path=args.data, graph_dir=graph_dir,
                   judge_sample=args.judge_sample, out=args.out)
 
 

@@ -1,0 +1,2 @@
+from ahrag_tpu.extract.chunking import smart_chunks
+from ahrag_tpu.extract.extractor import HypergraphExtractor
