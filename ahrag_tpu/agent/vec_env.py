@@ -52,7 +52,10 @@ class EnvState:
     n_seeds: jnp.ndarray            # i32 (featurizer's n_seeds global)
     obs_sel_size: jnp.ndarray       # i32 - selection size as the host obs reports it
     obs_frontier_size: jnp.ndarray  # i32 - frontier size as the host obs reports it
-    step: jnp.ndarray               # i32
+    step: jnp.ndarray               # i32 - ENV action counter (obs "step"; skipped
+                                    #       actions do not bump it, environment.py)
+    gym_step: jnp.ndarray           # i32 - gym step counter (always bumps; drives
+                                    #       the max_steps episode cap, gym_env.py:87)
     done: jnp.ndarray               # bool
     last_action: jnp.ndarray        # i32 (-1 = none)
 
@@ -247,6 +250,7 @@ def env_reset(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
         obs_sel_size=jnp.int32(0),
         obs_frontier_size=_obs_frontier_size(frontier),
         step=jnp.int32(1),  # the anchor consumed env-step 1 (environment.py:197)
+        gym_step=jnp.int32(0),
         done=jnp.bool_(False), last_action=jnp.int32(-1))
 
 
@@ -299,6 +303,10 @@ def env_step(gt: GraphTensors, state: EnvState, action: jnp.ndarray,
         lambda s: act_end(gt, s),
         lca_branch,
     ], bumped)
+    # host gym skips query_node_details entirely when there is no top node
+    # (gym_env.py:101-106: obs = prev_raw, env untouched) -> revert the transition
+    skipped = (action == 4) & (state.top_ids[0] >= gt.n_pad)
+    new = jax.tree_util.tree_map(lambda a, b: jnp.where(skipped, a, b), state, new)
     ended = action == N_ACTIONS - 1
     # selection only grows, and obs sizes zero out on detail steps, so the host's
     # set-difference counts equal these clamped size deltas
@@ -310,10 +318,11 @@ def env_step(gt: GraphTensors, state: EnvState, action: jnp.ndarray,
     reward -= jnp.where((~ended) & (state.last_action == action)
                         & (state.last_action >= 0), repeat_penalty, 0.0)
     reward = jnp.where(state.done, 0.0, reward)
-    gym_steps = state.step  # gym step count after this transition (anchor was step 1)
+    gym_steps = state.gym_step + 1  # this transition included (skips still count)
     done = state.done | ended | (gym_steps >= max_steps)
     out = jax.tree_util.tree_map(lambda a, b: jnp.where(state.done, a, b), state, new)
     out = out.replace(done=done,
+                      gym_step=jnp.where(state.done, state.gym_step, gym_steps),
                       last_action=jnp.where(state.done, state.last_action, action))
     return out, reward, done
 
