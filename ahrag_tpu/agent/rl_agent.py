@@ -1,17 +1,28 @@
-"""RLPolicyAgent: trained PPO policy as an InferenceEngine-compatible agent.
+"""RLPolicyAgent: a trained PPO policy as an InferenceEngine-compatible agent.
 
-Parity with agent/rl_agent.py:10-43 — featurize the observation, sample an action,
-map the discrete id to the environment verb with the gym's top-id picks. The action
-mask is applied at inference (fixing the reference's unmasked act_ppo).
+Capability parity with the reference adapter (agent/rl_agent.py:10-43): featurize
+the observation, sample a discrete action, translate it to an environment verb with
+the gym's top-id picks. Two differences: the action->verb translation is
+table-driven, and the action mask applies at inference (the reference samples
+unmasked, policy_ppo.py:254-260 — flagged in SURVEY §7.1 step 7).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import numpy as np
 
 from ahrag_tpu.agent.featurizer import featurize_observation
 from ahrag_tpu.agent.ppo import PPOLearner, act_ppo
+
+# action id -> (environment verb, how many top nodes it consumes)
+_VERB_TABLE = {
+    0: ("expand_parents", 2),
+    1: ("expand_children", 2),
+    2: ("expand_related", 1),
+    3: ("commit_selection", 3),
+    4: ("query_node_details", 1),
+}
 
 
 class RLPolicyAgent:
@@ -20,31 +31,16 @@ class RLPolicyAgent:
         self.learner = PPOLearner.load(model_path)
         self._seed = seed
 
-    def _pick_top_ids(self, observation: Dict[str, Any], k: int = 2) -> List[str]:
-        return [n["node_id"] for n in (observation.get("selection") or [])[:k]
-                if n.get("node_id")]
-
     def decide(self, observation: Dict[str, Any]) -> Dict[str, Any]:
         vec, _ = featurize_observation(observation)
-        has_top = bool(observation.get("selection"))
+        selection = observation.get("selection") or []
         mask = np.ones(self.learner.n_actions, dtype=np.float32)
-        if not has_top:
-            mask[:-1] = 0.0
+        if not selection:
+            mask[:-1] = 0.0  # end-only when the observation has no top nodes
         self._seed += 1
-        a = act_ppo(self.learner, vec, mask=mask, seed=self._seed)
-        if a == 0:
-            return {"action": "expand_parents",
-                    "params": {"node_ids": self._pick_top_ids(observation, 2)}}
-        if a == 1:
-            return {"action": "expand_children",
-                    "params": {"node_ids": self._pick_top_ids(observation, 2)}}
-        if a == 2:
-            return {"action": "expand_related",
-                    "params": {"node_ids": self._pick_top_ids(observation, 1)}}
-        if a == 3:
-            return {"action": "commit_selection",
-                    "params": {"node_ids": self._pick_top_ids(observation, 3)}}
-        if a == 4:
-            return {"action": "query_node_details",
-                    "params": {"node_ids": self._pick_top_ids(observation, 1)}}
-        return {"action": "end_episode", "params": {}}
+        action = act_ppo(self.learner, vec, mask=mask, seed=self._seed)
+        verb, k = _VERB_TABLE.get(int(action), ("end_episode", 0))
+        if verb == "end_episode":
+            return {"action": verb, "params": {}}
+        top_ids = [n["node_id"] for n in selection[:k] if n.get("node_id")]
+        return {"action": verb, "params": {"node_ids": top_ids}}
