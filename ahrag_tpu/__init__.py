@@ -17,3 +17,20 @@ Import layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keeps `import ahrag_tpu` free of jax init)."""
+    if name == "HierarchicalGraph":
+        from ahrag_tpu.graph import HierarchicalGraph
+        return HierarchicalGraph
+    if name == "RetrievalService":
+        from ahrag_tpu.serve import RetrievalService
+        return RetrievalService
+    if name == "GraphEnvironment":
+        from ahrag_tpu.agent.environment import GraphEnvironment
+        return GraphEnvironment
+    if name == "InferenceEngine":
+        from ahrag_tpu.agent.inference import InferenceEngine
+        return InferenceEngine
+    raise AttributeError(name)

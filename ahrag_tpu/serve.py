@@ -125,6 +125,20 @@ class RetrievalService:
     def search_many(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
         return self._process_batch(queries)
 
+    def beam(self, query: str, beam_width: int = 8, depth: int = 3,
+             top_k: int = 10) -> List[Dict[str, Any]]:
+        """Multi-level beam-search traversal (graph/beam.py) for one query."""
+        from ahrag_tpu.graph.beam import beam_search
+        with self.timers.timed("beam"):
+            q = jnp.asarray(self.hg.encode_query([query])[0])
+            res = beam_search(self.gt, q, self.hg._resolve_weights(),
+                              beam_width=beam_width, depth=depth, top_k=top_k)
+            idx = np.asarray(res.evidence_idx)
+            score = np.asarray(res.evidence_score)
+            ok = np.asarray(res.evidence_valid)
+        return [self.hg._result_entry(int(i), float(s), 0.0)
+                for i, s, o in zip(idx, score, ok) if o]
+
     # -- full QA -------------------------------------------------------------
     def answer(self, query: str, steps: int = 4) -> Dict[str, Any]:
         from ahrag_tpu.agent.agent import AHRAG_Agent
@@ -186,6 +200,15 @@ def serve_http(service: RetrievalService, host: str = "127.0.0.1",
                         self._json(200, {"results": [service.search(queries[0])]})
                     else:
                         self._json(200, {"results": service.search_many(queries)})
+                elif self.path == "/beam":
+                    query = payload.get("query")
+                    if not query:
+                        self._json(400, {"error": "no query"})
+                        return
+                    self._json(200, {"results": service.beam(
+                        query, beam_width=int(payload.get("beam_width", 8)),
+                        depth=int(payload.get("depth", 3)),
+                        top_k=int(payload.get("top_k", 10)))})
                 elif self.path == "/answer":
                     query = payload.get("query")
                     if not query:

@@ -97,3 +97,14 @@ def test_http_endpoints(service):
             assert "timers" in json.loads(r.read())
     finally:
         server.shutdown()
+
+
+def test_beam_endpoint(service):
+    res = service.beam("Who directed Ed Wood?", beam_width=4, depth=2, top_k=5)
+    assert res and all("node_id" in r for r in res)
+
+
+def test_lazy_top_level_exports():
+    import ahrag_tpu
+    assert ahrag_tpu.HierarchicalGraph.__name__ == "HierarchicalGraph"
+    assert ahrag_tpu.RetrievalService.__name__ == "RetrievalService"
