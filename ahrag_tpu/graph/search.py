@@ -8,17 +8,19 @@ Semantics-parity re-design of the reference search pipeline
   2. **Expansion** — entity seeds pull their first 2 ``belongs_to`` parents at 0.9x
      semantic decay; summary seeds pull their first ``member_top_m`` children at
      0.85x (:727-740). Dedup follows the reference's dict-insertion semantics
-     exactly: expansion entries never overwrite, seed self-entries always win —
-     realized as reverse-priority scatter writes (last write wins).
-  3. **Filter + rerank** (:743-781) — vectorized over all nodes:
+     exactly (expansion entries never overwrite, seed self-entries always win) in
+     **candidate space** — an O(C^2) earlier-occurrence test over the ~top_k*(3+M)
+     candidates, so no O(N) buffers are touched after the seed matmul.
+  3. **Filter + rerank** (:743-781) — per candidate:
      ``score = alpha*semantic + beta*sigmoid(judge/10) + gamma*conf/10
      + delta*layer_boost[type]`` with null judge/conf contributing 0 via masks, and
      judge/conf threshold filters dropping null-valued nodes (the reference's
      ``judge is None -> filtered`` behavior).
-  4. Final masked top-k cut (ties -> lowest node index).
+  4. Final top-k over the C candidates; ties resolve to the highest insertion
+     priority — exactly the reference's stable sort over dict order (:781).
 
 Everything is one ``jit`` with static ``top_k``/``member_top_m``; no host round-trips
-between stages.
+between stages; only stage 1 is O(N).
 """
 from __future__ import annotations
 
