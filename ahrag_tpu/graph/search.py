@@ -153,36 +153,15 @@ def filter_mask_at(gt: GraphTensors, idx: jnp.ndarray, w: SearchWeights) -> jnp.
     return keep
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "member_top_m"))
-def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
-                  top_k: int = 5, member_top_m: int = 5) -> SearchResult:
-    """Full hybrid search for a single query embedding ``q_emb [D]``.
-
-    Only the seed scoring touches O(N); expansion/filter/rerank/final-cut all run
-    in candidate space (C ~ tens), so batched throughput is seed-matmul-bound.
-    Final ties break by candidate priority position — exactly the reference's
-    stable sort over dict-insertion order (:781)."""
+def _post_seed(gt: GraphTensors, seed_sim: jnp.ndarray, seed_idx: jnp.ndarray,
+               w: SearchWeights, top_k: int, member_top_m: int) -> SearchResult:
+    """Stages 2-4 (candidate space) given the seed top-k."""
     n_pad = gt.n_pad
-    # 1) seeds over the indexed subset: mask non-indexed rows to -inf.
-    # HIGHEST precision: the TPU's default bf16 matmul can flip seed membership at
-    # the top-k boundary, changing the expansion set (observed in bench parity);
-    # this matmul is a negligible fraction of the search cost.
-    scores = jnp.dot(gt.emb, q_emb, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    seed_sim, seed_idx = masked_topk(scores[None, :], (gt.indexed & gt.valid)[None, :], top_k)
-    seed_sim, seed_idx = seed_sim[0], seed_idx[0]
     seed_valid = seed_sim > NEG_INF / 2
-
-    # 2) expansion + dedup (candidate space)
     cand_idx, cand_sem, cand_win = expand_candidates(gt, seed_idx, seed_sim,
                                                      seed_valid, member_top_m)
-
-    # 3) filter + rerank per candidate
     keep = cand_win & filter_mask_at(gt, cand_idx, w)
     score = rerank_scores_at(gt, cand_idx, cand_sem, w)
-
-    # 4) final cut over C candidates; lax.top_k ties -> lowest candidate position
-    # = highest insertion priority (reference parity)
     masked = jnp.where(keep, score, NEG_INF)
     k = min(top_k, masked.shape[0])
     rr_score, rr_pos = jax.lax.top_k(masked, k)
@@ -202,8 +181,37 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("top_k", "member_top_m"))
+def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
+                  top_k: int = 5, member_top_m: int = 5) -> SearchResult:
+    """Full hybrid search for a single query embedding ``q_emb [D]``.
+
+    Only the seed scoring touches O(N); expansion/filter/rerank/final-cut all run
+    in candidate space (C ~ tens), so batched throughput is seed-matmul-bound.
+    Final ties break by candidate priority position — exactly the reference's
+    stable sort over dict-insertion order (:781)."""
+    # 1) seeds over the indexed subset: mask non-indexed rows to -inf.
+    # HIGHEST precision: the TPU's default bf16 matmul can flip seed membership at
+    # the top-k boundary, changing the expansion set (observed in bench parity);
+    # this matmul is a negligible fraction of the search cost.
+    scores = jnp.dot(gt.emb, q_emb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    seed_sim, seed_idx = masked_topk(scores[None, :], (gt.indexed & gt.valid)[None, :], top_k)
+    return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "member_top_m"))
 def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
                         top_k: int = 5, member_top_m: int = 5) -> SearchResult:
-    """vmapped hybrid search over a batch of query embeddings ``[B, D]``."""
-    return jax.vmap(lambda q: hybrid_search(gt, q, w, top_k=top_k,
-                                            member_top_m=member_top_m))(q_embs)
+    """Batched hybrid search over ``[B, D]`` query embeddings.
+
+    The seed scoring is hoisted out of the vmap as ONE ``[B, N]`` matmul (a
+    vmapped per-query matvec re-reads the corpus per query — the difference is
+    ~20x wall-clock at 100k nodes); only the O(candidates) stages are vmapped."""
+    scores = jnp.dot(q_embs, gt.emb.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    mask = (gt.indexed & gt.valid)[None, :]
+    seed_sim, seed_idx = masked_topk(scores, jnp.broadcast_to(mask, scores.shape),
+                                     top_k)
+    return jax.vmap(lambda ss, si: _post_seed(gt, ss, si, w, top_k,
+                                              member_top_m))(seed_sim, seed_idx)
