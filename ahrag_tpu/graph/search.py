@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ahrag_tpu.graph.tensors import GraphTensors
-from ahrag_tpu.ops.topk import NEG_INF, masked_topk
+from ahrag_tpu.ops.topk import NEG_INF, masked_topk, refined_masked_topk
 
 
 class SearchWeights(NamedTuple):
@@ -190,13 +190,13 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     in candidate space (C ~ tens), so batched throughput is seed-matmul-bound.
     Final ties break by candidate priority position — exactly the reference's
     stable sort over dict-insertion order (:781)."""
-    # 1) seeds over the indexed subset: mask non-indexed rows to -inf.
-    # HIGHEST precision: the TPU's default bf16 matmul can flip seed membership at
-    # the top-k boundary, changing the expansion set (observed in bench parity);
-    # this matmul is a negligible fraction of the search cost.
-    scores = jnp.dot(gt.emb, q_emb, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    seed_sim, seed_idx = masked_topk(scores[None, :], (gt.indexed & gt.valid)[None, :], top_k)
+    # 1) seeds over the indexed subset: fast coarse matmul + f32-HIGHEST
+    # re-score of the top candidates (see ops.topk.refined_masked_topk — the pure
+    # bf16 path can flip seed membership at the top-k boundary, observed in bench
+    # parity, while full-HIGHEST costs 3x the matmul).
+    seed_sim, seed_idx = refined_masked_topk(
+        q_emb[None, :], gt.emb, gt.indexed & gt.valid, top_k,
+        margin=max(16, 3 * top_k))
     return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m)
 
 
@@ -207,11 +207,9 @@ def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
 
     The seed scoring is hoisted out of the vmap as ONE ``[B, N]`` matmul (a
     vmapped per-query matvec re-reads the corpus per query — the difference is
-    ~20x wall-clock at 100k nodes); only the O(candidates) stages are vmapped."""
-    scores = jnp.dot(q_embs, gt.emb.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    mask = (gt.indexed & gt.valid)[None, :]
-    seed_sim, seed_idx = masked_topk(scores, jnp.broadcast_to(mask, scores.shape),
-                                     top_k)
+    ~20x wall-clock at 100k nodes) with two-phase precision refinement; only the
+    O(candidates) stages are vmapped."""
+    seed_sim, seed_idx = refined_masked_topk(
+        q_embs, gt.emb, gt.indexed & gt.valid, top_k, margin=max(16, 3 * top_k))
     return jax.vmap(lambda ss, si: _post_seed(gt, ss, si, w, top_k,
                                               member_top_m))(seed_sim, seed_idx)

@@ -60,6 +60,38 @@ def masked_topk(scores: jnp.ndarray, mask: jnp.ndarray, k: int) -> Tuple[jnp.nda
     return jax.lax.top_k(jnp.where(mask, scores, NEG_INF), k)
 
 
+def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
+                        k: int, margin: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-phase exact-in-practice top-k: fast default-precision scores select
+    ``k + margin`` coarse candidates, whose dot products are then recomputed at
+    f32 HIGHEST for the final ranking.
+
+    On TPU the default f32 matmul runs in bf16 passes (~1e-2 relative error) —
+    fast, but able to flip ranks at the top-k boundary; full-HIGHEST costs ~3x the
+    matmul. Re-scoring only ``k + margin`` rows keeps the cheap matmul while a rank
+    flip would now need > ``margin`` candidates inside the bf16 error band — not a
+    thing for real embedding distributions (bench verifies 0-mismatch empirically).
+
+    q: [B, D], emb: [N, D], mask: [N] bool. Returns ([B, k], [B, k]).
+    """
+    n = emb.shape[0]
+    m = min(k + margin, n)
+    coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+    coarse = jnp.where(mask[None, :], coarse, NEG_INF)
+    _, cand = jax.lax.top_k(coarse, m)                       # [B, m]
+    cand_emb = emb[cand]                                     # [B, m, D]
+    exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    exact = jnp.where(mask[cand], exact, NEG_INF)
+    vals, pos = jax.lax.top_k(exact, min(k, m))
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    if k > m:
+        vals = jnp.pad(vals, ((0, 0), (0, k - m)), constant_values=NEG_INF)
+        idx = jnp.pad(idx, ((0, 0), (0, k - m)))
+    return vals, idx
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
