@@ -76,9 +76,14 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     """
     n = emb.shape[0]
     m = min(k + margin, n)
-    coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
-    coarse = jnp.where(mask[None, :], coarse, NEG_INF)
-    _, cand = jax.lax.top_k(coarse, m)                       # [B, m]
+    if jax.default_backend() == "tpu" and n % 1024 == 0 and n >= 4096:
+        # fused Pallas path: streams the corpus once, no [B, N] materialization
+        _, cand = dense_topk_pallas(q, emb, jnp.int32(n), m, tile_n=1024,
+                                    mask=mask)
+    else:
+        coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+        coarse = jnp.where(mask[None, :], coarse, NEG_INF)
+        _, cand = jax.lax.top_k(coarse, m)                   # [B, m]
     cand_emb = emb[cand]                                     # [B, m, D]
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
                        preferred_element_type=jnp.float32,
@@ -95,19 +100,21 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
-def _tile_topk_kernel(nvalid_ref, q_ref, e_ref, vals_ref, idx_ref, *, tile_n: int, k: int,
-                      k_pad: int):
+def _tile_topk_kernel(nvalid_ref, q_ref, e_ref, mask_ref, vals_ref, idx_ref, *,
+                      tile_n: int, k: int, k_pad: int):
     """One grid step: scores for a corpus tile, reduced to the tile's top-k.
 
-    The k-extraction loop is fully functional (one-hot selects, no dynamic-index
-    stores) because Mosaic requires lane-dimension store offsets to be statically
-    128-aligned.
+    Rows are eligible when below ``n_valid`` AND their ``mask`` entry is > 0
+    (the vector index covers a non-contiguous subset of nodes). The k-extraction
+    loop is fully functional (one-hot selects, no dynamic-index stores) because
+    Mosaic requires lane-dimension store offsets to be statically 128-aligned.
     """
     i = pl.program_id(0)
     scores = jnp.dot(q_ref[:], e_ref[:].T, preferred_element_type=jnp.float32)  # [B, TILE_N]
     base = i * tile_n
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-    scores = jnp.where(base + col < nvalid_ref[0], scores, NEG_INF)
+    eligible = (base + col < nvalid_ref[0]) & (mask_ref[:].reshape(1, -1) > 0)
+    scores = jnp.where(eligible, scores, NEG_INF)
 
     B = scores.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (B, k_pad), dimension=1)  # [B, k_pad] slots
@@ -131,12 +138,14 @@ def _tile_topk_kernel(nvalid_ref, q_ref, e_ref, vals_ref, idx_ref, *, tile_n: in
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def dense_topk_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray, k: int,
-                      tile_n: int = 1024, interpret: bool = False
+                      tile_n: int = 1024, interpret: bool = False,
+                      mask: jnp.ndarray | None = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused matmul + per-tile top-k Pallas kernel, then a tiny XLA merge.
 
     Shapes: q [B, D], emb [N_pad, D] with N_pad % tile_n == 0 (pad rows are masked by
-    ``n_valid``). Returns ([B, k] scores, [B, k] corpus indices).
+    ``n_valid``; an optional [N_pad] ``mask`` further restricts eligibility — the
+    vector index is a non-contiguous node subset). Returns ([B, k], [B, k]).
     """
     B, D = q.shape
     N = emb.shape[0]
@@ -146,6 +155,8 @@ def dense_topk_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray, k:
     # Mosaic requires the lane (last) dim of VMEM blocks to be 128-aligned; pad the
     # per-tile top-k slots and drop the NEG_INF-filled tail in the XLA merge.
     k_pad = _round_up(kk, 128)
+    mask_f = (jnp.ones(N, jnp.float32) if mask is None
+              else jnp.asarray(mask, jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -153,6 +164,7 @@ def dense_topk_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray, k:
         in_specs=[
             pl.BlockSpec((B, D), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, D), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i, n: (i,), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, B, k_pad), lambda i, n: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -160,8 +172,9 @@ def dense_topk_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray, k:
         ],
     )
 
-    def kernel(nvalid_ref, q_ref, e_ref, vals_ref, idx_ref):
-        _tile_topk_kernel(nvalid_ref, q_ref, e_ref, vals_ref.at[0], idx_ref.at[0],
+    def kernel(nvalid_ref, q_ref, e_ref, mask_ref, vals_ref, idx_ref):
+        _tile_topk_kernel(nvalid_ref, q_ref, e_ref, mask_ref,
+                          vals_ref.at[0], idx_ref.at[0],
                           tile_n=tile_n, k=kk, k_pad=k_pad)
 
     tile_vals, tile_idx = pl.pallas_call(
@@ -174,7 +187,7 @@ def dense_topk_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray, k:
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * D, bytes_accessed=N * D * 4 + B * D * 4, transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(n_valid, jnp.int32).reshape(1), q, emb)
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1), q, emb, mask_f)
 
     # Final merge: [num_tiles*kk] candidates per query. Candidates arrive in tile
     # order, so stable top_k keeps lowest-index winners on ties.

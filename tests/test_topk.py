@@ -72,3 +72,28 @@ def test_k_larger_than_valid():
     vals, idx = dense_topk_xla(q, e, jnp.int32(3), 10)
     v = np.asarray(vals)[0]
     assert (v[3:] <= -1e29).all()  # only 3 real hits
+
+
+def test_pallas_masked_matches_xla_masked():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, 128)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(2048, 128)).astype(np.float32))
+    mask = jnp.asarray(rng.random(2048) > 0.3)
+    xv, xi = masked_topk(jnp.dot(q, e.T)[None][0], mask[None, :], 7)
+    pv, pi = dense_topk_pallas(q, e, jnp.int32(2048), 7, tile_n=512,
+                               interpret=True, mask=mask)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-5)
+
+
+def test_refined_masked_topk_matches_exact():
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(3, 64)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(500, 64)).astype(np.float32))
+    mask = jnp.asarray(rng.random(500) > 0.2)
+    from ahrag_tpu.ops.topk import refined_masked_topk
+    rv, ri = refined_masked_topk(q, e, mask, 5, margin=16)
+    xv, xi = masked_topk(jnp.dot(q, e.T), jnp.broadcast_to(mask[None, :],
+                                                           (3, 500)), 5)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(xv), rtol=1e-5)
