@@ -155,3 +155,17 @@ def test_escalate_builds_levels_until_stop(agg, tmp_path):
     l1 = json.loads((tmp_path / "l1_nodes.json").read_text())
     assert all("topic_id" in n for n in l1)
     assert len(l1) == 6
+
+
+def test_escalate_with_llm_summaries(agg, fake_llm):
+    fake_llm["default"] = ('{"topic_id": 0, "title": "Community", '
+                           '"summary": "LLM community summary.", '
+                           '"confidence": 8.0}')
+    res = agg.cluster_entities(seed=42, n_topics=6)
+    agg.summarize_topics(res["l1_nodes"])
+    agg.generate_l1_relations(res["l1_nodes"], min_overlap=1, min_jaccard=0.01,
+                              min_cosine=0.1)
+    built = agg.escalate(res["l1_nodes"], max_levels=3, min_comm_size=2,
+                         judge_sample_size=1)
+    assert built
+    assert any(n["summary"] == "LLM community summary." for n in built[0])

@@ -155,3 +155,18 @@ def test_build_from_artifacts(tmp_path):
     hg.build_vector_index(layers=(0, 1, 2))
     res = hg.search("Who directed Ed Wood?", top_k=3)
     assert res
+
+
+def test_search_params_from_loaded_meta(tmp_path):
+    """Stored search_params act as call-time defaults (hierarchical_graph.py:681-699)."""
+    hg = build_film_graph()
+    hg.build_vector_index(layers=(0, 1, 2))
+    hg.search_params["type_filter"] = ["summary"]
+    d = str(tmp_path / "g")
+    hg.save(d)
+    hg2 = HierarchicalGraph.load(d)
+    res = hg2.search("American directors", top_k=5)
+    assert res and all(r["node_type"] == "summary" for r in res)
+    # explicit argument overrides the stored default
+    res2 = hg2.search("American directors", top_k=5, type_filter=["entity"])
+    assert all(r["node_type"] == "entity" for r in res2)
