@@ -101,9 +101,20 @@ class RetrievalService:
         self._default_top_k = 5
 
     # -- batched search ------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad coalesced batches to fixed sizes — every distinct batch shape is a
+        separate XLA compile (expensive through a device tunnel)."""
+        for b in (1, 4, 16, 64, 256):
+            if n <= b:
+                return b
+        return ((n + 255) // 256) * 256
+
     def _process_batch(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
         with self.timers.timed("search_batch"):
-            q = jnp.asarray(self.hg.encode_query(queries))
+            n = len(queries)
+            padded = queries + [""] * (self._bucket(n) - n)
+            q = jnp.asarray(self.hg.encode_query(padded))
             w = self.hg._resolve_weights()
             res = hybrid_search_batch(self.gt, q, w, top_k=self._default_top_k,
                                       member_top_m=int(
