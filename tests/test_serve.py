@@ -108,3 +108,10 @@ def test_lazy_top_level_exports():
     import ahrag_tpu
     assert ahrag_tpu.HierarchicalGraph.__name__ == "HierarchicalGraph"
     assert ahrag_tpu.RetrievalService.__name__ == "RetrievalService"
+
+
+def test_batch_bucketing():
+    from ahrag_tpu.serve import RetrievalService
+    b = RetrievalService._bucket
+    assert b(1) == 1 and b(2) == 4 and b(5) == 16 and b(17) == 64
+    assert b(64) == 64 and b(65) == 256 and b(300) == 512
