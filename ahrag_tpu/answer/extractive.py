@@ -87,6 +87,32 @@ def _name_spans(sentence: str) -> List[str]:
     return spans
 
 
+_VERB_HINTS = {"won", "wins", "stars", "made"}
+
+
+def _question_verbs(keywords: List[str]) -> List[str]:
+    """Verb-ish question keywords ('directed', 'attended', 'won', ...)."""
+    return [k for k in keywords if k.endswith("ed") or k in _VERB_HINTS]
+
+
+def _agent_signal(span_l: str, s_lower: str, verbs: List[str]) -> float:
+    """Verb-argument structure for who-questions: '<verb> by <span>' and
+    '<span> <verb>' mark the agent; 'as ... <span>' marks a role apposition
+    (an object complement, not the asked-for agent). Positive = agent evidence."""
+    signal = 0.0
+    for verb in verbs:
+        if f"{verb} by {span_l}" in s_lower:
+            signal += 2.5
+        if f"{span_l} {verb}" in s_lower:
+            signal += 1.5
+    pos = s_lower.find(span_l)
+    if pos > 0:
+        preceding = s_lower[max(0, pos - 40):pos]
+        if re.search(r"\bas (a |an |the )?[a-z ]*$", preceding):
+            signal -= 2.0
+    return signal
+
+
 def extract_answer(query: str, context_text: str) -> Optional[str]:
     """Best typed answer span from the evidence, or None when nothing scores."""
     qtype, focus = _question_type(query)
@@ -94,7 +120,14 @@ def extract_answer(query: str, context_text: str) -> Optional[str]:
     if not keywords:
         return None
     query_lower = query.lower()
-    best: Tuple[float, str] | None = None
+    verbs = _question_verbs(keywords)
+    # (tier, tie, score): tier 1 = the span sits in the agent position of a
+    # question verb with decent keyword support — such candidates dominate plain
+    # keyword co-occurrence (which is fooled by role appositions and distractors).
+    # Among tier-1 candidates keyword overlap dominates pattern strength, so a
+    # distractor sharing only the verb can't beat the sentence about the asked
+    # entity.
+    best: Tuple[int, float, float, str] | None = None
 
     for sentence in _clean_sentences(context_text):
         s_lower = sentence.lower()
@@ -112,19 +145,25 @@ def extract_answer(query: str, context_text: str) -> Optional[str]:
             if span_l in query_lower:
                 continue  # the question already contains it
             score = float(overlap)
+            tier = 0
             if qtype == "which" and focus:
                 if focus in span_l:
                     score += 2.0
                 elif focus not in s_lower:
                     score -= 0.5
-            # prefer multi-word proper names for who-questions
-            if qtype == "who" and " " in span:
-                score += 0.5
+            if qtype == "who":
+                if " " in span:  # prefer multi-word proper names
+                    score += 0.5
+                signal = _agent_signal(span_l, s_lower, verbs)
+                score += signal
+                if signal > 0 and overlap >= 2:
+                    tier = 1
             # light penalty for spans made of generic words
             if all(w.lower() in _STOPWORDS for w in span.split()):
                 continue
-            if best is None or score > best[0]:
-                best = (score, span)
-    if best and best[0] >= 2.0:
-        return best[1]
+            tie = float(overlap) if tier == 1 else -1.0
+            if best is None or (tier, tie, score) > (best[0], best[1], best[2]):
+                best = (tier, tie, score, span)
+    if best and best[2] >= 2.0:
+        return best[3]
     return None
