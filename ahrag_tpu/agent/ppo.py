@@ -374,11 +374,15 @@ def ppo_train_device(gt, q_embs: np.ndarray, search_weights, n_updates: int = 10
                      ppo_cfg: Optional[PPOConfig] = None,
                      save_path: Optional[str] = None, top_k: int = 5,
                      member_top_m: int = 5, seed: int = 0,
-                     log: Callable[[str], None] = print) -> PPOLearner:
+                     log: Callable[[str], None] = print,
+                     curve_out: Optional[str] = None) -> PPOLearner:
     """On-device batched PPO: rollout_batch + GAE + jitted updates.
 
     ``q_embs [N, D]`` are pre-encoded query embeddings; each update consumes one
-    batch of episodes executed entirely on device.
+    batch of episodes executed entirely on device. ``curve_out`` (optional path)
+    writes the per-update learning curve as JSON, so training progress is an
+    inspectable artifact (the reference logs a moving average to stdout only,
+    policy_ppo.py:228-235).
     """
     from ahrag_tpu.agent.featurizer import OBS_DIM
     from ahrag_tpu.agent.vec_env import N_ACTIONS, rollout_batch
@@ -387,6 +391,7 @@ def ppo_train_device(gt, q_embs: np.ndarray, search_weights, n_updates: int = 10
     learner = PPOLearner(OBS_DIM, N_ACTIONS, cfg, seed=seed)
     key = jax.random.PRNGKey(seed)
     n = q_embs.shape[0]
+    curve: List[Dict[str, Any]] = []
     for u in range(n_updates):
         key, sub = jax.random.split(key)
         idx = jax.random.randint(sub, (batch_size,), 0, n)
@@ -410,6 +415,20 @@ def ppo_train_device(gt, q_embs: np.ndarray, search_weights, n_updates: int = 10
         ep_reward = float((np.asarray(traj.rewards) * np.asarray(traj.mask)).sum()
                           / max(1, np.asarray(traj.mask).any(axis=1).sum()))
         log(f"[PPO/device] update={u} mavg_ep_reward={ep_reward:.3f} loss={losses}")
+        curve.append({"update": u, "mean_ep_reward": ep_reward,
+                      **{k: float(v) for k, v in losses.items()}})
+    if curve_out:
+        import json as _json
+        import os as _os
+        _os.makedirs(_os.path.dirname(curve_out) or ".", exist_ok=True)
+        first = float(np.mean([c["mean_ep_reward"] for c in curve[:3]])) if curve else 0.0
+        last = float(np.mean([c["mean_ep_reward"] for c in curve[-3:]])) if curve else 0.0
+        with open(curve_out, "w") as f:
+            _json.dump({"n_updates": len(curve), "batch_size": batch_size,
+                        "max_steps": max_steps, "seed": seed,
+                        "first3_mean_ep_reward": first,
+                        "last3_mean_ep_reward": last,
+                        "improvement": last - first, "curve": curve}, f, indent=1)
     if save_path:
         learner.save(save_path)
     return learner

@@ -23,6 +23,8 @@ def main() -> None:
                     help="batched on-device rollouts (vec_env) instead of host gym")
     ap.add_argument("--updates", type=int, default=10, help="device-mode updates")
     ap.add_argument("--batch", type=int, default=16, help="device-mode batch size")
+    ap.add_argument("--curve-out", default=None,
+                    help="device-mode: write the per-update learning curve JSON")
     args = ap.parse_args()
 
     items = (load_local_jsonl(args.data, limit=args.episodes * args.envs)
@@ -38,7 +40,8 @@ def main() -> None:
         q_embs = hg.encode_query(questions)
         ppo_train_device(gt, q_embs, SearchWeights.create(), n_updates=args.updates,
                          max_steps=args.max_steps, batch_size=args.batch,
-                         ppo_cfg=cfg, save_path=args.out)
+                         ppo_cfg=cfg, save_path=args.out,
+                         curve_out=args.curve_out)
     else:
         ppo_train(lambda: AHRAGGymEnv(graph_dir=args.graph,
                                       max_steps=args.max_steps),

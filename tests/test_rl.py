@@ -155,9 +155,15 @@ def test_ppo_train_device_smoke(graph, tmp_path):
                                max_steps=3, batch_size=2,
                                ppo_cfg=PPOConfig(epochs=1, batch_size=8),
                                save_path=str(tmp_path / "ppo_dev.msgpack"),
-                               log=lambda s: None)
+                               log=lambda s: None,
+                               curve_out=str(tmp_path / "curve.json"))
+    import json
     import os
     assert os.path.exists(tmp_path / "ppo_dev.msgpack")
+    curve = json.load(open(tmp_path / "curve.json"))
+    assert curve["n_updates"] == 2 and len(curve["curve"]) == 2
+    assert all(np.isfinite(c["mean_ep_reward"]) for c in curve["curve"])
+    assert {"policy", "value", "entropy"} <= set(curve["curve"][0])
 
 
 class TestLCAAction:
