@@ -1,0 +1,100 @@
+"""Closed-loop serving load test: concurrent callers through the micro-batcher.
+
+The reference has no serving layer and no latency measurement beyond a single
+wall-clock delta around the naive baseline (eval/answer_eval.py:377-398). This
+CLI drives ``RetrievalService.search`` from N threads (each request is a single
+query, coalesced on the fly into device batches), and reports per-request
+latency percentiles, sustained throughput, and coalescing efficiency.
+
+Usage:
+    python -m ahrag_tpu.cli.serve_bench --graph graph/ --threads 16 \
+        --requests 64 --out reports/serving_latency.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+import time
+from typing import List
+
+
+def run_load(service, queries: List[str], threads: int, requests_per_thread: int,
+             warmup: int = 4) -> dict:
+    """Fire ``threads`` closed-loop callers, each issuing ``requests_per_thread``
+    sequential single-query searches; return the latency/throughput report."""
+    # compile + cache every batch-bucket shape reachable at this concurrency off
+    # the clock (stragglers coalesce into smaller buckets than `threads`)
+    for _ in range(max(1, warmup)):
+        b = 1
+        while True:
+            service.search_many(queries[:1] * b)
+            if b >= min(threads, service._batcher.max_batch):
+                break
+            b = service._bucket(b + 1)
+    service.latency.reset()
+    errors: List[str] = []
+    barrier = threading.Barrier(threads + 1)
+
+    def caller(tid: int) -> None:
+        barrier.wait()
+        for i in range(requests_per_thread):
+            q = queries[(tid * requests_per_thread + i) % len(queries)]
+            try:
+                service.search(q)
+            except Exception as exc:  # pragma: no cover - defensive
+                errors.append(str(exc))
+
+    workers = [threading.Thread(target=caller, args=(t,)) for t in range(threads)]
+    for w in workers:
+        w.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for w in workers:
+        w.join()
+    wall_s = time.perf_counter() - t0
+    n = threads * requests_per_thread
+    lat = service.latency.snapshot().get("request", {})
+    return {"threads": threads, "requests": n, "wall_s": round(wall_s, 4),
+            "qps": round(n / wall_s, 1), "errors": len(errors),
+            "latency_ms": {k: round(v, 3) for k, v in lat.items()},
+            "batcher": service._batcher.stats(),
+            "server_timers": service.timers.snapshot()}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Serving latency/throughput load test")
+    ap.add_argument("--graph", default="graph")
+    ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=32,
+                    help="requests per thread")
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--queries", default=None,
+                    help="optional text file, one query per line")
+    ap.add_argument("--out", default=None, help="write the JSON report here")
+    args = ap.parse_args()
+
+    from ahrag_tpu.serve import RetrievalService
+    service = RetrievalService(graph_dir=args.graph, max_batch=args.max_batch,
+                               max_wait_s=args.max_wait_ms / 1e3)
+    if args.queries:
+        with open(args.queries) as f:
+            queries = [ln.strip() for ln in f if ln.strip()]
+    else:
+        queries = [f"tell me about {n.get('name') or n.get('title') or 'this'}"
+                   for n in list(service.hg.nodes.values())[:64]] or ["overview"]
+    try:
+        report = run_load(service, queries, args.threads, args.requests)
+    finally:
+        service.close()
+    print(json.dumps(report, indent=1))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

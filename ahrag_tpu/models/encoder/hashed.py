@@ -104,11 +104,19 @@ class HashedNGramEncoder:
                 counts[i, _bucket(f, self.buckets)] += 1.0
         return counts
 
-    def encode_device(self, texts: List[str], chunk: int = 1024,
+    _CHUNKS = (16, 64, 256, 1024)
+
+    def encode_device(self, texts: List[str], chunk: int | None = None,
                       idf: np.ndarray | None = None) -> jnp.ndarray:
         """Batch encode in fixed-size chunks; counts ship to the device as sparse
         COO triplets (padded to a static nnz bucket so jit doesn't respecialize),
         scattered and projected on device.
+
+        ``chunk=None`` picks the smallest bucket from ``_CHUNKS`` that fits the
+        batch — a serving-path query batch of 16 must not pay the build-path's
+        1024-row scatter+matmul (~60x the work). The bucket set keeps the total
+        number of compiled shapes bounded (remote compiles through the device
+        tunnel cost tens of seconds each).
 
         ``idf`` ([buckets] f32, optional) weights features before projection —
         corpus-frequency weights computed at index-build time (graph/host.py)
@@ -116,11 +124,13 @@ class HashedNGramEncoder:
         """
         if not texts:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
+        if chunk is None:
+            chunk = next((c for c in self._CHUNKS if len(texts) <= c),
+                         self._CHUNKS[-1])
         idf_dev = jnp.asarray(np.ones(self.buckets, np.float32) if idf is None
                               else np.asarray(idf, np.float32))
-        # ONE compiled shape for every call: rows padded to the full chunk, nnz
-        # padded to a fixed per-chunk cap (remote compiles through the device
-        # tunnel cost tens of seconds each; shape churn is the real cost here).
+        # rows padded to the full chunk, nnz padded to a fixed per-chunk cap, so
+        # every call at a given chunk size reuses ONE compiled shape
         fixed_cap = chunk * 256
         outs = []
         for i in range(0, len(texts), chunk):

@@ -24,7 +24,7 @@ import numpy as np
 
 from ahrag_tpu.graph import HierarchicalGraph
 from ahrag_tpu.graph.search import hybrid_search_batch
-from ahrag_tpu.utils.profiling import Timers
+from ahrag_tpu.utils.profiling import LatencyRecorder, Timers
 
 
 class MicroBatcher:
@@ -46,6 +46,9 @@ class MicroBatcher:
         self._generation = 0
         self._flushed_generation = -1
         self._closed = False
+        self.n_batches = 0
+        self.n_items = 0
+        self.max_batch_seen = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -64,6 +67,9 @@ class MicroBatcher:
                 gen = self._generation
                 self._pending = []
                 self._generation += 1
+                self.n_batches += 1
+                self.n_items += len(batch)
+                self.max_batch_seen = max(self.max_batch_seen, len(batch))
             results = self._process(batch)
             with self._lock:
                 self._results = results
@@ -82,6 +88,12 @@ class MicroBatcher:
                 self._lock.wait()
             return self._results[index]
 
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            return {"batches": self.n_batches, "items": self.n_items,
+                    "mean_batch": self.n_items / max(1, self.n_batches),
+                    "max_batch": self.max_batch_seen}
+
     def close(self) -> None:
         with self._lock:
             self._closed = True
@@ -96,6 +108,7 @@ class RetrievalService:
             self.hg.build_vector_index(layers=(0, 1, 2))
         self.gt = self.hg.tensors()
         self.timers = Timers()
+        self.latency = LatencyRecorder()
         self._batcher = MicroBatcher(self._process_batch, max_batch=max_batch,
                                      max_wait_s=max_wait_s)
         self._default_top_k = 5
@@ -131,7 +144,8 @@ class RetrievalService:
 
     def search(self, query: str) -> List[Dict[str, Any]]:
         """Single query; coalesced with concurrent callers into one device batch."""
-        return self._batcher.submit(query)
+        with self.latency.timed("request"):
+            return self._batcher.submit(query)
 
     def search_many(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
         return self._process_batch(queries)
@@ -163,7 +177,9 @@ class RetrievalService:
                                     "retrieved_nodes", "metrics")}
 
     def stats(self) -> Dict[str, Any]:
-        return {"graph": self.hg.stats(), "timers": self.timers.snapshot()}
+        return {"graph": self.hg.stats(), "timers": self.timers.snapshot(),
+                "latency": self.latency.snapshot(),
+                "batcher": self._batcher.stats()}
 
     def close(self) -> None:
         self._batcher.close()

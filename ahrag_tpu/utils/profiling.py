@@ -46,6 +46,63 @@ class Timers:
         self._stats.clear()
 
 
+class LatencyRecorder:
+    """Per-name latency samples with percentile summaries.
+
+    Thread-safe; keeps a bounded sample buffer per name (newest-wins past the
+    cap) so long-lived services report p50/p95/p99 over recent traffic without
+    unbounded memory. The reference has no latency percentiles anywhere — its
+    only per-request timing is the naive baseline's single wall-clock delta
+    (answer_eval.py:377-398).
+    """
+
+    def __init__(self, max_samples: int = 100_000) -> None:
+        import threading
+        self._lock = threading.Lock()
+        self._samples: Dict[str, list] = {}
+        self._counts: Dict[str, int] = {}
+        self.max_samples = max_samples
+
+    def record(self, name: str, seconds: float) -> None:
+        with self._lock:
+            buf = self._samples.setdefault(name, [])
+            n = self._counts.get(name, 0)
+            if len(buf) < self.max_samples:
+                buf.append(seconds)
+            else:
+                buf[n % self.max_samples] = seconds
+            self._counts[name] = n + 1
+
+    @contextlib.contextmanager
+    def timed(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.record(name, time.perf_counter() - t0)
+
+    def snapshot(self) -> Dict[str, Dict[str, float]]:
+        import numpy as np
+        out: Dict[str, Dict[str, float]] = {}
+        with self._lock:
+            for name, buf in self._samples.items():
+                if not buf:
+                    continue
+                a = np.asarray(buf, dtype=np.float64) * 1e3
+                out[name] = {"count": float(self._counts[name]),
+                             "mean_ms": float(a.mean()),
+                             "p50_ms": float(np.percentile(a, 50)),
+                             "p95_ms": float(np.percentile(a, 95)),
+                             "p99_ms": float(np.percentile(a, 99)),
+                             "max_ms": float(a.max())}
+        return out
+
+    def reset(self) -> None:
+        with self._lock:
+            self._samples.clear()
+            self._counts.clear()
+
+
 GLOBAL_TIMERS = Timers()
 timed = GLOBAL_TIMERS.timed
 

@@ -115,3 +115,17 @@ def test_batch_bucketing():
     b = RetrievalService._bucket
     assert b(1) == 1 and b(2) == 4 and b(5) == 16 and b(17) == 64
     assert b(64) == 64 and b(65) == 256 and b(300) == 512
+
+
+def test_latency_percentiles_and_batcher_stats(service):
+    from ahrag_tpu.cli.serve_bench import run_load
+    report = run_load(service, ["Tim Burton", "Doctor Strange", "Ed Wood"],
+                      threads=4, requests_per_thread=3, warmup=1)
+    assert report["errors"] == 0 and report["requests"] == 12
+    lat = report["latency_ms"]
+    assert lat["count"] == 12
+    assert 0 < lat["p50_ms"] <= lat["p95_ms"] <= lat["p99_ms"] <= lat["max_ms"]
+    st = service.stats()
+    assert st["batcher"]["items"] >= 12
+    assert st["batcher"]["mean_batch"] >= 1.0
+    assert "request" in st["latency"]
