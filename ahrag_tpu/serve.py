@@ -13,18 +13,39 @@ graph snapshot into a long-lived service suited to the TPU's batching economics:
 """
 from __future__ import annotations
 
+import functools
 import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ahrag_tpu.graph import HierarchicalGraph
 from ahrag_tpu.graph.search import hybrid_search_batch
+from ahrag_tpu.models.encoder.hashed import _project_normalize_sparse
 from ahrag_tpu.utils.profiling import LatencyRecorder, Timers
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "top_k", "member_top_m"))
+def _encode_and_search(rows, cols, vals, proj, idf, gt, w, *, n_rows: int,
+                       top_k: int, member_top_m: int):
+    """Sparse query features -> embeddings -> hybrid search, one device program.
+
+    One dispatch per serving batch instead of two (encode, then search): when the
+    device sits behind a network tunnel each dispatch costs a round trip, and
+    even locally this saves the embedding HBM round trip between the two calls.
+    """
+    q = _project_normalize_sparse(rows, cols, vals, proj, idf, n_rows)
+    res = hybrid_search_batch(gt, q, w, top_k=top_k, member_top_m=member_top_m)
+    # pack the four result planes into ONE [B, k, 4] f32 array: a single D2H
+    # transfer instead of four (idx fits f32 exactly below 2^24 nodes)
+    return jnp.stack([res.reranked_idx.astype(jnp.float32), res.reranked_score,
+                      res.reranked_sem,
+                      res.reranked_valid.astype(jnp.float32)], axis=-1)
 
 
 class MicroBatcher:
@@ -127,15 +148,41 @@ class RetrievalService:
         with self.timers.timed("search_batch"):
             n = len(queries)
             padded = queries + [""] * (self._bucket(n) - n)
-            q = jnp.asarray(self.hg.encode_query(padded))
             w = self.hg._resolve_weights()
-            res = hybrid_search_batch(self.gt, q, w, top_k=self._default_top_k,
-                                      member_top_m=int(
-                                          self.hg.search_params.get("member_top_m", 5)))
-            idx = np.asarray(res.reranked_idx)
-            score = np.asarray(res.reranked_score)
-            sem = np.asarray(res.reranked_sem)
-            ok = np.asarray(res.reranked_valid)
+            member_top_m = int(self.hg.search_params.get("member_top_m", 5))
+            enc = self.hg._encoder()
+            if hasattr(enc, "_count_matrix"):
+                # hashed encoder: hash on host, encode+search in ONE dispatch
+                counts = enc._count_matrix(padded)
+                rows, cols = np.nonzero(counts)
+                vals = counts[rows, cols]
+                cap = len(padded) * 256
+                if len(rows) > cap:
+                    cap = 1 << (len(rows) - 1).bit_length()
+                pad = cap - len(rows)
+                rows = np.concatenate([rows, np.full(pad, len(padded))]).astype(np.int32)
+                cols = np.concatenate([cols, np.zeros(pad)]).astype(np.int32)
+                vals = np.concatenate([vals, np.zeros(pad)]).astype(np.float32)
+                idf = getattr(self.hg, "_idf", None)
+                idf = (np.ones(enc.buckets, np.float32) if idf is None
+                       else np.asarray(idf, np.float32))
+                packed = np.asarray(_encode_and_search(
+                    jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+                    enc._proj, jnp.asarray(idf), self.gt, w,
+                    n_rows=len(padded), top_k=self._default_top_k,
+                    member_top_m=member_top_m))
+                idx = packed[..., 0].astype(np.int64)
+                score, sem = packed[..., 1], packed[..., 2]
+                ok = packed[..., 3] > 0.5
+            else:
+                q = jnp.asarray(self.hg.encode_query(padded))
+                res = hybrid_search_batch(self.gt, q, w,
+                                          top_k=self._default_top_k,
+                                          member_top_m=member_top_m)
+                idx = np.asarray(res.reranked_idx)
+                score = np.asarray(res.reranked_score)
+                sem = np.asarray(res.reranked_sem)
+                ok = np.asarray(res.reranked_valid)
         out = []
         for b in range(len(queries)):
             out.append([self.hg._result_entry(int(i), float(s), float(m))

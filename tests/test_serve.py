@@ -129,3 +129,13 @@ def test_latency_percentiles_and_batcher_stats(service):
     assert st["batcher"]["items"] >= 12
     assert st["batcher"]["mean_batch"] >= 1.0
     assert "request" in st["latency"]
+
+
+def test_fused_serving_path_matches_host_search(service):
+    """The one-dispatch encode+search program must rank exactly like hg.search."""
+    for q in ["Who directed Ed Wood?", "American film directors", "Doctor Strange"]:
+        fused = service.search_many([q])[0]
+        host = service.hg.search(q, top_k=5)
+        assert [r["node_id"] for r in fused] == [r["node_id"] for r in host], q
+        for a, b in zip(fused, host):
+            assert abs(a["score"] - b["score"]) < 1e-3
