@@ -14,7 +14,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. Also verifies
 rank parity between the two paths before timing (a benchmark of a wrong answer is
 meaningless).
 
-Scale knobs via env: AHRAG_BENCH_ENTITIES (default 4000), AHRAG_BENCH_QUERIES (256).
+Scale knobs via env: AHRAG_BENCH_ENTITIES (default 2000), AHRAG_BENCH_QUERIES (2048).
 """
 from __future__ import annotations
 
@@ -113,6 +113,17 @@ def cpu_reference_search(hg, emb_ids, emb_mat, q_vec, top_k=5, member_top_m=5):
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the remote-compile latency through the device
+    # tunnel (~30-60s/shape) dominates wall time; cache across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("AHRAG_COMPILE_CACHE",
+                                         "/tmp/ahrag_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+
     import jax.numpy as jnp
 
     from ahrag_tpu.graph.search import SearchWeights, hybrid_search_batch
@@ -121,7 +132,7 @@ def main() -> None:
     # not compute) stays well under driver timeouts; scale up via env for the
     # larger datapoints recorded in README.
     n_entities = int(os.environ.get("AHRAG_BENCH_ENTITIES", 2000))
-    n_queries = int(os.environ.get("AHRAG_BENCH_QUERIES", 512))
+    n_queries = int(os.environ.get("AHRAG_BENCH_QUERIES", 2048))
     n_topics = max(8, n_entities // 64)
 
     hg, topics = build_bench_graph(n_entities, n_topics)
