@@ -61,6 +61,22 @@ class ContextProcessor:
     def _tok(self, text: str) -> int:
         return count_tokens(text)
 
+    @staticmethod
+    def _brief(text: str, limit: int = 160) -> str:
+        """One-line budget-limited brief that never cuts mid-sentence/mid-word:
+        a hard ``text[:160]`` manufactures fragments ("...film Doctor S") that
+        read as false facts downstream, and embedded newlines would spill the
+        skeleton entry onto unprefixed lines."""
+        text = " ".join(text.split())
+        if len(text) <= limit:
+            return text
+        cut = text[:limit]
+        end = max(cut.rfind(". "), cut.rfind("! "), cut.rfind("? "))
+        if end >= limit // 3:
+            return cut[: end + 1]
+        sp = cut.rfind(" ")
+        return cut[:sp] if sp > 0 else cut
+
     def _compress(self, text: str, target_tokens: int) -> str:
         if target_tokens <= 0 or not text:
             return ""
@@ -134,7 +150,8 @@ class ContextProcessor:
             d = node(nid)
             title = d.get("title") or d.get("name") or ""
             summary = d.get("summary_text") or d.get("summary") or d.get("description") or ""
-            line = f"- [{nid}] ({d.get('node_type') or ''}) {title} :: {summary[:160]}".strip()
+            line = (f"- [{nid}] ({d.get('node_type') or ''}) {title} :: "
+                    f"{self._brief(summary)}").strip()
             t = self._tok(line)
             if tokens_used + t <= budget_skeleton:
                 skeleton_lines.append(line)

@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple
 _NAME_RE = re.compile(r"\b[A-Z][a-zA-Z']+(?:\s+(?:of|the|[A-Z][a-zA-Z']+))*\b")
 _YEAR_RE = re.compile(r"\b(1[5-9]\d{2}|20\d{2})\b")
 _NUM_RE = re.compile(r"\b\d+(?:\.\d+)?\b")
-_SENT_SPLIT = re.compile(r"(?<=[.!?。])\s+")
+_SENT_SPLIT = re.compile(r"(?<=[.!?。])\s+|;\s+")
 _CAP_STOP = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This", "That",
              "They", "His", "Her", "Its", "After", "Before", "When", "While",
              "During", "From", "For", "With", "And", "But", "Or", "Who", "What",
@@ -40,7 +40,7 @@ def _question_type(query: str) -> Tuple[str, Optional[str]]:
         return "year", None
     if re.search(r"\bhow (many|much)\b", ql):
         return "number", None
-    m = re.search(r"\b(?:which|what)\s+([a-z]+)", ql)
+    m = re.search(r"\b(?:which|what)\s+(?:\d+\s+)*([a-z]+)", ql)
     if m and m.group(1) not in _STOPWORDS:
         return "which", m.group(1)
     if re.search(r"\bwhere\b", ql):
@@ -53,21 +53,95 @@ def _keywords(query: str) -> List[str]:
             if w not in _STOPWORDS and len(w) > 2]
 
 
+_SKELETON_RE = re.compile(r"^\- \[([^\]]+)\]\s*\([a-z]*\)\s*(.*)$")
+_DETAIL_RE = re.compile(r"^\[DETAIL:([^\]]+)\]\s*(.*)$")
+_PRONOUN_RE = re.compile(r"^(?:He|She|It|They)\b")
+_HEADER_RE = re.compile(r"===\s*([^=]+?)\s*===")
+_PROPER_NAME_RE = re.compile(r"^[A-Z][\w.'-]*(?: [A-Z][\w.'-]*)*$")
+
+
+def _subject_name(raw: Optional[str]) -> Optional[str]:
+    """A usable coref subject: a proper name ('Kathryn Bigelow'), possibly with a
+    parenthetical dropped ('Ed Wood (film)' -> 'Ed Wood'); topic-word titles
+    ('directed / academy / scott') are not subjects."""
+    if not raw:
+        return None
+    name = re.sub(r"\s*\([^)]*\)\s*$", "", raw.strip())
+    return name if _PROPER_NAME_RE.match(name) else None
+
+
 def _clean_sentences(context_text: str) -> List[str]:
-    """Evidence text -> plain sentences (strip skeleton/detail markers and ids)."""
-    lines = []
+    """Evidence text -> plain sentences (strip skeleton/detail markers and ids).
+
+    Evidence excerpts routinely state the decisive fact with a pronoun subject
+    ("He directed ...") because the name lives in the section header or the
+    block's skeleton entry — fatal for span scoring, which needs name and fact
+    in one sentence. Sentence-leading pronouns are resolved to the governing
+    subject: the most recent ``=== Section ===`` header inside the block, else
+    the block's owning node name (from the ``[DETAIL:<id>]`` / skeleton-line
+    mapping) — unless that subject is itself named later in the sentence (then
+    the pronoun refers to someone else: "He directed ..., starring <owner>").
+    """
+    names: dict = {}
+    blocks: List[tuple] = []  # (owner_name_or_None, text)
+    owner: Optional[str] = None
+    cur: List[str] = []
+
+    def flush() -> None:
+        if cur:
+            blocks.append((owner, " ".join(cur)))
+            cur.clear()
+
     for raw in context_text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        line = re.sub(r"^\- \[[^\]]*\]\s*\([a-z]*\)\s*", "", line)
-        line = re.sub(r"^\[DETAIL:[^\]]*\]\s*", "", line)
+        m = _SKELETON_RE.match(line)
+        if m:
+            nid, rest = m.groups()
+            name = rest.split("::", 1)[0].strip()
+            if name:
+                names[nid] = name
+            flush()
+            owner = name or None  # continuation lines stay owned by this node
+            # start the block with the entry text so hard-wrapped continuation
+            # lines rejoin their sentence instead of splitting it mid-clause
+            cur.append(rest.replace("::", ". "))
+            continue
+        m = _DETAIL_RE.match(line)
+        if m:
+            flush()
+            owner = names.get(m.group(1))
+            if m.group(2):
+                cur.append(m.group(2).replace("::", ". "))
+            continue
         line = re.sub(r"^\[KEEP:[^\]]*\]\s*", "", line)
         line = line.replace("::", ". ")
-        if line:
-            lines.append(line)
-    text = " ".join(lines)
-    return [s.strip() for s in _SENT_SPLIT.split(text) if s.strip()]
+        if line.strip():
+            cur.append(line.strip())
+    flush()
+
+    out: List[str] = []
+    for block_owner, text in blocks:
+        # section headers switch the governing subject within the block
+        subject = _subject_name(block_owner)
+        parts = _HEADER_RE.split(text)  # [text, header, text, header, text...]
+        for i, part in enumerate(parts):
+            if i % 2 == 1:  # header
+                subject = _subject_name(part) or subject
+                continue
+            for s in _SENT_SPLIT.split(part):
+                s = s.strip()
+                if not s:
+                    continue
+                # only resolve into COMPLETE sentences — substituting into a
+                # brief truncated mid-clause ("He directed ..., which starred")
+                # fabricates facts about the subject
+                if (subject and s[-1] in ".!?。"
+                        and subject.lower() not in s.lower()):
+                    s = _PRONOUN_RE.sub(subject, s)
+                out.append(s)
+    return out
 
 
 def _name_spans(sentence: str) -> List[str]:
@@ -147,23 +221,49 @@ def extract_answer(query: str, context_text: str) -> Optional[str]:
             score = float(overlap)
             tier = 0
             if qtype == "which" and focus:
+                # 'Which <focus> ...' — candidates tied to the focus noun (in
+                # the span or its sentence) dominate ones that merely share
+                # keywords ('Which Marvel film...' must not answer a person)
                 if focus in span_l:
                     score += 2.0
-                elif focus not in s_lower:
+                    tier = 1
+                elif focus in s_lower:
+                    tier = 1
+                    # appositive proximity: "...superhero film Doctor Strange"
+                    # names the focus immediately before the span
+                    fpos = s_lower.find(focus)
+                    spos = s_lower.find(span_l)
+                    if 0 <= spos - fpos <= len(focus) + 20:
+                        score += 1.5
+                else:
                     score -= 0.5
+            if qtype in ("which", "general"):
+                # object position: the word right before the span is a question
+                # keyword ("attended Duke University", "film Doctor Strange")
+                m = re.search(r"(\w+)\s+(?:the\s+|a\s+|an\s+)?"
+                              + re.escape(span_l), s_lower)
+                if m and any(m.group(1).startswith(k[:6]) for k in keywords):
+                    score += 1.5
             if qtype == "who":
                 if " " in span:  # prefer multi-word proper names
                     score += 0.5
                 signal = _agent_signal(span_l, s_lower, verbs)
                 score += signal
-                if signal > 0 and overlap >= 2:
+                # tier dominance only for the question's MAIN verb (the first:
+                # "Who directed the film that starred X" asks about directing;
+                # an agent of the relative-clause verb is not the answer)
+                if (verbs and overlap >= 2
+                        and _agent_signal(span_l, s_lower, verbs[:1]) > 0):
                     tier = 1
             # light penalty for spans made of generic words
             if all(w.lower() in _STOPWORDS for w in span.split()):
                 continue
             tie = float(overlap) if tier == 1 else -1.0
-            if best is None or (tier, tie, score) > (best[0], best[1], best[2]):
-                best = (tier, tie, score, span)
+            # final tie-break: longer span ('Doctor Strange' over a 'Doctor'
+            # fragment from a truncated brief)
+            key = (tier, tie, score, len(span))
+            if best is None or key > best[:4]:
+                best = (tier, tie, score, len(span), span)
     if best and best[2] >= 2.0:
-        return best[3]
+        return best[4]
     return None

@@ -54,6 +54,43 @@ _TYPE_KEYWORDS = [
 
 _SENT_SPLIT = re.compile(r"(?<=[。！？.!?])\s+")
 _NAME_RE = re.compile(r"(?:[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+|[A-Z][a-z]+)")
+_HDR_SPLIT = re.compile(r"(===\s*[^=\n]+?\s*===)")
+_HDR_RE = re.compile(r"===\s*([^=\n]+?)\s*===")
+_SENT_PRONOUN = re.compile(r"(^\s*|(?<=[.!?。])\s+)(?:He|She)\b")
+_SENT_PRONOUN_IT = re.compile(r"(^\s*|(?<=[.!?。])\s+)(?:He|She|It|They)\b")
+_PROPER_NAME_RE = re.compile(r"^[A-Z][\w.'-]*(?: [A-Z][\w.'-]*)*$")
+
+
+def resolve_section_pronouns(text: str) -> str:
+    """Resolve sentence-leading pronouns to the enclosing ``=== Section ===``
+    subject. Wiki-style source documents state most facts with a pronoun
+    subject ("He directed ..."), so without this the extracted snippets,
+    descriptions, and summaries — and everything embedded from them — never
+    tie the fact to the name. He/She always resolve (the section title names a
+    person). It/They resolve only when the header carries a parenthetical
+    qualifier ('Doctor Strange (film)') — there 'It' means the titled work;
+    in a person's section 'It' refers to some mid-section mention, and
+    substituting the subject would fabricate facts."""
+    parts = _HDR_SPLIT.split(text)
+    subject: Optional[str] = None
+    pronoun_re = _SENT_PRONOUN
+    out: List[str] = []
+    for part in parts:
+        m = _HDR_RE.fullmatch(part.strip())
+        if m:
+            raw = m.group(1).strip()
+            cand = re.sub(r"\s*\([^)]*\)\s*$", "", raw)
+            if _PROPER_NAME_RE.match(cand):
+                subject = cand
+                pronoun_re = (_SENT_PRONOUN_IT if cand != raw  # had parenthetical
+                              else _SENT_PRONOUN)
+            out.append(part)
+            continue
+        if subject:
+            subj = subject
+            part = pronoun_re.sub(lambda mm: mm.group(1) + subj, part)
+        out.append(part)
+    return "".join(out)
 # single capitalized words that are sentence-starters, not entities
 _CAP_STOPWORDS = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This",
                   "That", "They", "His", "Her", "Its", "After", "Before", "When",
@@ -130,6 +167,7 @@ class HypergraphExtractor:
 
     # ---------------------------------------------------------------- public
     def extract(self, text_chunk: str) -> List[HypergraphExtraction]:
+        text_chunk = resolve_section_pronouns(text_chunk)
         mgr = get_llm_manager()
         if not mgr.is_enabled(LLMModule.KNOWLEDGE_EXTRACTION):
             return self.fallback_extract(text_chunk)
