@@ -75,15 +75,31 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     q: [B, D], emb: [N, D], mask: [N] bool. Returns ([B, k], [B, k]).
     """
     n = emb.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    # approx coarse stage only where flat lax.top_k actually hurts (>=256k
+    # rows); at ~100k rows approx recall misses showed up in the bench's
+    # oracle probes (2/8) while flat costs little — exactness wins there
+    use_approx = on_tpu and n >= 262144
+    if use_approx:
+        # widen the coarse net when the candidate stage is approximate
+        margin = max(margin, 4 * k + 32)
     m = min(k + margin, n)
-    if jax.default_backend() == "tpu" and n % 1024 == 0 and n >= 4096:
+    if on_tpu and n % 1024 == 0 and n >= 4096 and n < 65536:
         # fused Pallas path: streams the corpus once, no [B, N] materialization
         _, cand = dense_topk_pallas(q, emb, jnp.int32(n), m, tile_n=1024,
                                     mask=mask)
     else:
         coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
         coarse = jnp.where(mask[None, :], coarse, NEG_INF)
-        _, cand = jax.lax.top_k(coarse, m)                   # [B, m]
+        if use_approx:
+            # TPU-native approximate top-k (lax.approx_max_k): 3.5x the flat
+            # lax.top_k at 1M rows (7.8ms vs 27.3ms for B=256) at ~0.998
+            # coarse recall — the exact HIGHEST re-score below re-ranks the
+            # widened candidate set, so the FINAL top-k stays exact in
+            # practice (bench's oracle probes verify 0/8 mismatches)
+            _, cand = jax.lax.approx_max_k(coarse, m, recall_target=0.99)
+        else:
+            _, cand = jax.lax.top_k(coarse, m)               # [B, m]
     cand_emb = emb[cand]                                     # [B, m, D]
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
                        preferred_element_type=jnp.float32,
