@@ -139,3 +139,34 @@ def test_fused_serving_path_matches_host_search(service):
         assert [r["node_id"] for r in fused] == [r["node_id"] for r in host], q
         for a, b in zip(fused, host):
             assert abs(a["score"] - b["score"]) < 1e-3
+
+
+def test_serving_thread_safety_stress(service):
+    """Many threads × mixed endpoints: results stay per-caller-correct and no
+    deadlocks/exceptions (the reference is single-threaded; our serving layer
+    must be safe under ThreadingHTTPServer concurrency)."""
+    queries = ["Tim Burton", "Doctor Strange", "Adam Collis", "Ed Wood film",
+               "Kathryn Bigelow", "American directors"]
+    expected = {q: [r["node_id"] for r in service.search_many([q])[0]]
+                for q in queries}
+    errors = []
+
+    def worker(i):
+        try:
+            q = queries[i % len(queries)]
+            if i % 7 == 3:
+                service.stats()
+            got = [r["node_id"] for r in service.search(q)]
+            if got != expected[q]:
+                errors.append((q, got))
+        except Exception as exc:
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(48)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors[:3]
+    lat = service.latency.snapshot().get("request", {})
+    assert lat.get("count", 0) >= 48
