@@ -71,6 +71,69 @@ def sharded_dense_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
     return vals, idx
 
 
+def sharded_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
+                         mesh: Mesh, margin: int = 16
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-phase top-k over a corpus-sharded embedding matrix, exact-at-scale.
+
+    Same contract as ``sharded_dense_topk`` but the shard-local stage follows
+    the single-chip production ladder (ops/topk.py::refined_masked_topk):
+    cheap default-precision coarse scores select ``k+margin`` local candidates
+    (TPU-native ``lax.approx_max_k`` when the shard holds >=256k rows, flat
+    ``lax.top_k`` below), which are re-scored at f32 HIGHEST *locally* — so the
+    values crossing ICI in the all_gather merge are already exact and the tiny
+    replicated re-top-k is exact over exact scores. Per-shard re-score is local
+    (each device gathers only from its own shard), no cross-shard traffic
+    beyond the [n_shards, B, m] candidate gather.
+    """
+    n_shards = mesh.shape[CORPUS_AXIS]
+    n_total = emb.shape[0]
+    assert n_total % n_shards == 0, (n_total, n_shards)
+    rows = n_total // n_shards
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    use_approx = jax.default_backend() == "tpu" and rows >= 262144
+    if use_approx:
+        margin = max(margin, 4 * k + 32)
+    m = min(k + margin, rows)
+
+    def local_fn(q_l, emb_l, nv):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        offset = shard * rows
+        scores = jnp.dot(q_l, emb_l.T, preferred_element_type=jnp.float32)
+        col = offset + jnp.arange(rows)[None, :]
+        scores = jnp.where(col < nv, scores, NEG_INF)
+        if use_approx:
+            _, idx = jax.lax.approx_max_k(scores, m, recall_target=0.99)
+        else:
+            _, idx = jax.lax.top_k(scores, m)              # [B, m] local
+        cand_emb = emb_l[idx]                              # [B, m, D] local gather
+        exact = jnp.einsum("bd,bmd->bm", q_l, cand_emb,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        exact = jnp.where((idx + offset) < nv, exact, NEG_INF)
+        kk = min(k, m)
+        vals, pos = jax.lax.top_k(exact, kk)               # exact local top-k
+        gidx = jnp.take_along_axis(idx, pos, axis=1) + offset
+        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
+        all_idx = jax.lax.all_gather(gidx, CORPUS_AXIS)
+        b = q_l.shape[0]
+        cand_v = all_vals.transpose(1, 0, 2).reshape(b, n_shards * kk)
+        cand_i = all_idx.transpose(1, 0, 2).reshape(b, n_shards * kk)
+        v, p = jax.lax.top_k(cand_v, min(k, n_shards * kk))
+        return v, jnp.take_along_axis(cand_i, p, axis=1)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(CORPUS_AXIS, None), P()),
+        out_specs=(P(), P()), check_vma=False)
+    vals, idx = fn(q, emb, n_valid)
+    if k > vals.shape[1]:
+        pad = k - vals.shape[1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    return vals, idx
+
+
 def shard_graph_tensors(gt: GraphTensors, mesh: Mesh) -> GraphTensors:
     """Place every per-node leaf with its node axis sharded over ``corpus``."""
     def place(leaf):

@@ -114,3 +114,19 @@ def test_distributed_initialize_single_process_noop(monkeypatch):
     assert distributed.initialize() is False  # single process: no-op
     info = distributed.process_info()
     assert info["process_count"] == 1 and info["global_devices"] == 8
+
+
+def test_sharded_refined_topk_matches_flat():
+    from ahrag_tpu.parallel.sharded import sharded_refined_topk
+    rng = np.random.default_rng(3)
+    n, d, b, k = 2048, 64, 4, 7
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    mesh = make_mesh(dp=1)  # 8 corpus shards
+    fv, fi = dense_topk_xla(q, e, jnp.int32(2000), k)
+    sv, si = sharded_refined_topk(q, e, 2000, k, mesh)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(fi))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(fv), rtol=1e-5)
+    # k larger than the per-shard row count pads with NEG_INF
+    sv2, si2 = sharded_refined_topk(q, e, 2000, 300, mesh, margin=4)
+    assert sv2.shape == (b, 300) and si2.shape == (b, 300)
