@@ -37,7 +37,7 @@ snapshot:
 report:
 	$(PY) -m ahrag_tpu.cli.demo samples/mini_films.txt --no-repl --artifacts /tmp/ahrag_report_a --graph /tmp/ahrag_report_g
 	$(PY) -m ahrag_tpu.cli.benchmark --dataset local --data samples/mini_questions.jsonl --system both --limit 5 --graph /tmp/ahrag_report_g --judge-sample 0.0 --out reports/benchmark_local_r1.json
-	$(PY) -m ahrag_tpu.cli.benchmark --dataset local --data samples/mini_hotpot.jsonl --system ah_rag --limit 3 --judge-sample 0.0 --out reports/benchmark_hotpot_r1.json
+	$(PY) -m ahrag_tpu.cli.benchmark --dataset local --data samples/mini_hotpot.jsonl --system ah_rag --limit 6 --judge-sample 0.0 --out reports/benchmark_hotpot_r1.json
 
 serve:
 	$(PY) -m ahrag_tpu.cli.serve --graph graph

@@ -19,6 +19,8 @@ from typing import List, Optional, Tuple
 _NAME_RE = re.compile(r"\b[A-Z][a-zA-Z']+(?:\s+(?:of|the|[A-Z][a-zA-Z']+))*\b")
 _YEAR_RE = re.compile(r"\b(1[5-9]\d{2}|20\d{2})\b")
 _NUM_RE = re.compile(r"\b\d+(?:\.\d+)?\b")
+_NUMWORD_RE = re.compile(r"\b(one|two|three|four|five|six|seven|eight|nine|ten|"
+                         r"eleven|twelve|twenty|thirty|hundred)\b", re.IGNORECASE)
 _SENT_SPLIT = re.compile(r"(?<=[.!?。])\s+|;\s+")
 _CAP_STOP = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This", "That",
              "They", "His", "Her", "Its", "After", "Before", "When", "While",
@@ -211,7 +213,8 @@ def extract_answer(query: str, context_text: str) -> Optional[str]:
         if qtype == "year":
             cands = _YEAR_RE.findall(sentence)
         elif qtype == "number":
-            cands = _NUM_RE.findall(sentence)
+            # spelled-out counts answer how-many at least as often as digits
+            cands = _NUM_RE.findall(sentence) + _NUMWORD_RE.findall(sentence)
         else:
             cands = _name_spans(sentence)
         for span in cands:
@@ -237,13 +240,17 @@ def extract_answer(query: str, context_text: str) -> Optional[str]:
                         score += 1.5
                 else:
                     score -= 0.5
-            if qtype in ("which", "general"):
-                # object position: the word right before the span is a question
-                # keyword ("attended Duke University", "film Doctor Strange")
-                m = re.search(r"(\w+)\s+(?:the\s+|a\s+|an\s+)?"
+            if qtype != "who":  # who has its own verb-argument logic below
+                # object position: the word right before the span (through
+                # articles/prepositions) is a question keyword — "attended
+                # Duke University", "born in 1966", "received two Academy..."
+                m = re.search(r"(\w+)\s+(?:(?:the|a|an|in|at|on|of)\s+)*"
                               + re.escape(span_l), s_lower)
-                if m and any(m.group(1).startswith(k[:6]) for k in keywords):
+                if (m and m.group(1).isalpha()  # content word, not a number
+                        and any(m.group(1).startswith(k[:6]) for k in keywords)):
                     score += 1.5
+            if qtype == "number" and _YEAR_RE.fullmatch(span):
+                score -= 1.0  # a year is rarely the answer to "how many"
             if qtype == "who":
                 if " " in span:  # prefer multi-word proper names
                     score += 0.5
