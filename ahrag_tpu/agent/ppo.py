@@ -307,10 +307,12 @@ def gae_device(rewards: jnp.ndarray, values: jnp.ndarray, dones: jnp.ndarray,
                               (deltas.T[::-1], nonterminal.T[::-1]))
     adv = adv_rev[::-1].T * mask
     returns = adv + values * mask
+    # Normalize per episode (per row), matching compute_gae / the reference's
+    # policy_ppo.py:110-113 which normalize within each rollout independently.
     m = mask.astype(jnp.float32)
-    denom = jnp.maximum(m.sum(), 1.0)
-    mean = (adv * m).sum() / denom
-    var = (((adv - mean) ** 2) * m).sum() / denom
+    denom = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+    mean = (adv * m).sum(axis=1, keepdims=True) / denom
+    var = (((adv - mean) ** 2) * m).sum(axis=1, keepdims=True) / denom
     std = jnp.sqrt(var)
     adv = jnp.where(std > 1e-8, (adv - mean) / (std + 1e-8), adv) * mask
     return adv, returns

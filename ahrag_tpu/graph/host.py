@@ -337,7 +337,10 @@ class HierarchicalGraph:
         structure = {
             "directed": True,
             "nodes": [{"id": nid, **d} for nid, d in self.nodes.items()],
-            "edges": [{"source": u, "target": v,
+            # "links" (not "edges"): the reference loads node-link JSON via
+            # nx.node_link_graph(..., edges="links") — emitting "edges" would
+            # silently drop every edge on their side. Our loader accepts both.
+            "links": [{"source": u, "target": v,
                        **self._edge_attrs.get((u, v), {"edge_type": et})}
                       for (u, v, et) in self._iter_edges_in_order()],
         }

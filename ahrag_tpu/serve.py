@@ -63,9 +63,13 @@ class MicroBatcher:
         self.max_wait_s = max_wait_s
         self._lock = threading.Condition()
         self._pending: List[Any] = []
-        self._results: List[Any] = []
+        # generation -> [("ok", results) | ("err", exc), remaining_readers].
+        # Keyed per generation: a single shared slot races when a submitter's
+        # wakeup is delayed past the next batch's flush (it would read the
+        # wrong batch's results); entries are deleted once every submitter of
+        # that generation has read its item.
+        self._results: Dict[int, List[Any]] = {}
         self._generation = 0
-        self._flushed_generation = -1
         self._closed = False
         self.n_batches = 0
         self.n_items = 0
@@ -91,10 +95,20 @@ class MicroBatcher:
                 self.n_batches += 1
                 self.n_items += len(batch)
                 self.max_batch_seen = max(self.max_batch_seen, len(batch))
-            results = self._process(batch)
+            try:
+                results = self._process(batch)
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"process returned {len(results)} results for "
+                        f"{len(batch)} items")
+                payload = ("ok", results)
+            except Exception as exc:
+                # Publish the failure to this batch's submitters and keep the
+                # worker alive: a single malformed request must not wedge every
+                # future submit() forever.
+                payload = ("err", exc)
             with self._lock:
-                self._results = results
-                self._flushed_generation = gen
+                self._results[gen] = [payload, len(batch)]
                 self._lock.notify_all()
 
     def submit(self, item: Any) -> Any:
@@ -105,9 +119,16 @@ class MicroBatcher:
             index = len(self._pending)
             self._pending.append(item)
             self._lock.notify_all()
-            while self._flushed_generation < gen:
+            while gen not in self._results:
                 self._lock.wait()
-            return self._results[index]
+            entry = self._results[gen]
+            entry[1] -= 1
+            if entry[1] == 0:
+                del self._results[gen]
+            kind, data = entry[0]
+            if kind == "err":
+                raise RuntimeError(f"batch processing failed: {data!r}") from data
+            return data[index]
 
     def stats(self) -> Dict[str, float]:
         with self._lock:
@@ -128,6 +149,12 @@ class RetrievalService:
         if self.hg.dirty or not self.hg._embeddings:
             self.hg.build_vector_index(layers=(0, 1, 2))
         self.gt = self.hg.tensors()
+        if int(self.gt.emb.shape[0]) >= 1 << 24:
+            # _encode_and_search packs node indices into float32 (exact only
+            # below 2^24); beyond that indices would silently corrupt.
+            raise ValueError(
+                f"graph has {int(self.gt.emb.shape[0])} padded nodes; the packed "
+                "f32 result path supports < 2^24 — shard the corpus instead")
         self.timers = Timers()
         self.latency = LatencyRecorder()
         self._batcher = MicroBatcher(self._process_batch, max_batch=max_batch,

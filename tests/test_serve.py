@@ -41,6 +41,55 @@ def test_microbatcher_coalesces():
     assert max(len(b) for b in batches) > 1  # actually coalesced
 
 
+def test_microbatcher_cross_generation_stress():
+    """Regression (ADVICE r1 high): a submitter whose wakeup is delayed past the
+    next batch's flush must still read ITS OWN generation's results, not the
+    latest batch's. 12 threads × 200 rounds with jittered submits exercised the
+    old single-slot race into thousands of failures."""
+    import random
+    import time as _time
+
+    def process(items):
+        _time.sleep(random.random() * 0.002)  # let generations overlap
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(process, max_batch=4, max_wait_s=0.0005)
+    errors = []
+
+    def worker(base):
+        for i in range(200):
+            x = base * 1000 + i
+            try:
+                got = mb.submit(x)
+                if got != x * 2:
+                    errors.append((x, got))
+            except Exception as exc:  # IndexError etc. under the old race
+                errors.append((x, repr(exc)))
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert not errors, errors[:5]
+
+
+def test_microbatcher_survives_process_exception():
+    """Regression (ADVICE r1 medium): a raising process() must fail that batch's
+    submitters with an error — and keep the worker alive for future batches."""
+    def process(items):
+        if any(x is None for x in items):
+            raise ValueError("malformed item")
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(process, max_batch=1, max_wait_s=0.0005)
+    with pytest.raises(RuntimeError, match="batch processing failed"):
+        mb.submit(None)
+    assert mb.submit(21) == 42  # worker still alive
+    mb.close()
+
+
 def test_service_search_and_answer(service):
     res = service.search("Who directed Ed Wood?")
     assert res and res[0]["score"] >= res[-1]["score"]
