@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 from ahrag_tpu.agent.agent import AHRAG_Agent
 from ahrag_tpu.agent.environment import GraphEnvironment
@@ -150,6 +150,33 @@ class InferenceEngine:
         }
         context = ContextProcessor().build_context(evidence, self.env.hg,
                                                    token_budget, ctx_cfg)
+
+        # --- agentic second-hop retrieval (novel; no reference counterpart) ---
+        # When the fact layer resolves an intermediate entity whose own
+        # paragraph was never retrieved ("the lead actor of X" has a name but
+        # no nationality fact), anchor follow-up retrieval on that entity, fold
+        # it into the selection, and rebuild the context. Two hops cover every
+        # bridge shape in the eval families; the loop exits as soon as the
+        # question becomes answerable (or no hint remains).
+        hop_ids: List[str] = []
+        for _hop in range(2):
+            hints = self._follow_up_targets(query, context)
+            if not hints:
+                break
+            progressed = False
+            for name in hints[:3]:
+                nid = self._locate_entity(name)
+                if nid and nid not in self.env.selection_set:
+                    _, info_hop = self.env.commit_selection([nid])
+                    used_actions.append(info_hop)
+                    hop_ids.append(nid)
+                    progressed = True
+            if not progressed:
+                break
+            evidence = self.collect_evidence(max_summaries=3, max_entities=5,
+                                             priority_ids=hop_ids)
+            context = ContextProcessor().build_context(evidence, self.env.hg,
+                                                       token_budget, ctx_cfg)
         try:
             os.makedirs(self.env.session_path, exist_ok=True)
             with open(os.path.join(self.env.session_path, "events.jsonl"), "a",
@@ -190,11 +217,43 @@ class InferenceEngine:
             pass
         return out
 
+    # ----------------------------------------------------- follow-up hops
+    def _follow_up_targets(self, query: str, context: Dict[str, Any]) -> List[str]:
+        from ahrag_tpu.answer.extractive import _clean_sentences
+        from ahrag_tpu.answer.qa import missing_entities
+        try:
+            sents = _clean_sentences(context.get("context_text", ""))
+            return missing_entities(query, sents)
+        except Exception:
+            return []
+
+    def _locate_entity(self, name: str) -> Optional[str]:
+        """Graph node for a follow-up entity: exact name, substring search,
+        then a semantic anchor on the name (env-logged query)."""
+        hg = self.env.hg
+        nid = hg.find_entity(name)
+        if nid:
+            return nid
+        for hid, d in hg.search_by_name_or_title(name):
+            if d.get("node_type") == "entity":
+                return hid
+        obs, _ = self.env.semantic_anchor(name)
+        for item in (obs.get("reranked") or obs.get("selection") or []):
+            if item.get("node_type") == "entity" and \
+                    name.lower() in (item.get("name") or "").lower():
+                return item.get("node_id")
+        return None
+
     # ------------------------------------------------------------- evidence
     def collect_evidence(self, max_summaries: int = 3,
-                         max_entities: int = 5) -> Dict[str, Any]:
+                         max_entities: int = 5,
+                         priority_ids: Optional[List[str]] = None
+                         ) -> Dict[str, Any]:
         hg = self.env.hg
-        selection_ids = list(self.env.selection_set)
+        # priority ids (follow-up hops) go first so the max_entities cap can
+        # never evict the node the question hinges on; set order is arbitrary
+        selection_ids = list(dict.fromkeys(
+            (priority_ids or []) + sorted(self.env.selection_set)))
         summaries: List[str] = []
         entities: List[str] = []
         for nid in selection_ids:

@@ -190,7 +190,16 @@ def _agent_signal(span_l: str, s_lower: str, verbs: List[str]) -> float:
 
 
 def extract_answer(query: str, context_text: str) -> Optional[str]:
-    """Best typed answer span from the evidence, or None when nothing scores."""
+    """Best typed answer span from the evidence, or None when nothing scores.
+
+    Tries the typed fact-KB chain first (answer/qa.py — handles paraphrased
+    relation vocabulary and one-hop bridge questions structurally), then falls
+    back to span scoring."""
+    from ahrag_tpu.answer.qa import answer_from_facts
+    sentences = _clean_sentences(context_text)
+    fact_answer = answer_from_facts(query, sentences)
+    if fact_answer:
+        return fact_answer
     qtype, focus = _question_type(query)
     keywords = _keywords(query)
     if not keywords:
@@ -205,7 +214,7 @@ def extract_answer(query: str, context_text: str) -> Optional[str]:
     # entity.
     best: Tuple[int, float, float, str] | None = None
 
-    for sentence in _clean_sentences(context_text):
+    for sentence in sentences:
         s_lower = sentence.lower()
         overlap = sum(1 for k in keywords if k in s_lower)
         if overlap == 0:

@@ -89,6 +89,23 @@ def resolve_section_pronouns(text: str) -> str:
         if subject:
             subj = subject
             part = pronoun_re.sub(lambda mm: mm.group(1) + subj, part)
+            # definite-NP anaphora: "The film stars X." inside a section whose
+            # opening sentence typed the subject as a film/org refers to the
+            # section subject — without resolution the fact's hyperedge never
+            # links to the titled entity (breaks downstream fact chaining)
+            kind_m = re.search(
+                rf"{re.escape(subj)} (?:is|was) an? [^.!?]*?"
+                rf"\b(film|movie|picture|documentary|organization|organisation|"
+                rf"company|institute|foundation|consortium|guild|society|"
+                rf"laboratory|collective|observatory|band)\b", part)
+            if kind_m:
+                kind = kind_m.group(1)
+                generic = (r"(?:film|movie|picture|story)" if kind in
+                           ("film", "movie", "picture", "documentary")
+                           else r"(?:organization|organisation|company|group)")
+                part = re.sub(
+                    rf"(^\s*|(?<=[.!?。])\s+)The {generic}\b",
+                    lambda mm: mm.group(1) + subj, part)
         out.append(part)
     return "".join(out)
 # single capitalized words that are sentence-starters, not entities

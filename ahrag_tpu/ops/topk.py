@@ -60,46 +60,74 @@ def masked_topk(scores: jnp.ndarray, mask: jnp.ndarray, k: int) -> Tuple[jnp.nda
     return jax.lax.top_k(jnp.where(mask, scores, NEG_INF), k)
 
 
-def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
-                        k: int, margin: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-phase exact-in-practice top-k: fast default-precision scores select
-    ``k + margin`` coarse candidates, whose dot products are then recomputed at
-    f32 HIGHEST for the final ranking.
+@functools.lru_cache(maxsize=None)
+def matmul_eps(backend: str, d: int) -> float:
+    """Calibrated upper bound on |default-precision - HIGHEST| dot-product error
+    for unit vectors of dimension ``d`` on ``backend``.
 
-    On TPU the default f32 matmul runs in bf16 passes (~1e-2 relative error) —
-    fast, but able to flip ranks at the top-k boundary; full-HIGHEST costs ~3x the
-    matmul. Re-scoring only ``k + margin`` rows keeps the cheap matmul while a rank
-    flip would now need > ``margin`` candidates inside the bf16 error band — not a
-    thing for real embedding distributions (bench verifies 0-mismatch empirically).
+    On TPU the default f32 matmul runs in bf16 passes; the certificate in
+    ``refined_masked_topk`` needs a bound on how far a coarse score can sit from
+    the exact one. Measured on seeded random unit vectors with an 8x safety
+    factor (+1e-7 floor so CPU, where default == HIGHEST, still gets a nonzero
+    band). Cached per (backend, d): costs two small matmuls once per process.
+    """
+    with jax.ensure_compile_time_eval():
+        # runs eagerly even when first called inside an outer jit trace — the
+        # result is a Python float baked into the caller's program as a constant
+        key = jax.random.PRNGKey(0)
+        kq, ke = jax.random.split(key)
+        q = jax.random.normal(kq, (64, d), jnp.float32)
+        e = jax.random.normal(ke, (2048, d), jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        fast = jnp.dot(q, e.T, preferred_element_type=jnp.float32)
+        slow = jnp.dot(q, e.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        err = float(jnp.max(jnp.abs(fast - slow)))
+    return 8.0 * err + 1e-7
 
-    q: [B, D], emb: [N, D], mask: [N] bool. Returns ([B, k], [B, k]).
+
+def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
+                             k: int, margin: int = 16
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-phase top-k with a per-query exactness certificate.
+
+    Fast default-precision coarse scores select ``m = k + margin`` candidates
+    (whose coverage of the true coarse top-m is SOUND on every branch — flat
+    ``lax.top_k``, per-tile top-m Pallas merge, or bin-max Pallas; never
+    ``lax.approx_max_k``, whose recall misses admit no bound); candidates are
+    re-scored at f32 HIGHEST. The certificate then bounds every non-candidate:
+    its coarse score is <= the m-th coarse value ``c_m``, so its exact score is
+    <= ``c_m + eps`` with ``eps`` the calibrated default-vs-HIGHEST error band
+    (``matmul_eps``). If the k-th exact candidate value exceeds that bound, no
+    outside row can belong in the top-k and the result is certified exact
+    (VERDICT r1 item 6 — replaces the former "0/8 bench probes" empiricism).
+
+    q: [B, D], emb: [N, D], mask: [N] bool.
+    Returns (vals [B, k], idx [B, k], certified [B] bool).
     """
     n = emb.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    # approx coarse stage only where flat lax.top_k actually hurts (>=256k
-    # rows); at ~100k rows approx recall misses showed up in the bench's
-    # oracle probes (2/8) while flat costs little — exactness wins there
-    use_approx = on_tpu and n >= 262144
-    if use_approx:
-        # widen the coarse net when the candidate stage is approximate
+    if on_tpu and n >= 262144:
+        # widened net keeps the certificate comfortably satisfiable at scale
         margin = max(margin, 4 * k + 32)
     m = min(k + margin, n)
-    if on_tpu and n % 1024 == 0 and n >= 4096 and n < 65536:
-        # fused Pallas path: streams the corpus once, no [B, N] materialization
-        _, cand = dense_topk_pallas(q, emb, jnp.int32(n), m, tile_n=1024,
-                                    mask=mask)
+    if on_tpu and n % 4096 == 0 and n >= 65536:
+        # streaming bin-max kernel: one corpus pass, no [B, N] materialization,
+        # exact coarse coverage (every bin's max upper-bounds its members)
+        vals, idx, cert = binned_refined_topk(q, emb, mask, k, margin=margin,
+                                              tile_n=4096)
+        return vals, idx, cert
+    if on_tpu and n % 1024 == 0 and n >= 4096:
+        # fused per-tile top-m Pallas path: per-tile top-m + in-order merge is
+        # exact on coarse scores (any global top-m element is in its tile's
+        # top-m), so certificate soundness holds
+        cvals, cand = dense_topk_pallas(q, emb, jnp.int32(n), m, tile_n=1024,
+                                        mask=mask)
     else:
         coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
         coarse = jnp.where(mask[None, :], coarse, NEG_INF)
-        if use_approx:
-            # TPU-native approximate top-k (lax.approx_max_k): 3.5x the flat
-            # lax.top_k at 1M rows (7.8ms vs 27.3ms for B=256) at ~0.998
-            # coarse recall — the exact HIGHEST re-score below re-ranks the
-            # widened candidate set, so the FINAL top-k stays exact in
-            # practice (bench's oracle probes verify 0/8 mismatches)
-            _, cand = jax.lax.approx_max_k(coarse, m, recall_target=0.99)
-        else:
-            _, cand = jax.lax.top_k(coarse, m)               # [B, m]
+        cvals, cand = jax.lax.top_k(coarse, m)               # [B, m]
     cand_emb = emb[cand]                                     # [B, m, D]
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
                        preferred_element_type=jnp.float32,
@@ -110,7 +138,43 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     if k > m:
         vals = jnp.pad(vals, ((0, 0), (0, k - m)), constant_values=NEG_INF)
         idx = jnp.pad(idx, ((0, 0), (0, k - m)))
+    if m >= n:
+        # the coarse set is the whole corpus: every row was re-scored exactly
+        return vals, idx, jnp.ones((q.shape[0],), bool)
+    eps = matmul_eps(jax.default_backend(), emb.shape[1])
+    c_m = cvals[:, -1]
+    # exhausted coarse set (fewer than m valid rows) => every valid row was
+    # re-scored exactly => certified regardless of the gap
+    cert = (vals[:, min(k, m) - 1] > c_m + eps) | (c_m <= NEG_INF / 2)
+    return vals, idx, cert
+
+
+def _full_highest_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
+                       k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Certainly-exact fallback: full matmul at HIGHEST + flat top_k."""
+    scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    vals, idx = jax.lax.top_k(jnp.where(mask[None, :], scores, NEG_INF), k)
     return vals, idx
+
+
+def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
+                        k: int, margin: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Certified-exact two-phase top-k (see ``refined_masked_topk_cert``).
+
+    When any query's certificate fails (scores adversarially clustered inside
+    the precision error band), the whole batch recomputes at full HIGHEST — the
+    honest price of an exactness guarantee, paid only when the data demands it.
+    ``lax.cond`` on the scalar all-certified predicate executes one branch on
+    TPU; do not call this under ``vmap`` (callers hoist the batch dim — cond
+    would degrade to executing both branches).
+
+    q: [B, D], emb: [N, D], mask: [N] bool. Returns ([B, k], [B, k]).
+    """
+    vals, idx, cert = refined_masked_topk_cert(q, emb, mask, k, margin=margin)
+    return jax.lax.cond(jnp.all(cert),
+                        lambda: (vals, idx),
+                        lambda: _full_highest_topk(q, emb, mask, k))
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +280,126 @@ def dense_topk_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray, k:
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=0)
     return vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Streaming bin-max Pallas kernel (the >=65k-row path)
+# ---------------------------------------------------------------------------
+def _binmax_kernel(nvalid_ref, q_ref, e_ref, mask_ref, out_ref, *, tile_n: int):
+    """One grid step: corpus-tile scores on the MXU, reduced to 128 bin maxima.
+
+    Bin ``j`` of a tile holds rows ``{j + 128*i : i < tile_n/128}`` (strided
+    layout — the natural Mosaic reshape). The reduction is a single sublane max,
+    so unlike the per-tile top-k kernel there is no O(k) extraction loop: the
+    VPU cost per tile is ~1 op/element and the kernel stays MXU/HBM-bound.
+    """
+    i = pl.program_id(0)
+    scores = jnp.dot(q_ref[:], e_ref[:].T, preferred_element_type=jnp.float32)
+    base = i * tile_n
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    eligible = (base + col < nvalid_ref[0]) & (mask_ref[:].reshape(1, -1) > 0)
+    scores = jnp.where(eligible, scores, NEG_INF)
+    B = scores.shape[0]
+    out_ref[:, :] = scores.reshape(B, tile_n // 128, 128).max(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def dense_binmax_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray,
+                        mask: jnp.ndarray, tile_n: int = 4096,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused matmul + bin-max over the corpus: [B, D] x [N, D] -> [B, N/G] with
+    G = tile_n/128 rows per bin.
+
+    This is the streaming coarse stage for certified top-k at scale: the corpus
+    crosses HBM exactly once, nothing materializes [B, N] (the dominant cost of
+    flat ``lax.top_k`` at >=1M rows), and — unlike ``lax.approx_max_k`` — every
+    row is upper-bounded by its bin's max, so selecting the top-m bins provably
+    covers the coarse top-m (an element beaten by < m others has < m bins with a
+    larger max; certificate handles boundary ties). Ineligible rows contribute
+    NEG_INF.
+    """
+    B, D = q.shape
+    N = emb.shape[0]
+    assert N % tile_n == 0 and tile_n % 128 == 0, (N, tile_n)
+    num_tiles = N // tile_n
+    mask_f = jnp.asarray(mask, jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i, n: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, 128), lambda i, n: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def kernel(nvalid_ref, q_ref, e_ref, mask_ref, out_ref):
+        _binmax_kernel(nvalid_ref, q_ref, e_ref, mask_ref, out_ref.at[0],
+                       tile_n=tile_n)
+
+    (tile_bins,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, B, 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D, bytes_accessed=N * D * 4 + B * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1), q, emb, mask_f)
+    return tile_bins.transpose(1, 0, 2).reshape(B, num_tiles * 128)
+
+
+def binned_rows_of(bin_idx: jnp.ndarray, tile_n: int) -> jnp.ndarray:
+    """Corpus rows covered by global bin ids ([..., m] -> [..., m, G])."""
+    g = tile_n // 128
+    tile = bin_idx // 128
+    lane = bin_idx % 128
+    return (tile * tile_n + lane)[..., None] + 128 * jnp.arange(g)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "margin", "tile_n", "interpret"))
+def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
+                        k: int, margin: int = 16, tile_n: int = 4096,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Certified top-k via the streaming bin-max kernel.
+
+    coarse = top-(k+margin) bins by bin max -> gather those bins' G rows each ->
+    exact HIGHEST re-score -> top-k. Certificate: every row outside the selected
+    bins has coarse score <= the m-th bin max ``c_m``; exact <= ``c_m + eps``.
+    Returns (vals [B, k], idx [B, k], certified [B] bool).
+    """
+    B = q.shape[0]
+    n = emb.shape[0]
+    binmax = dense_binmax_pallas(q, emb, jnp.int32(n), mask, tile_n=tile_n,
+                                 interpret=interpret)
+    nbins = binmax.shape[1]
+    m = min(k + margin, nbins)
+    bm_vals, bm_idx = jax.lax.top_k(binmax, m)               # [B, m]
+    rows = binned_rows_of(bm_idx, tile_n).reshape(B, -1)     # [B, m*G]
+    cand_emb = emb[rows]                                     # [B, m*G, D]
+    exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    exact = jnp.where(mask[rows], exact, NEG_INF)
+    kk = min(k, exact.shape[1])
+    vals, pos = jax.lax.top_k(exact, kk)
+    idx = jnp.take_along_axis(rows, pos, axis=1)
+    if k > kk:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        idx = jnp.pad(idx, ((0, 0), (0, k - kk)))
+    if m >= nbins:
+        # every bin selected: all rows re-scored exactly
+        return vals, idx, jnp.ones((B,), bool)
+    eps = matmul_eps(jax.default_backend(), emb.shape[1])
+    c_m = bm_vals[:, -1]
+    cert = (vals[:, kk - 1] > c_m + eps) | (c_m <= NEG_INF / 2)
+    return vals, idx, cert
 
 
 def dense_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,

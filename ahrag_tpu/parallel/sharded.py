@@ -74,53 +74,93 @@ def sharded_dense_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
 def sharded_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
                          mesh: Mesh, margin: int = 16
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-phase top-k over a corpus-sharded embedding matrix, exact-at-scale.
+    """Certified two-phase top-k over a corpus-sharded embedding matrix.
 
     Same contract as ``sharded_dense_topk`` but the shard-local stage follows
-    the single-chip production ladder (ops/topk.py::refined_masked_topk):
-    cheap default-precision coarse scores select ``k+margin`` local candidates
-    (TPU-native ``lax.approx_max_k`` when the shard holds >=256k rows, flat
-    ``lax.top_k`` below), which are re-scored at f32 HIGHEST *locally* — so the
-    values crossing ICI in the all_gather merge are already exact and the tiny
-    replicated re-top-k is exact over exact scores. Per-shard re-score is local
-    (each device gathers only from its own shard), no cross-shard traffic
-    beyond the [n_shards, B, m] candidate gather.
+    the single-chip production ladder (ops/topk.py): a cheap default-precision
+    coarse stage selects local candidates (streaming bin-max Pallas kernel when
+    the shard holds >=64k 4096-aligned rows — sound coverage, unlike the former
+    ``lax.approx_max_k`` whose recall misses admit no bound; flat ``lax.top_k``
+    below), re-scored at f32 HIGHEST *locally* — so the values crossing ICI in
+    the all_gather merge are already exact. The exactness certificate is global:
+    every row outside some shard's candidate set has exact score <=
+    ``max_shard(c_m) + eps``; when the merged k-th value does not clear that
+    bound, every shard takes the replicated fallback branch (full local HIGHEST
+    matmul + merge). Cross-shard traffic is the [n_shards, B, kk] candidate
+    gather plus one [n_shards, B] bound gather.
     """
     n_shards = mesh.shape[CORPUS_AXIS]
     n_total = emb.shape[0]
     assert n_total % n_shards == 0, (n_total, n_shards)
     rows = n_total // n_shards
     n_valid = jnp.asarray(n_valid, jnp.int32)
-    use_approx = jax.default_backend() == "tpu" and rows >= 262144
-    if use_approx:
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and rows >= 262144:
         margin = max(margin, 4 * k + 32)
     m = min(k + margin, rows)
+    use_binned = on_tpu and rows % 4096 == 0 and rows >= 65536
+    from ahrag_tpu.ops.topk import (binned_rows_of, dense_binmax_pallas,
+                                    matmul_eps)
+    eps = matmul_eps(jax.default_backend(), emb.shape[1])
 
     def local_fn(q_l, emb_l, nv):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         offset = shard * rows
-        scores = jnp.dot(q_l, emb_l.T, preferred_element_type=jnp.float32)
-        col = offset + jnp.arange(rows)[None, :]
-        scores = jnp.where(col < nv, scores, NEG_INF)
-        if use_approx:
-            _, idx = jax.lax.approx_max_k(scores, m, recall_target=0.99)
+        b = q_l.shape[0]
+        if use_binned:
+            col = offset + jnp.arange(rows)
+            mask_l = col < nv
+            binmax = dense_binmax_pallas(q_l, emb_l, jnp.int32(rows), mask_l,
+                                         tile_n=4096)
+            mb = min(m, binmax.shape[1])
+            bm_vals, bm_idx = jax.lax.top_k(binmax, mb)
+            idx = binned_rows_of(bm_idx, 4096).reshape(b, -1)   # [B, mb*G] local
+            c_m = bm_vals[:, -1]
         else:
-            _, idx = jax.lax.top_k(scores, m)              # [B, m] local
+            scores = jnp.dot(q_l, emb_l.T, preferred_element_type=jnp.float32)
+            col = offset + jnp.arange(rows)[None, :]
+            scores = jnp.where(col < nv, scores, NEG_INF)
+            cvals, idx = jax.lax.top_k(scores, m)               # [B, m] local
+            c_m = cvals[:, -1]
         cand_emb = emb_l[idx]                              # [B, m, D] local gather
         exact = jnp.einsum("bd,bmd->bm", q_l, cand_emb,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
         exact = jnp.where((idx + offset) < nv, exact, NEG_INF)
-        kk = min(k, m)
+        kk = min(k, exact.shape[1])
         vals, pos = jax.lax.top_k(exact, kk)               # exact local top-k
         gidx = jnp.take_along_axis(idx, pos, axis=1) + offset
         all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
         all_idx = jax.lax.all_gather(gidx, CORPUS_AXIS)
-        b = q_l.shape[0]
+        all_cm = jax.lax.all_gather(c_m, CORPUS_AXIS)      # [n_shards, B]
         cand_v = all_vals.transpose(1, 0, 2).reshape(b, n_shards * kk)
         cand_i = all_idx.transpose(1, 0, 2).reshape(b, n_shards * kk)
-        v, p = jax.lax.top_k(cand_v, min(k, n_shards * kk))
-        return v, jnp.take_along_axis(cand_i, p, axis=1)
+        kg = min(k, n_shards * kk)
+        v, p = jax.lax.top_k(cand_v, kg)
+        i = jnp.take_along_axis(cand_i, p, axis=1)
+        if m >= rows:
+            return v, i  # every row re-scored exactly: unconditionally certified
+        bound = jnp.max(all_cm, axis=0) + eps              # [B] replicated
+        certified = jnp.all((v[:, kg - 1] > bound)
+                            | (jnp.max(all_cm, axis=0) <= NEG_INF / 2))
+
+        def fallback():
+            s = jnp.dot(q_l, emb_l.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            cols = offset + jnp.arange(rows)[None, :]
+            s = jnp.where(cols < nv, s, NEG_INF)
+            kl = min(k, rows)
+            fv, fidx = jax.lax.top_k(s, kl)
+            fav = jax.lax.all_gather(fv, CORPUS_AXIS)
+            fai = jax.lax.all_gather(fidx + offset, CORPUS_AXIS)
+            cv = fav.transpose(1, 0, 2).reshape(b, n_shards * kl)
+            ci = fai.transpose(1, 0, 2).reshape(b, n_shards * kl)
+            vv, pp = jax.lax.top_k(cv, kg)
+            return vv[:, :kg], jnp.take_along_axis(ci, pp, axis=1)[:, :kg]
+
+        # replicated predicate: every shard takes the same branch; the branches
+        # contain collectives, so they MUST run in lockstep across the mesh
+        return jax.lax.cond(certified, lambda: (v, i), fallback)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,

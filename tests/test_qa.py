@@ -1,0 +1,93 @@
+"""Typed fact-KB QA layer (answer/qa.py): extraction, chaining, comparisons.
+
+Covers the failure families the round-1 span scorer missed on the adversarial
+dev split: paraphrased relation vocabulary and one-hop bridge questions.
+"""
+from ahrag_tpu.answer.qa import Facts, answer_from_facts, extract_facts
+
+SENTS = [
+    "The Gilded Causeway is a 2002 animated film directed by Ximena Fontaine.",
+    "The film stars Ulrich Yamamoto and is set in Sendai.",
+    "The Gilded Causeway was released in 2002 to wide attention.",
+    "Ximena Fontaine is a Mexican sculptor who was born in Monterrey in 1954.",
+    "Ulrich Yamamoto is a Japanese jazz pianist who was born in Nagoya in 1960.",
+    "Harbor Institute is an organization founded by Boris Kovacs in 1971.",
+    "The headquarters of Harbor Institute are in Halifax.",
+    "Halifax is a city in Canada.",
+    "Boris Kovacs is a Hungarian astronomer who was born in Debrecen in 1940.",
+]
+
+
+def test_fact_extraction_tables():
+    f = extract_facts(SENTS)
+    assert f.directed_by["The Gilded Causeway"] == "Ximena Fontaine"
+    # topic continuity: "The film stars ..." inherits the paragraph subject
+    assert f.stars["The Gilded Causeway"] == ["Ulrich Yamamoto"]
+    assert f.released["The Gilded Causeway"] == "2002"
+    assert f.setting["The Gilded Causeway"] == "Sendai"
+    assert f.nationality["Ximena Fontaine"] == "Mexican"
+    assert f.profession["Ximena Fontaine"] == "sculptor"
+    assert f.birth_city["Ximena Fontaine"] == "Monterrey"
+    assert f.birth_year["Ximena Fontaine"] == "1954"
+    assert f.founded_by["Harbor Institute"] == "Boris Kovacs"
+    assert f.founded_year["Harbor Institute"] == "1971"
+    assert f.hq["Harbor Institute"] == "Halifax"
+    assert f.city_in["Halifax"] == "Canada"
+
+
+def test_paraphrased_identity_questions():
+    assert answer_from_facts("Who helmed The Gilded Causeway?", SENTS) == \
+        "Ximena Fontaine"
+    assert answer_from_facts("Which filmmaker was behind The Gilded Causeway?",
+                             SENTS) == "Ximena Fontaine"
+    assert answer_from_facts("What is the occupation of the person who "
+                             "established Harbor Institute?", SENTS) == \
+        "astronomer"
+
+
+def test_description_based_film_reference():
+    assert answer_from_facts("Who helmed the animated picture from 2002?",
+                             SENTS) == "Ximena Fontaine"
+    # insufficient descriptor evidence must NOT guess
+    assert answer_from_facts("Who directed Nonexistent Film?", SENTS) is None
+
+
+def test_bridge_chains():
+    # film -> star -> nationality
+    assert answer_from_facts("Which country does the lead actor of The Gilded "
+                             "Causeway come from?", SENTS) == "Japanese"
+    # film -> director -> birth city
+    assert answer_from_facts("In which city did the filmmaker behind The "
+                             "Gilded Causeway grow up?", SENTS) == "Monterrey"
+    # org -> hq city -> country
+    assert answer_from_facts("What country hosts Harbor Institute?", SENTS) == \
+        "Canada"
+
+
+def test_attribute_questions():
+    assert answer_from_facts("Where does Harbor Institute operate from?",
+                             SENTS) == "Halifax"
+    assert answer_from_facts("What is Ximena Fontaine's line of work?",
+                             SENTS) == "sculptor"
+    assert answer_from_facts("When did The Gilded Causeway first reach "
+                             "theaters?", SENTS) == "2002"
+
+
+def test_comparison_yes_no():
+    assert answer_from_facts("Do Ximena Fontaine and Ulrich Yamamoto share the "
+                             "same citizenship?", SENTS) == "no"
+    assert answer_from_facts("Are Boris Kovacs and Boris Kovacs from the same "
+                             "country?", SENTS) == "yes"
+    # unknown entity: no guess
+    assert answer_from_facts("Do Ximena Fontaine and Santa Claus share the "
+                             "same citizenship?", SENTS) is None
+
+
+def test_no_relation_words_copied_from_question():
+    """Asking about an entity the facts lack must return None, not a guess."""
+    assert answer_from_facts("Who helmed The Missing Movie?", SENTS) is None
+
+
+def test_facts_empty_evidence():
+    assert answer_from_facts("Who helmed X?", []) is None
+    assert extract_facts([]).films() == set()
