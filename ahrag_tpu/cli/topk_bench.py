@@ -76,46 +76,69 @@ def run_ladder(n: int, b: int, d: int, k: int, reps: int = 10,
     gflop = 2.0 * b * n * d / 1e9
     hbm_gb = (n * d * 4 + b * n * 4) / 1e9  # corpus read + score write (flat)
 
+    # NOTE: q/e/mask must be jit ARGUMENTS, not closures — a jitted lambda that
+    # closes over the [1M, D] corpus embeds it as an HLO constant, and the
+    # tunneled backend then ships ~1.5 GB of program per variant compile
+    # (observed: >9 min hang per variant).
     wanted = set(variants.split(","))
     if "flat" in wanted:
-        f = jax.jit(lambda: jax.lax.top_k(
-            jnp.where(mask[None, :],
-                      jnp.dot(q, e.T, preferred_element_type=jnp.float32),
+        jf = jax.jit(lambda qq, ee, mm: jax.lax.top_k(
+            jnp.where(mm[None, :],
+                      jnp.dot(qq, ee.T, preferred_element_type=jnp.float32),
                       NEG_INF), k))
+        f = lambda: jf(q, e, mask)  # noqa: E731
         dt = _time(f, reps)
         _, fi = f()
         out["flat"] = {"ms": dt * 1e3, "qps": b / dt,
                        "oracle_mismatch": int((fi[:8] != oi).sum()),
                        "tflops": gflop / dt / 1e3}
     if "approx" in wanted:
-        f = jax.jit(lambda: jax.lax.approx_max_k(
-            jnp.where(mask[None, :],
-                      jnp.dot(q, e.T, preferred_element_type=jnp.float32),
+        jf = jax.jit(lambda qq, ee, mm: jax.lax.approx_max_k(
+            jnp.where(mm[None, :],
+                      jnp.dot(qq, ee.T, preferred_element_type=jnp.float32),
                       NEG_INF), k, recall_target=0.99))
+        f = lambda: jf(q, e, mask)  # noqa: E731
         dt = _time(f, reps)
         _, ai = f()
         out["approx"] = {"ms": dt * 1e3, "qps": b / dt,
                          "oracle_mismatch": int((ai[:8] != oi).sum()),
                          "tflops": gflop / dt / 1e3}
     if "binmax" in wanted and n % 4096 == 0:
-        f = jax.jit(lambda: dense_binmax_pallas(q, e, jnp.int32(n), mask,
-                                                tile_n=4096))
+        f = lambda: dense_binmax_pallas(q, e, jnp.int32(n), mask,  # noqa: E731
+                                        tile_n=4096)
         dt = _time(f, reps)
         out["binmax"] = {"ms": dt * 1e3, "qps": b / dt,
                          "tflops": gflop / dt / 1e3,
                          "hbm_stream_gb": n * d * 4 / 1e9,
                          "gbps": n * d * 4 / 1e9 / dt}
     if "binned" in wanted and n % 4096 == 0:
-        f = jax.jit(lambda: binned_refined_topk(q, e, mask, k,
-                                                margin=4 * k + 32, tile_n=4096))
+        f = lambda: binned_refined_topk(q, e, mask, k,  # noqa: E731
+                                        margin=4 * k + 32, tile_n=4096)
         dt = _time(f, reps)
         bv, bi, cert = f()
         out["binned"] = {"ms": dt * 1e3, "qps": b / dt,
                          "oracle_mismatch": int((bi[:8] != oi).sum()),
                          "cert_rate": float(jnp.mean(cert.astype(jnp.float32))),
                          "tflops": gflop / dt / 1e3}
+    if "binmax_hi" in wanted and n % 4096 == 0:
+        f = lambda: dense_binmax_pallas(q, e, jnp.int32(n), mask,  # noqa: E731
+                                        tile_n=4096, precision="highest")
+        dt = _time(f, reps)
+        out["binmax_hi"] = {"ms": dt * 1e3, "qps": b / dt,
+                            "tflops": gflop / dt / 1e3,
+                            "gbps": n * d * 4 / 1e9 / dt}
+    if "binned_hi" in wanted and n % 4096 == 0:
+        f = lambda: binned_refined_topk(q, e, mask, k,  # noqa: E731
+                                        margin=k + 16, tile_n=4096,
+                                        coarse_precision="highest")
+        dt = _time(f, reps)
+        bv, bi, cert = f()
+        out["binned_hi"] = {"ms": dt * 1e3, "qps": b / dt,
+                            "oracle_mismatch": int((bi[:8] != oi).sum()),
+                            "cert_rate": float(jnp.mean(cert.astype(jnp.float32))),
+                            "tflops": gflop / dt / 1e3}
     if "refined" in wanted:
-        f = jax.jit(lambda: refined_masked_topk(q, e, mask, k, margin=16))
+        f = lambda: refined_masked_topk(q, e, mask, k, margin=16)  # noqa: E731
         dt = _time(f, reps)
         _, ri = f()
         out["refined"] = {"ms": dt * 1e3, "qps": b / dt,

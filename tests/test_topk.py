@@ -169,8 +169,14 @@ def test_certificate_fails_on_adversarial_clustering():
     _, _, cert = refined_masked_topk_cert(q, jnp.asarray(e), mask, 5, margin=8)
     assert not bool(jnp.all(cert))  # the gap cannot beat eps
     vals, idx = refined_masked_topk(q, jnp.asarray(e), mask, 5, margin=8)
-    ovals, oidx = _numpy_oracle(q, jnp.asarray(e), 512, 5)
-    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    # Near-ties inside the accumulation-noise band have no canonical order —
+    # numpy f32 and XLA HIGHEST may legally disagree at the ulp level. The
+    # fallback's contract is: every returned row's TRUE (f64) score is within
+    # accumulation noise of the true top-k scores.
+    true = np.asarray(base, np.float64) @ np.asarray(e, np.float64).T
+    true_topk = np.sort(true)[::-1][:5]
+    chosen = np.sort(true[np.asarray(idx)[0]])[::-1]
+    np.testing.assert_allclose(chosen, true_topk, atol=1e-6)
 
 
 def test_certificate_passes_on_separated_scores():
