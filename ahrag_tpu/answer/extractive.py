@@ -189,17 +189,22 @@ def _agent_signal(span_l: str, s_lower: str, verbs: List[str]) -> float:
     return signal
 
 
-def extract_answer(query: str, context_text: str) -> Optional[str]:
+def extract_answer(query: str, context_text: str,
+                   allow_span_scoring: bool = True) -> Optional[str]:
     """Best typed answer span from the evidence, or None when nothing scores.
 
     Tries the typed fact-KB chain first (answer/qa.py — handles paraphrased
     relation vocabulary and one-hop bridge questions structurally), then falls
-    back to span scoring."""
+    back to span scoring. ``allow_span_scoring=False`` stops after the fact
+    chain — used for comparison questions, where a scored name span can never
+    be the (yes/no) answer."""
     from ahrag_tpu.answer.qa import answer_from_facts
     sentences = _clean_sentences(context_text)
     fact_answer = answer_from_facts(query, sentences)
     if fact_answer:
         return fact_answer
+    if not allow_span_scoring:
+        return None
     qtype, focus = _question_type(query)
     keywords = _keywords(query)
     if not keywords:

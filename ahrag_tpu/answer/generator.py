@@ -104,15 +104,19 @@ class AnswerGenerator:
                   allowed: List[str]) -> Dict[str, Any]:
         query_l = query.lower()
         is_comparison = any(k in query_l for k in _COMPARISON_KWS)
-        if not is_comparison:
-            # typed extractive answer first: exact spans beat snippet synthesis
-            from ahrag_tpu.answer.extractive import extract_answer
-            span = extract_answer(query, context.get("context_text", ""))
-            if span:
-                return {"answer": span[:200],
-                        "rationale": f"Extracted from evidence matching the "
-                                     f"question terms: '{span}'."[:600],
-                        "citations": allowed[:3]}
+        # typed extractive answer first: exact spans beat snippet synthesis.
+        # Comparisons included — the fact chain (answer/qa.py) resolves both
+        # subjects' attributes and returns a bare yes/no; the former skip here
+        # routed every comparison to _synthesize's hardcoded nationality list,
+        # which silently failed on any nationality outside its 7 entries.
+        from ahrag_tpu.answer.extractive import extract_answer
+        span = extract_answer(query, context.get("context_text", ""),
+                              allow_span_scoring=not is_comparison)
+        if span:
+            return {"answer": span[:200],
+                    "rationale": f"Extracted from evidence matching the "
+                                 f"question terms: '{span}'."[:600],
+                    "citations": allowed[:3]}
         lines = [ln.strip() for ln in context.get("context_text", "").splitlines()
                  if ln.strip().startswith("-")]
         entity_lines = [ln for ln in lines if "(entity)" in ln]

@@ -120,17 +120,22 @@ def run_ladder(n: int, b: int, d: int, k: int, reps: int = 10,
                          "oracle_mismatch": int((bi[:8] != oi).sum()),
                          "cert_rate": float(jnp.mean(cert.astype(jnp.float32))),
                          "tflops": gflop / dt / 1e3}
-    if "binmax_hi" in wanted and n % 4096 == 0:
+    # HIGHEST coarse needs tile_n=2048: the f32 3-pass matmul's scratch blows
+    # VMEM at 4096 (observed: Mosaic OOM). Bins shrink to G=16 rows, halving
+    # the refine gather as a side effect.
+    if "binmax_hi" in wanted and n % 2048 == 0:
         f = lambda: dense_binmax_pallas(q, e, jnp.int32(n), mask,  # noqa: E731
-                                        tile_n=4096, precision="highest")
+                                        tile_n=2048, precision="highest")
         dt = _time(f, reps)
         out["binmax_hi"] = {"ms": dt * 1e3, "qps": b / dt,
                             "tflops": gflop / dt / 1e3,
                             "gbps": n * d * 4 / 1e9 / dt}
-    if "binned_hi" in wanted and n % 4096 == 0:
+    if "binned_hi" in wanted and n % 2048 == 0:
+        # the production >=65k certified config (refined_masked_topk_cert)
         f = lambda: binned_refined_topk(q, e, mask, k,  # noqa: E731
-                                        margin=k + 16, tile_n=4096,
-                                        coarse_precision="highest")
+                                        margin=3 * k + 2, tile_n=2048,
+                                        coarse_precision="highest",
+                                        select="approx")
         dt = _time(f, reps)
         bv, bi, cert = f()
         out["binned_hi"] = {"ms": dt * 1e3, "qps": b / dt,

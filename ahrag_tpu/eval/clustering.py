@@ -31,7 +31,9 @@ def _pseudo_word(rng: random.Random) -> str:
 def make_labeled_entities(n_entities: int, n_topics: int, seed: int = 0,
                           noise_frac: float = 0.05,
                           words_per_topic: int = 24,
-                          desc_words: int = 10
+                          desc_words: int = 10,
+                          n_super: int = 0,
+                          super_frac: float = 0.3
                           ) -> Tuple[List[Dict[str, str]], List[int]]:
     """Synthetic entities with known topic labels.
 
@@ -41,11 +43,27 @@ def make_labeled_entities(n_entities: int, n_topics: int, seed: int = 0,
     uniformly across ALL topic vocabularies plus junk words — lexically adrift
     from every cluster core (the analogue of HDBSCAN's low-density noise).
 
+    ``n_super`` > 0 adds a SECOND ground-truth level: topics are grouped into
+    ``n_super`` super-topics (topic t belongs to super ``t % n_super``), and a
+    ``super_frac`` fraction of each description samples from a super-topic
+    vocabulary shared by sibling topics. Sibling L1 centroids then genuinely
+    correlate, which is what makes L1-relation edges and L2 community recovery
+    measurable (super label of entity i = ``label % n_super``).
+
     Returns (entities [{name, description, type}], labels [N] with -1 = noise).
     """
     rng = random.Random(seed)
-    vocab: List[List[str]] = []
+    super_vocab: List[List[str]] = []
     used: set = set()
+    for _ in range(max(n_super, 0)):
+        words = []
+        while len(words) < words_per_topic:
+            w = _pseudo_word(rng)
+            if w not in used:
+                used.add(w)
+                words.append(w)
+        super_vocab.append(words)
+    vocab: List[List[str]] = []
     for _ in range(n_topics):
         words = []
         while len(words) < words_per_topic:
@@ -77,7 +95,13 @@ def make_labeled_entities(n_entities: int, n_topics: int, seed: int = 0,
             words = rng.sample(pool, min(desc_words, len(pool)))
         else:
             label = i % n_topics
-            words = [rng.choice(vocab[label]) for _ in range(desc_words)]
+            n_sup_words = (int(round(super_frac * desc_words))
+                           if n_super > 0 else 0)
+            sup = super_vocab[label % n_super] if n_super > 0 else []
+            words = ([rng.choice(sup) for _ in range(n_sup_words)]
+                     + [rng.choice(vocab[label])
+                        for _ in range(desc_words - n_sup_words)])
+            rng.shuffle(words)
         name = f"ent {i} {words[0]}"
         entities.append({"name": name, "type": "concept",
                          "description": " ".join(words)})

