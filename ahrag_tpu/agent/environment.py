@@ -53,6 +53,10 @@ class GraphEnvironment:
         self.last_results: Optional[Dict[str, Any]] = None
         self.step_count = 0
         self.selection_set: set[str] = set()
+        # commit order of selection_set (the set gives O(1) membership; the
+        # list preserves the rank retrieval accounting needs — recall@k over
+        # an alphabetical sort of content-hash ids is noise)
+        self.selection_order: List[str] = []
         self.frontier_set: set[str] = set()
         self.current_filters: Dict[str, Any] = {
             "judge_overall_min": None, "confidence_min": None, "type_filter": None}
@@ -138,6 +142,7 @@ class GraphEnvironment:
         self.last_results = None
         self.step_count = 0
         self.selection_set.clear()
+        self.selection_order.clear()
         self.frontier_set.clear()
         if seed_query:
             return self.semantic_anchor(seed_query, top_k=top_k)
@@ -263,6 +268,7 @@ class GraphEnvironment:
         for nid in node_ids:
             if nid in self.hg.nodes and nid not in self.selection_set:
                 self.selection_set.add(nid)
+                self.selection_order.append(nid)
                 added.append(nid)
                 self.frontier_set.discard(nid)
         obs = self._observation([], [{"node_id": n, "score": 0.0, "semantic": 0.0}

@@ -104,8 +104,14 @@ class InferenceEngine:
         used_actions: List[Dict[str, Any]] = [info]
 
         initial = pick_top_ids(obs, query)
-        if initial:
-            _, info_commit = self.env.commit_selection(initial)
+        # entities the question names verbatim are retrieval anchors — commit
+        # them unconditionally (the type-priority picker favors persons, which
+        # starved work/film nodes out of star_nationality-style selections;
+        # reference parity: capitalized-name matching in _pick_top_ids,
+        # reference inference.py:220-314)
+        named = self._question_entity_ids(query)
+        if initial or named:
+            _, info_commit = self.env.commit_selection(named + initial)
             used_actions.append(info_commit)
 
         for _ in range(max(1, steps - 1)):
@@ -206,7 +212,12 @@ class InferenceEngine:
             "session_path": self.env.session_path,
             "evidence": evidence,
             "context": context,
-            "retrieved_nodes": sorted(self.env.selection_set),
+            # rank order: follow-up-hop nodes first (the question provably
+            # hinges on them), then commit order — NOT an alphabetical sort of
+            # content-hash ids, which made recall@10 a lottery once the
+            # selection outgrew k
+            "retrieved_nodes": list(dict.fromkeys(
+                hop_ids + self.env.selection_order)),
             "session_data": summary,
         }
         try:
@@ -226,6 +237,24 @@ class InferenceEngine:
             return missing_entities(query, sents)
         except Exception:
             return []
+
+    def _question_entity_ids(self, query: str) -> List[str]:
+        """Graph entity ids for capitalized spans the question itself names
+        (exact or substring match only — no semantic fallback, so the cost is
+        O(spans) host lookups and no extra device dispatch)."""
+        from ahrag_tpu.answer.qa import _question_entities
+        hg = self.env.hg
+        out: List[str] = []
+        for name in _question_entities(query)[:4]:
+            nid = hg.find_entity(name)
+            if not nid:
+                for hid, d in hg.search_by_name_or_title(name):
+                    if d.get("node_type") == "entity":
+                        nid = hid
+                        break
+            if nid and nid not in out:
+                out.append(nid)
+        return out
 
     def _locate_entity(self, name: str) -> Optional[str]:
         """Graph node for a follow-up entity: exact name, substring search,

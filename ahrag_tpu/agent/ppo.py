@@ -371,6 +371,93 @@ def make_sharded_train_step(learner: PPOLearner, w, max_steps: int = 6,
     return jax.jit(train_step)
 
 
+def ppo_train_multi(bgts, q_embs: np.ndarray, search_weights,
+                    gold_masks: Optional[np.ndarray] = None,
+                    n_updates: int = 30, max_steps: int = 6,
+                    ppo_cfg: Optional[PPOConfig] = None,
+                    save_path: Optional[str] = None, top_k: int = 5,
+                    member_top_m: int = 5, seed: int = 0,
+                    final_reward_weight: float = 4.0,
+                    log: Callable[[str], None] = print,
+                    curve_out: Optional[str] = None) -> PPOLearner:
+    """PPO across a fleet of per-question KGs (VERDICT r1 item 8).
+
+    Each update runs ONE vmapped (graph, query) episode per fleet member via
+    ``rollout_multi`` — the multi-graph analogue of ``ppo_train_device``.
+    ``gold_masks [G, N_pad]`` (from ``agent.fleet.gold_node_mask``) wires the
+    terminal reward the reference defined but never used (reward.py:29-38):
+    the episode's last live step earns ``final_reward_weight *
+    recall(final selection, gold nodes)``, so returns optimize the retrieval
+    metric the benchmark actually scores instead of only the dense
+    selection-growth shaping.
+    """
+    from ahrag_tpu.agent.featurizer import OBS_DIM
+    from ahrag_tpu.agent.vec_env import N_ACTIONS
+    from ahrag_tpu.graph.multi import rollout_multi
+
+    cfg = ppo_cfg or PPOConfig()
+    learner = PPOLearner(OBS_DIM, N_ACTIONS, cfg, seed=seed)
+    key = jax.random.PRNGKey(seed)
+    gold = None if gold_masks is None else jnp.asarray(gold_masks)
+    q_dev = jnp.asarray(q_embs)
+    curve: List[Dict[str, Any]] = []
+    for u in range(n_updates):
+        key, sub = jax.random.split(key)
+        traj, final = rollout_multi(bgts, q_dev, learner.params,
+                                    learner.apply_fn, sub, search_weights,
+                                    max_steps=max_steps, top_k=top_k,
+                                    member_top_m=member_top_m)
+        rewards = traj.rewards
+        recall = None
+        if gold is not None:
+            n_gold = gold.sum(axis=1)
+            hit = (final.selection & gold).sum(axis=1)
+            recall = jnp.where(n_gold > 0, hit / jnp.maximum(n_gold, 1), 0.0)
+            # credit the last live step of each episode
+            t_last = jnp.maximum(traj.mask.sum(axis=1) - 1, 0)          # [G]
+            bonus = jnp.zeros_like(rewards).at[
+                jnp.arange(rewards.shape[0]), t_last].set(
+                final_reward_weight * recall)
+            rewards = rewards + bonus * traj.mask
+        adv, ret = gae_device(rewards, traj.values, traj.dones, traj.mask,
+                              cfg.gamma, cfg.gae_lambda)
+        live = np.asarray(traj.mask).reshape(-1)
+        if not live.any():
+            continue
+        obs = np.asarray(traj.obs).reshape(-1, traj.obs.shape[-1])[live]
+        losses = learner.update(obs,
+                                np.asarray(traj.actions).reshape(-1)[live]
+                                .astype(np.int64),
+                                np.asarray(traj.logps).reshape(-1)[live],
+                                np.asarray(ret).reshape(-1)[live],
+                                np.asarray(adv).reshape(-1)[live], seed=seed + u)
+        ep_reward = float((np.asarray(rewards) * np.asarray(traj.mask)).sum()
+                          / max(1, rewards.shape[0]))
+        entry = {"update": u, "mean_ep_reward": ep_reward,
+                 **{k: float(v) for k, v in losses.items()}}
+        if recall is not None:
+            entry["mean_final_recall"] = float(jnp.mean(recall))
+        curve.append(entry)
+        log(f"[PPO/multi] update={u} ep_reward={ep_reward:.3f} "
+            f"recall={entry.get('mean_final_recall', float('nan')):.3f}")
+    if curve_out:
+        import json as _json
+        import os as _os
+        _os.makedirs(_os.path.dirname(curve_out) or ".", exist_ok=True)
+        first = float(np.mean([c["mean_ep_reward"] for c in curve[:3]])) if curve else 0.0
+        last = float(np.mean([c["mean_ep_reward"] for c in curve[-3:]])) if curve else 0.0
+        with open(curve_out, "w") as f:
+            _json.dump({"n_updates": len(curve), "n_graphs": int(q_embs.shape[0]),
+                        "max_steps": max_steps, "seed": seed,
+                        "final_reward_weight": final_reward_weight,
+                        "first3_mean_ep_reward": first,
+                        "last3_mean_ep_reward": last,
+                        "improvement": last - first, "curve": curve}, f, indent=1)
+    if save_path:
+        learner.save(save_path)
+    return learner
+
+
 def ppo_train_device(gt, q_embs: np.ndarray, search_weights, n_updates: int = 10,
                      max_steps: int = 6, batch_size: int = 16,
                      ppo_cfg: Optional[PPOConfig] = None,

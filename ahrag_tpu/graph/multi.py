@@ -125,6 +125,8 @@ def hybrid_search_multi(b: BatchedGraphTensors, q_embs: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("apply_fn", "max_steps", "top_k",
                                     "member_top_m"))
+@functools.partial(jax.jit, static_argnames=("apply_fn", "max_steps", "top_k",
+                                             "member_top_m"))
 def rollout_multi(b: BatchedGraphTensors, q_embs: jnp.ndarray, params: Any,
                   apply_fn: Callable, key: jnp.ndarray, w: SearchWeights,
                   max_steps: int = 6, top_k: int = 5,

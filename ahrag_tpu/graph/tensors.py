@@ -109,11 +109,22 @@ def build_graph_tensors(
     """Assemble device tensors from host-side (already integer-indexed) graph data."""
     n = len(node_types)
     assert embeddings.shape[0] == n
-    # MXU lane tile. Measured on v5e: XLA's fused f32(HIGHEST) matmul+top-k
-    # beats the Pallas coarse kernel at >=1M rows (8.6k vs 4.8k qps), so N is
-    # NOT forced to the Pallas 1024 tile; the kernel engages only for corpora
-    # that are already 1024-aligned (ops/topk.py).
-    n_pad = round_up(n, 128)
+    # Padding follows the top-k backend ladder (ops/topk.py routing):
+    # - >= 65536 rows: 2048 so the streaming bin-max kernel engages — its
+    #   HIGHEST-precision coarse pass keeps the exactness certificate
+    #   satisfiable (~1e-6 band); the flat path's bf16-band certificate FAILS
+    #   on clustered score distributions and forces the full-HIGHEST fallback
+    #   on every batch (measured 131k nodes: 3.5k qps mis-padded vs the binned
+    #   path's flat-matching speed)
+    # - >= 4096: 1024 for the per-tile Pallas path
+    # - below that: the 128 MXU lane tile (flat XLA path, padding overhead
+    #   matters more than kernel choice on tiny graphs)
+    if n >= 65536:
+        n_pad = round_up(n, 2048)
+    elif n >= 4096:
+        n_pad = round_up(n, 1024)
+    else:
+        n_pad = round_up(n, 128)
     d = embeddings.shape[1]
 
     emb = np.zeros((n_pad, d), dtype=np.float32)

@@ -47,6 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.hash_features.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                       ctypes.c_int32,
                                       ctypes.POINTER(ctypes.c_float)]
+        lib.hash_features_coo_batch.restype = ctypes.c_int64
+        lib.hash_features_coo_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64]
         lib.exact_topk_f32.restype = None
         lib.exact_topk_f32.argtypes = [ctypes.POINTER(ctypes.c_float),
                                        ctypes.POINTER(ctypes.c_float),
@@ -111,6 +117,37 @@ def token_estimate(text: str) -> int:
         raw = text.encode("utf-8")
         return int(lib.token_estimate(raw, np.int64(len(raw))))
     return max(1, len(text) // 4) if text else 0
+
+
+def hash_features_coo(texts: List[str], buckets: int, n_threads: int = 0
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Batched sparse featurization: (rows, cols, vals) COO triplets over
+    ``texts`` (doc-major, ascending buckets within a doc), or None if the
+    library is unbuilt. Threaded in C++; skips the dense [n, buckets] counts
+    matrix and the nonzero re-scan entirely (the encode hot path at corpus
+    scale — see hash_features_coo_batch in ahrag_native.cpp)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hash_features_coo_batch"):
+        return None
+    blobs = [(t or "").encode("utf-8") for t in texts]
+    offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    data = b"".join(blobs)
+    # features per doc <= ~4*chars (unigrams+bigrams < chars; 3 char-gram
+    # scales) + slack; the retry path covers pathological inputs
+    cap = max(4 * len(data) + 16 * len(blobs), 1024)
+    for _ in range(3):
+        rows = np.empty(cap, dtype=np.int32)
+        cols = np.empty(cap, dtype=np.int32)
+        vals = np.empty(cap, dtype=np.float32)
+        nnz = int(lib.hash_features_coo_batch(
+            data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            np.int32(len(blobs)), np.int32(buckets), np.int32(n_threads),
+            _ptr_i32(rows), _ptr_i32(cols), _ptr_f32(vals), np.int64(cap)))
+        if nnz >= 0:
+            return rows[:nnz], cols[:nnz], vals[:nnz]
+        cap = -nnz
+    return None
 
 
 def hash_features_counts(texts: List[str], buckets: int) -> Optional[np.ndarray]:

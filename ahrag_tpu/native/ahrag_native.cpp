@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <thread>
 #include <cstring>
 #include <vector>
 
@@ -108,7 +109,13 @@ static inline uint64_t fnv1a(const char* s, int64_t len, uint64_t h = 1469598103
   return h;
 }
 
-void hash_features(const char* text, int64_t len, int32_t buckets, float* out) {
+}  // extern "C"
+
+// Feature enumeration shared by the dense and COO entry points; `emit` is
+// called once per feature occurrence with the bucket index.
+template <class Emit>
+static void for_each_feature(const char* text, int64_t len, int32_t buckets,
+                             Emit emit) {
   // normalize: lowercase, non-[a-z0-9] -> separator; build the compact
   // space-joined word string
   std::vector<char> compact;
@@ -133,14 +140,14 @@ void hash_features(const char* text, int64_t len, int32_t buckets, float* out) {
   const char* buf = compact.data();
   // word unigrams
   for (auto& w : words)
-    out[fnv1a(buf + w.first, w.second) % buckets] += 1.0f;
+    emit(static_cast<int32_t>(fnv1a(buf + w.first, w.second) % buckets));
   // word bigrams: "a_b"
   for (size_t i = 0; i + 1 < words.size(); ++i) {
     uint64_t h = fnv1a(buf + words[i].first, words[i].second);
     h ^= static_cast<unsigned char>('_');
     h *= 1099511628211ULL;
     h = fnv1a(buf + words[i + 1].first, words[i + 1].second, h);
-    out[h % buckets] += 1.0f;
+    emit(static_cast<int32_t>(h % buckets));
   }
   // char 3..5-grams over the compact string, prefixed "c<n>:"
   int64_t clen = static_cast<int64_t>(compact.size());
@@ -149,9 +156,78 @@ void hash_features(const char* text, int64_t len, int32_t buckets, float* out) {
     for (int64_t i = 0; i + n <= clen; ++i) {
       uint64_t h = fnv1a(prefix, 3);
       h = fnv1a(buf + i, n, h);
-      out[h % buckets] += 1.0f;
+      emit(static_cast<int32_t>(h % buckets));
     }
   }
+}
+
+extern "C" {
+
+void hash_features(const char* text, int64_t len, int32_t buckets, float* out) {
+  for_each_feature(text, len, buckets, [&](int32_t b) { out[b] += 1.0f; });
+}
+
+// Batched SPARSE featurization: documents are `data` sliced by `offsets`
+// (n_docs+1 entries); emits COO triplets (row=doc, col=bucket, val=count)
+// into rows/cols/vals (capacity `cap`), doc-major with ascending cols inside
+// each doc. Threaded over documents. Returns total nnz, or -needed when `cap`
+// is too small (caller re-allocates and retries).
+//
+// Why it exists: the dense [chunk, buckets] counts matrix costs more to
+// allocate, fill and re-scan with np.nonzero than the hashing itself (profiled:
+// ~0.9 ms/doc end-to-end dense vs ~0.04 ms/doc here), and the encoder ships
+// COO triplets to the device anyway (models/encoder/hashed.py).
+int64_t hash_features_coo_batch(const char* data, const int64_t* offsets,
+                                int32_t n_docs, int32_t buckets,
+                                int32_t n_threads, int32_t* rows, int32_t* cols,
+                                float* vals, int64_t cap) {
+  if (n_docs <= 0) return 0;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int nt = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
+  if (nt > n_docs) nt = n_docs;
+
+  struct Triplet { int32_t row, col; float val; };
+  std::vector<std::vector<Triplet>> parts(nt);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      int32_t lo = static_cast<int32_t>(static_cast<int64_t>(n_docs) * t / nt);
+      int32_t hi = static_cast<int32_t>(static_cast<int64_t>(n_docs) * (t + 1) / nt);
+      auto& out = parts[t];
+      std::vector<float> counts;                 // bucket -> count, reused
+      counts.assign(buckets, 0.f);
+      std::vector<int32_t> touched;              // buckets hit by this doc
+      for (int32_t d = lo; d < hi; ++d) {
+        touched.clear();
+        for_each_feature(data + offsets[d], offsets[d + 1] - offsets[d],
+                         buckets, [&](int32_t b) {
+                           if (counts[b] == 0.f) touched.push_back(b);
+                           counts[b] += 1.0f;
+                         });
+        std::sort(touched.begin(), touched.end());
+        for (int32_t b : touched) {
+          out.push_back({d, b, counts[b]});
+          counts[b] = 0.f;                       // reset for the next doc
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  int64_t total = 0;
+  for (auto& p : parts) total += static_cast<int64_t>(p.size());
+  if (total > cap) return -total;
+  int64_t w = 0;
+  for (auto& p : parts) {
+    for (auto& tr : p) {
+      rows[w] = tr.row;
+      cols[w] = tr.col;
+      vals[w] = tr.val;
+      ++w;
+    }
+  }
+  return total;
 }
 
 // Exact top-k of q @ emb^T. q: [b, d], emb: [n, d] row-major.

@@ -119,31 +119,41 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
     n = emb.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     m = min(k + margin, n)
-    if on_tpu and n % 2048 == 0 and n >= 65536:
+    if on_tpu and n % 1024 == 0 and n >= 4096:
         # streaming bin-max kernel: one corpus pass, no [B, N] materialization,
         # exact coarse coverage (every bin's max upper-bounds its members).
         # HIGHEST in-kernel matmul costs ~3% extra wall (the kernel is
         # HBM-bound) and shrinks eps from the bf16 ~4e-3 band to ~1e-6, which
         # is what keeps the certificate satisfiable on clustered score
-        # distributions (measured cert_rate 0.72 -> 1.0 at 1M rows); approx
-        # bin selection at rt=0.999 + the exact c_out bound halves the refine
-        # cost while staying sound (see binned_refined_topk).
-        vals, idx, cert = binned_refined_topk(q, emb, mask, k,
-                                              margin=max(margin, 3 * k + 2),
-                                              tile_n=2048,
-                                              coarse_precision="highest",
-                                              select="approx")
-        return vals, idx, cert
-    if on_tpu and n % 1024 == 0 and n >= 4096:
-        # fused per-tile top-m Pallas path: per-tile top-m + in-order merge is
-        # exact on coarse scores (any global top-m element is in its tile's
-        # top-m), so certificate soundness holds
-        cvals, cand = dense_topk_pallas(q, emb, jnp.int32(n), m, tile_n=1024,
-                                        mask=mask)
-    else:
-        coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
-        coarse = jnp.where(mask[None, :], coarse, NEG_INF)
-        cvals, cand = jax.lax.top_k(coarse, m)               # [B, m]
+        # distributions (measured cert_rate 0.72 -> 1.0 at 1M rows — with the
+        # bf16 band the fallback fires on EVERY batch of clustered corpora and
+        # throughput collapses 4x); approx bin selection at rt=0.999 + the
+        # exact c_out bound halves the refine cost while staying sound (see
+        # binned_refined_topk).
+        # Batch-chunked: the kernel's VMEM blocks scale with B (scores tile
+        # [B, tile_n] plus the HIGHEST 3-pass scratch); 256 is the measured
+        # safe block. Chunking costs extra corpus passes — milliseconds of HBM
+        # stream at these N. Trace-time Python loop: B is static under jit.
+        B = q.shape[0]
+        tile_n = 2048 if n % 2048 == 0 else 1024
+        outs = []
+        for s in range(0, B, 256):
+            outs.append(binned_refined_topk(q[s:s + 256], emb, mask, k,
+                                            margin=max(margin, 3 * k + 2),
+                                            tile_n=tile_n,
+                                            coarse_precision="highest",
+                                            select="approx"))
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
+    if on_tpu:
+        # small corpus: the full HIGHEST matmul is cheap (3x a tiny matmul
+        # beats a two-phase whose bf16-band certificate can fail and pay 4x)
+        vals, idx = _full_highest_topk(q, emb, mask, k)
+        return vals, idx, jnp.ones((q.shape[0],), bool)
+    coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+    coarse = jnp.where(mask[None, :], coarse, NEG_INF)
+    cvals, cand = jax.lax.top_k(coarse, m)                   # [B, m]
     cand_emb = emb[cand]                                     # [B, m, D]
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
                        preferred_element_type=jnp.float32,

@@ -77,17 +77,24 @@ def sharded_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
     """Certified two-phase top-k over a corpus-sharded embedding matrix.
 
     Same contract as ``sharded_dense_topk`` but the shard-local stage follows
-    the single-chip production ladder (ops/topk.py): a cheap default-precision
-    coarse stage selects local candidates (streaming bin-max Pallas kernel when
-    the shard holds >=64k 4096-aligned rows — sound coverage, unlike the former
-    ``lax.approx_max_k`` whose recall misses admit no bound; flat ``lax.top_k``
-    below), re-scored at f32 HIGHEST *locally* — so the values crossing ICI in
-    the all_gather merge are already exact. The exactness certificate is global:
-    every row outside some shard's candidate set has exact score <=
-    ``max_shard(c_m) + eps``; when the merged k-th value does not clear that
-    bound, every shard takes the replicated fallback branch (full local HIGHEST
-    matmul + merge). Cross-shard traffic is the [n_shards, B, kk] candidate
-    gather plus one [n_shards, B] bound gather.
+    the single-chip production ladder (ops/topk.py):
+
+    - shards below the streaming-kernel window run the full LOCAL matmul at
+      f32 HIGHEST and merge exact local top-k — exact by construction, no
+      certificate or fallback branch needed (3x a small matmul beats a
+      bf16-band certificate that fails on clustered scores and pays 4x);
+    - >=64k-row 2048-aligned shards run the bin-max Pallas kernel with the
+      HIGHEST in-kernel matmul (eps ~1e-6), re-score selected bins' rows at
+      HIGHEST locally, and carry a per-shard out-of-net bound ``c_out`` (max
+      over NON-selected bin maxima). The exactness certificate is global:
+      every row outside every shard's candidate net has exact score <=
+      ``max_shard(c_out) + eps``; when the merged k-th value does not clear
+      that bound, every shard takes the replicated fallback branch (full local
+      HIGHEST matmul + merge).
+
+    Values crossing ICI in the all_gather merge are exact in both regimes.
+    Cross-shard traffic is the [n_shards, B, kk] candidate gather plus one
+    [n_shards, B] bound gather.
     """
     n_shards = mesh.shape[CORPUS_AXIS]
     n_total = emb.shape[0]
@@ -95,33 +102,44 @@ def sharded_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
     rows = n_total // n_shards
     n_valid = jnp.asarray(n_valid, jnp.int32)
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and rows >= 262144:
-        margin = max(margin, 4 * k + 32)
     m = min(k + margin, rows)
-    use_binned = on_tpu and rows % 4096 == 0 and rows >= 65536
+    use_binned = on_tpu and rows % 2048 == 0 and rows >= 65536
     from ahrag_tpu.ops.topk import (binned_rows_of, dense_binmax_pallas,
                                     matmul_eps)
-    eps = matmul_eps(jax.default_backend(), emb.shape[1])
+    eps = matmul_eps(jax.default_backend(), emb.shape[1],
+                     "highest" if use_binned else "default")
 
     def local_fn(q_l, emb_l, nv):
         shard = jax.lax.axis_index(CORPUS_AXIS)
         offset = shard * rows
         b = q_l.shape[0]
-        if use_binned:
-            col = offset + jnp.arange(rows)
-            mask_l = col < nv
-            binmax = dense_binmax_pallas(q_l, emb_l, jnp.int32(rows), mask_l,
-                                         tile_n=4096)
-            mb = min(m, binmax.shape[1])
-            bm_vals, bm_idx = jax.lax.top_k(binmax, mb)
-            idx = binned_rows_of(bm_idx, 4096).reshape(b, -1)   # [B, mb*G] local
-            c_m = bm_vals[:, -1]
-        else:
-            scores = jnp.dot(q_l, emb_l.T, preferred_element_type=jnp.float32)
-            col = offset + jnp.arange(rows)[None, :]
-            scores = jnp.where(col < nv, scores, NEG_INF)
-            cvals, idx = jax.lax.top_k(scores, m)               # [B, m] local
-            c_m = cvals[:, -1]
+        if not use_binned:
+            # exact local stage: full HIGHEST matmul + local top-k; the merged
+            # result is exact unconditionally
+            s = jnp.dot(q_l, emb_l.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            cols = offset + jnp.arange(rows)[None, :]
+            s = jnp.where(cols < nv, s, NEG_INF)
+            kl = min(k, rows)
+            fv, fidx = jax.lax.top_k(s, kl)
+            fav = jax.lax.all_gather(fv, CORPUS_AXIS)
+            fai = jax.lax.all_gather(fidx + offset, CORPUS_AXIS)
+            cv = fav.transpose(1, 0, 2).reshape(b, n_shards * kl)
+            ci = fai.transpose(1, 0, 2).reshape(b, n_shards * kl)
+            kg = min(k, n_shards * kl)
+            vv, pp = jax.lax.top_k(cv, kg)
+            return vv, jnp.take_along_axis(ci, pp, axis=1)
+        col = offset + jnp.arange(rows)
+        mask_l = col < nv
+        binmax = dense_binmax_pallas(q_l, emb_l, jnp.int32(rows), mask_l,
+                                     tile_n=2048, precision="highest")
+        nbins = binmax.shape[1]
+        mb = min(max(m, 3 * k + 2), nbins)
+        bm_vals, bm_idx = jax.lax.top_k(binmax, mb)
+        bcol = jax.lax.broadcasted_iota(jnp.int32, binmax.shape, 1)
+        chosen = (bcol[:, None, :] == bm_idx[:, :, None]).any(axis=1)
+        c_out = jnp.max(jnp.where(chosen, NEG_INF, binmax), axis=1)  # [B]
+        idx = binned_rows_of(bm_idx, 2048).reshape(b, -1)   # [B, mb*G] local
         cand_emb = emb_l[idx]                              # [B, m, D] local gather
         exact = jnp.einsum("bd,bmd->bm", q_l, cand_emb,
                            preferred_element_type=jnp.float32,
@@ -132,14 +150,14 @@ def sharded_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
         gidx = jnp.take_along_axis(idx, pos, axis=1) + offset
         all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
         all_idx = jax.lax.all_gather(gidx, CORPUS_AXIS)
-        all_cm = jax.lax.all_gather(c_m, CORPUS_AXIS)      # [n_shards, B]
+        all_cm = jax.lax.all_gather(c_out, CORPUS_AXIS)    # [n_shards, B]
         cand_v = all_vals.transpose(1, 0, 2).reshape(b, n_shards * kk)
         cand_i = all_idx.transpose(1, 0, 2).reshape(b, n_shards * kk)
         kg = min(k, n_shards * kk)
         v, p = jax.lax.top_k(cand_v, kg)
         i = jnp.take_along_axis(cand_i, p, axis=1)
-        if m >= rows:
-            return v, i  # every row re-scored exactly: unconditionally certified
+        if mb >= nbins:
+            return v, i  # every bin selected: all rows re-scored exactly
         bound = jnp.max(all_cm, axis=0) + eps              # [B] replicated
         certified = jnp.all((v[:, kg - 1] > bound)
                             | (jnp.max(all_cm, axis=0) <= NEG_INF / 2))

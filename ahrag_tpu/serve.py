@@ -69,6 +69,7 @@ class MicroBatcher:
         # wrong batch's results); entries are deleted once every submitter of
         # that generation has read its item.
         self._results: Dict[int, List[Any]] = {}
+        self._abandoned: Dict[int, int] = {}   # gen -> timed-out submitters
         self._generation = 0
         self._closed = False
         self.n_batches = 0
@@ -108,10 +109,21 @@ class MicroBatcher:
                 # future submit() forever.
                 payload = ("err", exc)
             with self._lock:
-                self._results[gen] = [payload, len(batch)]
+                readers = len(batch) - self._abandoned.pop(gen, 0)
+                if readers > 0:  # timed-out submitters never read their entry
+                    self._results[gen] = [payload, readers]
                 self._lock.notify_all()
 
-    def submit(self, item: Any) -> Any:
+    def submit(self, item: Any, timeout_s: Optional[float] = None) -> Any:
+        """Block until the batch containing ``item`` is processed.
+
+        ``timeout_s`` bounds the wait: a wedged device or a pathological batch
+        must fail THIS caller with ``TimeoutError`` instead of holding its
+        thread (and the HTTP connection behind it) forever. The item itself
+        stays in the batch — when processing eventually completes, the
+        remaining-reader bookkeeping still runs via the abandoned count.
+        """
+        deadline = (time.monotonic() + timeout_s) if timeout_s else None
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher closed")
@@ -120,7 +132,16 @@ class MicroBatcher:
             self._pending.append(item)
             self._lock.notify_all()
             while gen not in self._results:
-                self._lock.wait()
+                if deadline is not None:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        self._abandoned[gen] = self._abandoned.get(gen, 0) + 1
+                        raise TimeoutError(
+                            f"request timed out after {timeout_s}s awaiting "
+                            f"batch {gen}")
+                    self._lock.wait(timeout=remaining)
+                else:
+                    self._lock.wait()
             entry = self._results[gen]
             entry[1] -= 1
             if entry[1] == 0:
@@ -136,15 +157,21 @@ class MicroBatcher:
                     "mean_batch": self.n_items / max(1, self.n_batches),
                     "max_batch": self.max_batch_seen}
 
-    def close(self) -> None:
+    def close(self, drain_timeout_s: float = 5.0) -> None:
+        """Stop accepting submissions and drain: the worker keeps flushing
+        already-queued batches (blocked submitters get their results), then
+        exits; ``drain_timeout_s`` bounds the join so shutdown cannot hang on
+        a wedged device."""
         with self._lock:
             self._closed = True
             self._lock.notify_all()
+        self._worker.join(timeout=drain_timeout_s)
 
 
 class RetrievalService:
     def __init__(self, graph_dir: str = "graph", hg: Optional[HierarchicalGraph] = None,
-                 max_batch: int = 64, max_wait_s: float = 0.002) -> None:
+                 max_batch: int = 64, max_wait_s: float = 0.002,
+                 request_timeout_s: Optional[float] = 10.0) -> None:
         self.hg = hg or HierarchicalGraph.load(graph_dir)
         if self.hg.dirty or not self.hg._embeddings:
             self.hg.build_vector_index(layers=(0, 1, 2))
@@ -157,6 +184,7 @@ class RetrievalService:
                 "f32 result path supports < 2^24 — shard the corpus instead")
         self.timers = Timers()
         self.latency = LatencyRecorder()
+        self.request_timeout_s = request_timeout_s
         self._batcher = MicroBatcher(self._process_batch, max_batch=max_batch,
                                      max_wait_s=max_wait_s)
         self._default_top_k = 5
@@ -180,9 +208,13 @@ class RetrievalService:
             enc = self.hg._encoder()
             if hasattr(enc, "_count_matrix"):
                 # hashed encoder: hash on host, encode+search in ONE dispatch
-                counts = enc._count_matrix(padded)
-                rows, cols = np.nonzero(counts)
-                vals = counts[rows, cols]
+                coo = enc._coo_block(padded) if hasattr(enc, "_coo_block") else None
+                if coo is not None:  # threaded C++ sparse featurizer
+                    rows, cols, vals = coo
+                else:
+                    counts = enc._count_matrix(padded)
+                    rows, cols = np.nonzero(counts)
+                    vals = counts[rows, cols]
                 cap = len(padded) * 256
                 if len(rows) > cap:
                     cap = 1 << (len(rows) - 1).bit_length()
@@ -217,9 +249,11 @@ class RetrievalService:
         return out
 
     def search(self, query: str) -> List[Dict[str, Any]]:
-        """Single query; coalesced with concurrent callers into one device batch."""
+        """Single query; coalesced with concurrent callers into one device
+        batch. Raises ``TimeoutError`` after ``request_timeout_s`` (the caller
+        maps it to HTTP 503) instead of holding the connection forever."""
         with self.latency.timed("request"):
-            return self._batcher.submit(query)
+            return self._batcher.submit(query, timeout_s=self.request_timeout_s)
 
     def search_many(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
         return self._process_batch(queries)
@@ -319,6 +353,9 @@ def serve_http(service: RetrievalService, host: str = "127.0.0.1",
                         query, steps=int(payload.get("steps", 4))))
                 else:
                     self._json(404, {"error": "not found"})
+            except TimeoutError as exc:
+                # overloaded/wedged device: shed THIS request, keep serving
+                self._json(503, {"error": f"timeout: {exc}"})
             except Exception as exc:  # pragma: no cover - defensive
                 self._json(500, {"error": str(exc)})
 

@@ -219,3 +219,81 @@ def test_serving_thread_safety_stress(service):
     assert not errors, errors[:3]
     lat = service.latency.snapshot().get("request", {})
     assert lat.get("count", 0) >= 48
+
+
+def test_microbatcher_submit_timeout():
+    """A wedged process() must fail the caller with TimeoutError, and the
+    late-arriving result must not leak into the results table."""
+    import threading
+    import time as _t
+
+    release = threading.Event()
+
+    def process(batch):
+        release.wait(timeout=5.0)
+        return [x * 2 for x in batch]
+
+    mb = MicroBatcher(process, max_batch=1, max_wait_s=0.0005)
+    try:
+        with pytest.raises(TimeoutError):
+            mb.submit(21, timeout_s=0.05)
+        release.set()
+        _t.sleep(0.2)  # worker publishes the abandoned batch
+        with mb._lock:
+            assert not mb._results  # abandoned entry was dropped, not leaked
+        # the batcher still works after the timeout storm
+        assert mb.submit(5, timeout_s=2.0) == 10
+    finally:
+        release.set()
+        mb.close()
+
+
+def test_microbatcher_close_drains_pending():
+    """close() lets already-submitted work finish (graceful shutdown) and
+    rejects new submissions."""
+    import threading
+
+    started = threading.Event()
+
+    def process(batch):
+        started.set()
+        return [x + 1 for x in batch]
+
+    mb = MicroBatcher(process, max_batch=4, max_wait_s=0.2)
+    results = {}
+
+    def worker():
+        results["v"] = mb.submit(41)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    while not mb._pending and "v" not in results:
+        pass  # the submission is in flight
+    mb.close(drain_timeout_s=5.0)
+    t.join(timeout=5.0)
+    assert results.get("v") == 42
+    with pytest.raises(RuntimeError):
+        mb.submit(1)
+
+
+def test_http_timeout_maps_to_503(service, monkeypatch):
+    import urllib.request
+
+    def slow_search(query):
+        raise TimeoutError("synthetic deadline")
+
+    monkeypatch.setattr(service, "search", slow_search)
+    server = serve_http(service, port=0)
+    import threading
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search",
+            data=json.dumps({"query": "x"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=5)
+        assert ei.value.code == 503
+    finally:
+        server.shutdown()
