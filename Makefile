@@ -1,4 +1,6 @@
 PY ?= python
+# CPU-forced launcher (JAX_PLATFORMS env cannot override the axon sitecustomize)
+PYCPU ?= python tools/cpu_python.py
 
 .PHONY: test ingest bench gate trajectories bc ppo ppo-device eval-rl snapshot
 
@@ -35,9 +37,9 @@ snapshot:
 	$(PY) -m ahrag_tpu.cli.build_rl_snapshot --data samples/mini_questions.jsonl
 
 report:
-	$(PY) -m ahrag_tpu.cli.demo samples/mini_films.txt --no-repl --artifacts /tmp/ahrag_report_a --graph /tmp/ahrag_report_g
-	$(PY) -m ahrag_tpu.cli.benchmark --dataset local --data samples/mini_questions.jsonl --system both --limit 5 --graph /tmp/ahrag_report_g --judge-sample 0.0 --out reports/benchmark_local_r1.json
-	$(PY) -m ahrag_tpu.cli.benchmark --dataset local --data samples/mini_hotpot.jsonl --system ah_rag --limit 6 --judge-sample 0.0 --out reports/benchmark_hotpot_r1.json
+	$(PYCPU) ahrag_tpu.cli.demo samples/mini_films.txt --no-repl --artifacts /tmp/ahrag_report_a --graph /tmp/ahrag_report_g
+	$(PYCPU) ahrag_tpu.cli.benchmark --dataset local --data samples/mini_questions.jsonl --system both --limit 5 --graph /tmp/ahrag_report_g --judge-sample 0.0 --out reports/benchmark_local_r1.json
+	$(PYCPU) ahrag_tpu.cli.benchmark --dataset local --data samples/mini_hotpot.jsonl --system ah_rag --limit 6 --judge-sample 0.0 --out reports/benchmark_hotpot_r1.json
 
 serve:
 	$(PY) -m ahrag_tpu.cli.serve --graph graph
