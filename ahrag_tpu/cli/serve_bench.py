@@ -73,22 +73,42 @@ def main() -> None:
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
     ap.add_argument("--queries", default=None,
                     help="optional text file, one query per line")
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated max_batch values to compare (p99 "
+                         "regression artifact, e.g. '8,16,32,64'); overrides "
+                         "--max-batch")
     ap.add_argument("--out", default=None, help="write the JSON report here")
     args = ap.parse_args()
 
+    from ahrag_tpu.graph import HierarchicalGraph
     from ahrag_tpu.serve import RetrievalService
-    service = RetrievalService(graph_dir=args.graph, max_batch=args.max_batch,
-                               max_wait_s=args.max_wait_ms / 1e3)
+
+    hg = HierarchicalGraph.load(args.graph)
     if args.queries:
         with open(args.queries) as f:
             queries = [ln.strip() for ln in f if ln.strip()]
     else:
         queries = [f"tell me about {n.get('name') or n.get('title') or 'this'}"
-                   for n in list(service.hg.nodes.values())[:64]] or ["overview"]
-    try:
-        report = run_load(service, queries, args.threads, args.requests)
-    finally:
-        service.close()
+                   for n in list(hg.nodes.values())[:64]] or ["overview"]
+
+    batches = ([int(x) for x in args.sweep.split(",")] if args.sweep
+               else [args.max_batch])
+    runs = []
+    for mb in batches:
+        service = RetrievalService(hg=hg, max_batch=mb,
+                                   max_wait_s=args.max_wait_ms / 1e3)
+        try:
+            rep = run_load(service, queries, args.threads, args.requests)
+        finally:
+            service.close()
+        rep["max_batch"] = mb
+        runs.append(rep)
+        print(f"max_batch={mb}: qps={rep['qps']} "
+              f"p99={rep['latency_ms'].get('p99_ms')}ms", flush=True)
+    report = runs[0] if len(runs) == 1 else {
+        "sweep": runs,
+        "best_p99": min(runs, key=lambda r: r["latency_ms"].get("p99_ms", 1e9))
+        ["max_batch"]}
     print(json.dumps(report, indent=1))
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
