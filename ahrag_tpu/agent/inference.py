@@ -34,8 +34,17 @@ _CAP_NAME_RE = re.compile(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b")
 
 
 def pick_top_ids(observation: Dict[str, Any], query: str = "") -> List[str]:
-    """Query-aware selection of the most relevant nodes from an observation."""
-    sel = observation.get("selection") or []
+    """Query-aware selection of the most relevant nodes from an observation.
+
+    Candidates are the reranked nodes PLUS the raw seeds (reference parity:
+    _pick_top_ids reads briefs of reranked+seed nodes, inference.py:220-314) —
+    the summary layer-boost in the rerank formula can push every entity seed
+    out of the reranked top-k, and a picker that only sees reranked nodes then
+    starves on exactly the entity the question asks about."""
+    sel = list(observation.get("selection") or [])
+    seen = {x.get("node_id") for x in sel}
+    sel += [s for s in (observation.get("seeds") or [])
+            if s.get("node_id") and s.get("node_id") not in seen]
     entities = [x for x in sel if x.get("node_type") == "entity" and x.get("node_id")]
     summaries = [x for x in sel if x.get("node_type") == "summary" and x.get("node_id")]
 
@@ -183,6 +192,24 @@ class InferenceEngine:
                                              priority_ids=hop_ids)
             context = ContextProcessor().build_context(evidence, self.env.hg,
                                                        token_budget, ctx_cfg)
+
+        # retrieval accounting: when the fact chain answers through a bridge
+        # subject whose facts arrived inside a summary body (no hop fired),
+        # commit the subject's own node — the evidence WAS retrieved, and
+        # recall@k scores node-title coverage
+        try:
+            from ahrag_tpu.answer.extractive import _clean_sentences
+            from ahrag_tpu.answer.qa import answer_subjects
+            subjects = answer_subjects(
+                query, _clean_sentences(context.get("context_text", "")))
+        except Exception:
+            subjects = []
+        for name in subjects[:3]:
+            nid = self._locate_entity(name)
+            if nid and nid not in self.env.selection_set:
+                _, info_sub = self.env.commit_selection([nid])
+                used_actions.append(info_sub)
+                hop_ids.append(nid)
         try:
             os.makedirs(self.env.session_path, exist_ok=True)
             with open(os.path.join(self.env.session_path, "events.jsonl"), "a",

@@ -416,3 +416,36 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
     elif not subject_known and _looks_like_person(subject):
         need.append(subject)
     return list(dict.fromkeys(need))
+
+
+def answer_subjects(query: str, sentences: List[str]) -> List[str]:
+    """Entities whose facts the QA chain reads to answer ``query``.
+
+    Retrieval-accounting hook (agent/inference.py): when the answer resolves
+    through a bridge subject whose facts arrived inside a SUMMARY body (so no
+    follow-up hop fired), the subject's own graph node never enters the
+    selection and recall@k under-credits the evidence that was genuinely
+    retrieved. The engine commits these subjects' nodes after answering.
+    Empty when the question is not answerable from the current facts.
+    """
+    if answer_from_facts(query, sentences) is None:
+        return []
+    facts = extract_facts(sentences)
+    query_l = query.lower()
+    ents = _question_entities(query)
+    if re.match(r"^(are|do|does|did|is|was|were)\b", query_l) and (
+            "same" in query_l and len(ents) >= 2):
+        return ents[:2]
+    subs: List[str] = []
+    subject = _resolve_subject(query_l, ents, facts)
+    if subject:
+        subs.append(subject)
+        # org-country chain reads the HQ city's paragraph too
+        if re.search(r"\bcountry\b|citizenship|nationality", query_l):
+            hq_city = _lookup(facts.hq, subject)
+            if hq_city and _lookup(facts.city_in, hq_city):
+                subs.append(hq_city)
+    film = _film_by_description(query_l, facts)
+    if film:
+        subs.append(film)
+    return list(dict.fromkeys(subs))

@@ -136,10 +136,19 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # stream at these N. Trace-time Python loop: B is static under jit.
         B = q.shape[0]
         tile_n = 2048 if n % 2048 == 0 else 1024
+        # Margin scales with the bin count: approx_max_k's top-bin misses grow
+        # with the number of bins, and a missed hot bin lands in c_out and
+        # honestly fails the certificate — whereupon the whole batch pays the
+        # ~30ms full-HIGHEST fallback. Measured at k=5, B=256: 8448 bins
+        # (131k rows) certifies ~1.0 at the narrow net (wide net just costs
+        # 12k qps of gather), while 66688 bins (1M rows) certifies 0.93 narrow
+        # (effective 48ms with fallbacks) vs 1.0 wide (19.6ms).
+        nbins_total = (n // tile_n) * 128
+        wide = 8 * k + 2 if nbins_total > 16384 else 3 * k + 2
         outs = []
         for s in range(0, B, 256):
             outs.append(binned_refined_topk(q[s:s + 256], emb, mask, k,
-                                            margin=max(margin, 3 * k + 2),
+                                            margin=max(margin, wide),
                                             tile_n=tile_n,
                                             coarse_precision="highest",
                                             select="approx"))
