@@ -118,21 +118,32 @@ def cpu_reference_search(hg, emb_ids, emb_mat, q_vec, top_k=5, member_top_m=5):
     return results[:top_k]
 
 
+def _bench_cache_key(n_entities: int, n_topics: int) -> str:
+    import hashlib
+    import inspect
+
+    return hashlib.sha1(
+        (inspect.getsource(build_bench_graph)
+         + f"|{n_entities}|{n_topics}").encode()).hexdigest()[:16]
+
+
+def _bench_cache_exists(n_entities: int) -> bool:
+    n_topics = max(8, n_entities // 64)
+    return (n_entities >= 100000 and os.path.exists(
+        f"/tmp/ahrag_bench_graph_{_bench_cache_key(n_entities, n_topics)}.pkl"))
+
+
 def _cached_bench_graph(n_entities: int, n_topics: int):
     """Disk-cached build: the 1M-entity host-side construction costs minutes
     of pure-Python dict work that is NOT the benchmarked quantity (search qps
     is); the cache is keyed on the builder's source so any change to the graph
     shape invalidates it. Disable with AHRAG_BENCH_CACHE=0."""
-    import hashlib
-    import inspect
     import pickle
 
     if os.environ.get("AHRAG_BENCH_CACHE", "1") != "1" or n_entities < 100000:
         return build_bench_graph(n_entities, n_topics)
-    key = hashlib.sha1(
-        (inspect.getsource(build_bench_graph)
-         + f"|{n_entities}|{n_topics}").encode()).hexdigest()[:16]
-    path = f"/tmp/ahrag_bench_graph_{key}.pkl"
+    path = (f"/tmp/ahrag_bench_graph_"
+            f"{_bench_cache_key(n_entities, n_topics)}.pkl")
     if os.path.exists(path):
         try:
             with open(path, "rb") as fh:
@@ -265,12 +276,16 @@ def main() -> None:
     ladder = []
     for i, n_entities in enumerate(rungs):
         elapsed = time.perf_counter() - t_start
-        if ladder and elapsed > budget_s * 0.55:
-            # the next rung is ~8x the work of the last; don't start what the
-            # budget can't finish — the ladder records what was skipped
+        # estimated rung cost: with a warm disk cache the build is a ~15s
+        # pickle load + measurement; a cold large build is minutes of host
+        # dict work (measured ~1.2ms/entity) — skip what the budget can't
+        # finish and record it
+        est = (120.0 if _bench_cache_exists(n_entities)
+               else 60.0 + n_entities / 900.0)
+        if ladder and elapsed + est > budget_s:
             ladder.append({"n_requested": n_entities, "skipped": True,
                            "reason": f"budget ({elapsed:.0f}s elapsed of "
-                                     f"{budget_s:.0f}s)"})
+                                     f"{budget_s:.0f}s; est {est:.0f}s)"})
             continue
         # [B, N_pad] f32 score intermediates cap the batch at scale: 2048
         # queries over a 1M-row corpus is an 8.6 GB buffer — beyond what the
