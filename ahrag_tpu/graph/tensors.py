@@ -105,8 +105,21 @@ def build_graph_tensors(
     hyperedges: Dict[int, List[int]],
     members: Dict[int, List[int]],
     n_edges: int = 0,
+    emb_dtype: str | None = None,
 ) -> GraphTensors:
-    """Assemble device tensors from host-side (already integer-indexed) graph data."""
+    """Assemble device tensors from host-side (already integer-indexed) graph data.
+
+    ``emb_dtype`` ("float32" default, or "bfloat16" — also settable via
+    AHRAG_EMB_DTYPE): the embedding matrix's STORAGE dtype. bf16 halves the
+    HBM stream of the corpus-scan seed stage (the throughput ceiling at
+    >=100k nodes) and, because bf16xbf16 products are exact in f32
+    accumulation, a single default-precision MXU pass over bf16 storage is
+    already exact — the certified top-k path drops the f32 3-pass penalty too
+    (see ops/topk.py). Scores are then exact with respect to the bf16-rounded
+    corpus: a storage-precision choice (like any vector store's quantization),
+    NOT an approximate search."""
+    import os as _os
+    emb_dtype = emb_dtype or _os.environ.get("AHRAG_EMB_DTYPE", "float32")
     n = len(node_types)
     assert embeddings.shape[0] == n
     # Padding follows the top-k backend ladder (ops/topk.py routing):
@@ -147,8 +160,9 @@ def build_graph_tensors(
     vd = np.zeros(n_pad, dtype=bool)
     vd[:n] = True
 
+    store_dtype = jnp.bfloat16 if emb_dtype == "bfloat16" else jnp.float32
     return GraphTensors(
-        emb=jnp.asarray(emb),
+        emb=jnp.asarray(emb, dtype=store_dtype),
         node_type=jnp.asarray(nt),
         level=jnp.asarray(lv),
         judge=jnp.asarray(jd),

@@ -71,10 +71,13 @@ def matmul_eps(backend: str, d: int, mode: str = "default") -> float:
     eps = 8 * (max|coarse - f64| + max|HIGHEST - f64|) + 1e-7.
 
     ``mode`` is the coarse matmul's precision: "default" (bf16 passes on TPU,
-    eps ~ 4e-3) or "highest" (f32 3-pass, eps ~ 1e-6 — only accumulation-order
+    eps ~ 4e-3), "highest" (f32 3-pass, eps ~ 1e-6 — only accumulation-order
     noise remains, which is what lets the certificate pass on score
-    distributions packed tighter than the bf16 band). Cached per
-    (backend, d, mode): costs two small matmuls once per process.
+    distributions packed tighter than the bf16 band), or "bf16in" (bf16
+    STORAGE: operands are bf16, products are exact in f32 accumulation, so a
+    single default-precision pass carries only accumulation-order noise —
+    eps ~ 1e-6 without any multi-pass penalty). Cached per (backend, d, mode):
+    costs two small matmuls once per process.
     """
     import numpy as np
     with jax.ensure_compile_time_eval():
@@ -86,6 +89,9 @@ def matmul_eps(backend: str, d: int, mode: str = "default") -> float:
         e = jax.random.normal(ke, (2048, d), jnp.float32)
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        if mode == "bf16in":
+            q = q.astype(jnp.bfloat16)
+            e = e.astype(jnp.bfloat16)
         prec = (jax.lax.Precision.HIGHEST if mode == "highest" else None)
         coarse = jnp.dot(q, e.T, preferred_element_type=jnp.float32,
                          precision=prec)
@@ -119,6 +125,14 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
     n = emb.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     m = min(k + margin, n)
+    is_bf16 = emb.dtype == jnp.bfloat16
+    if is_bf16:
+        # bf16 STORAGE mode: score against the stored precision — q rounds to
+        # bf16 once so every stage (coarse kernel, refine, fallback) computes
+        # the SAME bf16 x bf16 products, which are exact in f32 accumulation.
+        # A single default-precision pass is then already exact (no 3-pass),
+        # and the corpus stream halves (see graph/tensors.py emb_dtype).
+        q = q.astype(jnp.bfloat16)
     if on_tpu and n % 1024 == 0 and n >= 4096:
         # streaming bin-max kernel: one corpus pass, no [B, N] materialization,
         # exact coarse coverage (every bin's max upper-bounds its members).
@@ -147,11 +161,11 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         wide = 8 * k + 2 if nbins_total > 16384 else 3 * k + 2
         outs = []
         for s in range(0, B, 256):
-            outs.append(binned_refined_topk(q[s:s + 256], emb, mask, k,
-                                            margin=max(margin, wide),
-                                            tile_n=tile_n,
-                                            coarse_precision="highest",
-                                            select="approx"))
+            outs.append(binned_refined_topk(
+                q[s:s + 256], emb, mask, k,
+                margin=max(margin, wide), tile_n=tile_n,
+                coarse_precision="default" if is_bf16 else "highest",
+                select="approx"))
         if len(outs) == 1:
             return outs[0]
         return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
@@ -176,7 +190,8 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
     if m >= n:
         # the coarse set is the whole corpus: every row was re-scored exactly
         return vals, idx, jnp.ones((q.shape[0],), bool)
-    eps = matmul_eps(jax.default_backend(), emb.shape[1])
+    eps = matmul_eps(jax.default_backend(), emb.shape[1],
+                     "bf16in" if is_bf16 else "default")
     c_m = cvals[:, -1]
     # exhausted coarse set (fewer than m valid rows) => every valid row was
     # re-scored exactly => certified regardless of the gap
@@ -439,6 +454,9 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     """
     B = q.shape[0]
     n = emb.shape[0]
+    is_bf16 = emb.dtype == jnp.bfloat16
+    if is_bf16:
+        q = q.astype(jnp.bfloat16)
     binmax = dense_binmax_pallas(q, emb, jnp.int32(n), mask, tile_n=tile_n,
                                  interpret=interpret,
                                  precision=coarse_precision)
@@ -451,9 +469,12 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         bm_vals, bm_idx = jax.lax.top_k(binmax, m)           # [B, m]
     rows = binned_rows_of(bm_idx, tile_n).reshape(B, -1)     # [B, m*G]
     cand_emb = emb[rows]                                     # [B, m*G, D]
+    # bf16 inputs: products are exact; HIGHEST would only trigger a wasteful
+    # f32-emulation upcast
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=(None if is_bf16
+                                  else jax.lax.Precision.HIGHEST))
     exact = jnp.where(mask[rows], exact, NEG_INF)
     kk = min(k, exact.shape[1])
     vals, pos = jax.lax.top_k(exact, kk)
@@ -464,7 +485,8 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     if m >= nbins:
         # every bin selected: all rows re-scored exactly
         return vals, idx, jnp.ones((B,), bool)
-    eps = matmul_eps(jax.default_backend(), emb.shape[1], coarse_precision)
+    eps = matmul_eps(jax.default_backend(), emb.shape[1],
+                     "bf16in" if is_bf16 else coarse_precision)
     # exact bound over everything outside the candidate net: the max of the
     # NON-selected bin maxima. Strictly tighter than the m-th selected value
     # (so the certificate passes more often), and — crucially — still sound
