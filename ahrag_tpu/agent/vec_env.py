@@ -233,7 +233,12 @@ def act_expand_to_lca(gt: GraphTensors, state: EnvState, max_levels: int = 4,
 def env_reset(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
               top_k: int = 5, member_top_m: int = 5) -> EnvState:
     """reset(seed_query): semantic anchor; frontier = reranked set (gym_env.py:41-52)."""
-    res = hybrid_search(gt, q_emb, w, top_k=top_k, member_top_m=member_top_m)
+    # certify=False: env_reset runs under vmap in the rollout paths, where the
+    # certified wrapper's lax.cond degrades to a select that executes the
+    # full-corpus HIGHEST fallback on every lane (ops/topk.py docstring); the
+    # rollouts tolerate the uncertified-but-exact-in-practice result
+    res = hybrid_search(gt, q_emb, w, top_k=top_k, member_top_m=member_top_m,
+                        certify=False)
     n_pad = gt.n_pad
     top_ids = jnp.full(TOP_CAP, n_pad, jnp.int32).at[:top_k].set(res.reranked_idx)
     top_score = jnp.zeros(TOP_CAP, jnp.float32).at[:top_k].set(

@@ -144,9 +144,8 @@ def extract_facts(sentences: List[str]) -> Facts:
             f.directed_by.setdefault(subj, _norm(m.group(1)))
         for m in re.finditer(r"(?:\bstars|\bstarring|\bstarred)\s+"
                              r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s):
-            film = subj if subj and not s.startswith("The film") else subj
-            if film:
-                f.stars.setdefault(film, []).append(_norm(m.group(1)))
+            if subj:
+                f.stars.setdefault(subj, []).append(_norm(m.group(1)))
         m = re.search(r"(?:founded|established|created|started) by "
                       r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*?)"
                       r"(?:\s+in\s+(1[5-9]\d{2}|20\d{2}))?[\s.,;]*$", s)

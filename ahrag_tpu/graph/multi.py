@@ -122,9 +122,6 @@ def hybrid_search_multi(b: BatchedGraphTensors, q_embs: jnp.ndarray,
     )(_as_graph(b), q_embs)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("apply_fn", "max_steps", "top_k",
-                                    "member_top_m"))
 @functools.partial(jax.jit, static_argnames=("apply_fn", "max_steps", "top_k",
                                              "member_top_m"))
 def rollout_multi(b: BatchedGraphTensors, q_embs: jnp.ndarray, params: Any,

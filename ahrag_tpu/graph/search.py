@@ -181,9 +181,11 @@ def _post_seed(gt: GraphTensors, seed_sim: jnp.ndarray, seed_idx: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "member_top_m"))
+@functools.partial(jax.jit, static_argnames=("top_k", "member_top_m",
+                                             "certify"))
 def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
-                  top_k: int = 5, member_top_m: int = 5) -> SearchResult:
+                  top_k: int = 5, member_top_m: int = 5,
+                  certify: bool = True) -> SearchResult:
     """Full hybrid search for a single query embedding ``q_emb [D]``.
 
     Only the seed scoring touches O(N); expansion/filter/rerank/final-cut all run
@@ -196,7 +198,7 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     # parity, while full-HIGHEST costs 3x the matmul).
     seed_sim, seed_idx = refined_masked_topk(
         q_emb[None, :], gt.emb, gt.indexed & gt.valid, top_k,
-        margin=max(16, 3 * top_k))
+        margin=max(16, 3 * top_k), certify=certify)
     return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m)
 
 

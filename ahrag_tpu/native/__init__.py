@@ -47,12 +47,17 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.hash_features.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                       ctypes.c_int32,
                                       ctypes.POINTER(ctypes.c_float)]
-        lib.hash_features_coo_batch.restype = ctypes.c_int64
-        lib.hash_features_coo_batch.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64]
+        try:
+            # newer symbol: a stale .so from before the COO featurizer must
+            # not disable the rest of the library (callers hasattr-guard it)
+            lib.hash_features_coo_batch.restype = ctypes.c_int64
+            lib.hash_features_coo_batch.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64]
+        except AttributeError:
+            pass
         lib.exact_topk_f32.restype = None
         lib.exact_topk_f32.argtypes = [ctypes.POINTER(ctypes.c_float),
                                        ctypes.POINTER(ctypes.c_float),

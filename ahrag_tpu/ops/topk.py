@@ -70,6 +70,16 @@ def matmul_eps(backend: str, d: int, mode: str = "default") -> float:
     against a float64 host ground truth on seeded random unit vectors:
     eps = 8 * (max|coarse - f64| + max|HIGHEST - f64|) + 1e-7.
 
+    HONESTY NOTE: this is an empirically calibrated band with an 8x safety
+    factor, not an IEEE worst-case proof — embeddings whose rounding errors
+    correlate far more heavily across the D accumulation than random unit
+    vectors' could in principle exceed it, and the certificate would then
+    pass on a wrong result. The formal worst-case bound (sum of per-element
+    ulps) is ~100x looser and would make the certificate useless in
+    practice; 8x over the measured max on matched-dimension data is the
+    engineering compromise, and the property tests adversarially cluster
+    scores INSIDE the band to verify the failure path.
+
     ``mode`` is the coarse matmul's precision: "default" (bf16 passes on TPU,
     eps ~ 4e-3), "highest" (f32 3-pass, eps ~ 1e-6 — only accumulation-order
     noise remains, which is what lets the certificate pass on score
@@ -172,9 +182,13 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         if len(outs) == 1:
             return outs[0]
         return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
-    if on_tpu:
+    if on_tpu and n < 4096:
         # small corpus: the full HIGHEST matmul is cheap (3x a tiny matmul
-        # beats a two-phase whose bf16-band certificate can fail and pay 4x)
+        # beats a two-phase whose bf16-band certificate can fail and pay 4x).
+        # Large UNALIGNED corpora (rare: anything not built through
+        # build_graph_tensors' kernel-window padding) fall through to the flat
+        # coarse+rescore+certificate path below instead — a [B, N] HIGHEST
+        # matmul at 1M rows is 3x the work and an 8 GB score buffer.
         vals, idx = _full_highest_topk(q, emb, mask, k)
         return vals, idx, jnp.ones((q.shape[0],), bool)
     coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
@@ -211,21 +225,34 @@ def _full_highest_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "margin"))
+@functools.partial(jax.jit, static_argnames=("k", "margin", "certify"))
 def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
-                        k: int, margin: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        k: int, margin: int = 16, certify: bool = True
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Certified-exact two-phase top-k (see ``refined_masked_topk_cert``).
 
     When any query's certificate fails (scores adversarially clustered inside
     the precision error band), the whole batch recomputes at full HIGHEST — the
     honest price of an exactness guarantee, paid only when the data demands it.
     ``lax.cond`` on the scalar all-certified predicate executes one branch on
-    TPU; do not call this under ``vmap`` (callers hoist the batch dim — cond
-    would degrade to executing both branches).
+    TPU; do NOT call the certified form under ``vmap`` (callers hoist the
+    batch dim — cond degrades to a select that executes BOTH branches,
+    including the full-corpus HIGHEST fallback, on every call). Callers that
+    must run under vmap (RL rollouts) pass ``certify=False``: same coarse +
+    exact-rescore result, no fallback branch — exact whenever the certificate
+    would have passed, which the rollout paths tolerate.
 
     q: [B, D], emb: [N, D], mask: [N] bool. Returns ([B, k], [B, k]).
     """
+    if emb.dtype == jnp.bfloat16:
+        # bf16 storage contract: EVERY stage (coarse, refine, fallback) scores
+        # the same bf16 x bf16 products — the fallback below must not see the
+        # unrounded f32 q (it would order near-ties differently than the
+        # certified branch, making results depend on batch composition)
+        q = q.astype(jnp.bfloat16)
     vals, idx, cert = refined_masked_topk_cert(q, emb, mask, k, margin=margin)
+    if not certify:
+        return vals, idx
     return jax.lax.cond(jnp.all(cert),
                         lambda: (vals, idx),
                         lambda: _full_highest_topk(q, emb, mask, k))

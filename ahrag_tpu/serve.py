@@ -123,7 +123,8 @@ class MicroBatcher:
         stays in the batch — when processing eventually completes, the
         remaining-reader bookkeeping still runs via the abandoned count.
         """
-        deadline = (time.monotonic() + timeout_s) if timeout_s else None
+        deadline = (time.monotonic() + timeout_s
+                    if timeout_s is not None else None)
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher closed")

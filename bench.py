@@ -227,7 +227,7 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
     # flops = 2*B*N*D per batch; HBM = corpus stream N*D*4 bytes per batch.
     n_pad, d = int(gt.emb.shape[0]), int(gt.emb.shape[1])
     flops = 2.0 * n_queries * n_pad * d
-    hbm_bytes = n_pad * d * 4
+    hbm_bytes = n_pad * d * gt.emb.dtype.itemsize
     tflops = flops / dev_s / 1e12
     gbps = hbm_bytes / dev_s / 1e9
     peak_tflops = 197.0 if jax.default_backend() == "tpu" else None  # v5e bf16
