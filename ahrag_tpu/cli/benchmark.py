@@ -37,7 +37,8 @@ def load_local_jsonl(path: str, limit: Optional[int] = None) -> List[Dict[str, A
                           "question": obj.get("question", ""),
                           "answers": obj.get("answers") or [],
                           "context": obj.get("context"),
-                          "gold_titles": obj.get("gold_titles") or []})
+                          "gold_titles": obj.get("gold_titles") or [],
+                          "qtype": obj.get("qtype")})
             if limit and len(items) >= limit:
                 break
     return items
@@ -169,7 +170,7 @@ def evaluate_item(item: Dict[str, Any], sys_name: str, ans: Dict[str, Any],
                                    item.get("gold_titles") or [], hg, k=10)
     return {
         "retrieval_recall_at_10": retrieval_recall,
-        "id": item.get("id"), "system": sys_name,
+        "id": item.get("id"), "system": sys_name, "qtype": item.get("qtype"),
         "f1": scores.get("f1", 0.0), "em": scores.get("em", 0.0),
         "judge_overall": scores.get("judge_overall", 0.0),
         "contextual_recall": scores.get("contextual_recall", 0.0),
@@ -268,6 +269,29 @@ def run_benchmark(dataset: str, system: str = "both", limit: int = 10,
 
     agg = aggregate(results)
     report = {"items": results, "aggregate": agg, "dataset": dataset}
+    if any(r.get("qtype") for r in results):
+        # per-question-family breakdown (v2 synth: the no-name families are
+        # the honest-retrieval axis — report them separately)
+        by_qtype: Dict[str, Any] = {}
+        for r in results:
+            qt = r.get("qtype") or "unknown"
+            by_qtype.setdefault(qt, []).append(r)
+        report["by_qtype"] = {
+            qt: {sys_n: {
+                "n": len([x for x in rows if x["system"] == sys_n]),
+                "f1": round(sum(x["f1"] for x in rows
+                                if x["system"] == sys_n)
+                            / max(1, len([x for x in rows
+                                          if x["system"] == sys_n])), 2),
+                "em": round(sum(x["em"] for x in rows if x["system"] == sys_n)
+                            / max(1, len([x for x in rows
+                                          if x["system"] == sys_n])), 2),
+                "recall_at_10": round(
+                    sum(x["retrieval_recall_at_10"] for x in rows
+                        if x["system"] == sys_n)
+                    / max(1, len([x for x in rows if x["system"] == sys_n])), 3),
+            } for sys_n in {x["system"] for x in rows}}
+            for qt, rows in sorted(by_qtype.items())}
     print(to_markdown(agg, dataset))
     diag: Dict[str, Dict[str, int]] = {}
     for r in results:

@@ -72,6 +72,129 @@ ORG_TAIL = ["Institute", "Collective", "Foundation", "Consortium",
             "Observatory", "Guild", "Society", "Laboratory"]
 
 
+# ---------------------------------------------------------------------------
+# v2 surface realizations.
+#
+# Round-2 verdict: answer/qa.py's fact patterns were one-to-one with the v1
+# corpus renderers below, so F1 measured template coverage, not generalization.
+# v2 renders every paragraph through one of >=3 alternative realizations per
+# entity type (passive voice, appositives, cross-sentence coreference, synonym
+# verb sets) whose RELATION MARKERS — the static phrases that carry each fact —
+# are provably disjoint from every literal in answer/qa.py and
+# answer/extractive.py. tools/audit_synth_disjoint.py (run as a CI test)
+# enforces that disjointness mechanically, in both directions: markers must
+# appear in generated v2 text, and must never appear in the answerer sources.
+# ---------------------------------------------------------------------------
+
+V2_RELATION_MARKERS: Dict[str, List[str]] = {
+    "person2": ["hailing from", "took up the craft of", "early years passed in",
+                "came into the world in"],
+    "person3": ["entered the world at", "practices as a"],
+    "person4": ["by heritage", "devoted to days spent as a",
+                "traces family roots to"],
+    "film2": ["called the shots on", "arrived in cinemas in",
+              "fronts the ensemble", "its narrative is anchored in"],
+    "film3": ["offerings of", "steered from script to screen by",
+              "anchors the ensemble", "forms the backdrop"],
+    "film4": ["opened to audiences in", "the camera answered to",
+              "carries the leading role", "frames the scenery"],
+    "org2": ["came into being in", "through the efforts of",
+             "maintains its seat in"],
+    "org3": ["owes its existence to", "conducts its affairs out of"],
+    "org4": ["the brainchild of", "has kept its principal offices in"],
+    "city2": ["lies inside"],
+    "city3": ["among the urban centers of", "one finds"],
+    "city4": ["counts among", "municipalities"],
+}
+
+
+def _person_paragraph_v2(p: Dict[str, Any], variant: int) -> Tuple[str, List[str]]:
+    n = p["name"]
+    if variant == 0:  # person2: country (not adjective) + craft phrasing
+        sents = [
+            f"Hailing from {p['country']}, {n} took up the craft of "
+            f"{p['profession']}.",
+            f"{n}'s early years passed in {p['birth_city']}, where {n} came "
+            f"into the world in {p['birth_year']}.",
+        ]
+    elif variant == 1:  # person3: appositive classification
+        sents = [
+            f"{n}, a {p['nationality']} {p['profession']}, entered the world "
+            f"at {p['birth_city']} in {p['birth_year']}.",
+            f"To this day, {n} practices as a {p['profession']}.",
+        ]
+    else:  # person4: cross-sentence coreference
+        sents = [
+            f"The life of {n} has been devoted to days spent as a "
+            f"{p['profession']}.",
+            f"{p['nationality']} by heritage, {n} traces family roots to "
+            f"{p['birth_city']}, arriving there in {p['birth_year']}.",
+        ]
+    return n, sents
+
+
+def _film_paragraph_v2(f: Dict[str, Any], variant: int) -> Tuple[str, List[str]]:
+    t, d, s = f["title"], f["director"]["name"], f["star"]["name"]
+    if variant == 0:  # film2
+        sents = [
+            f"{d} called the shots on {t}, a {f['genre']} feature that "
+            f"arrived in cinemas in {f['year']}.",
+            f"{s} fronts the ensemble, and its narrative is anchored in "
+            f"{f['city'][0]}.",
+        ]
+    elif variant == 1:  # film3
+        sents = [
+            f"Among the {f['genre']} offerings of {f['year']}, {t} stands "
+            f"apart.",
+            f"{t} was steered from script to screen by {d}, while {s} anchors "
+            f"the ensemble.",
+            f"{f['city'][0]} forms the backdrop.",
+        ]
+    else:  # film4
+        sents = [
+            f"{t} opened to audiences in {f['year']} as a work of "
+            f"{f['genre']} cinema.",
+            f"On {t}, the camera answered to {d}; {s} carries the leading "
+            f"role, and {f['city'][0]} frames the scenery.",
+        ]
+    return t, sents
+
+
+def _org_paragraph_v2(o: Dict[str, Any], variant: int) -> Tuple[str, List[str]]:
+    n, f = o["name"], o["founder"]["name"]
+    if variant == 0:  # org2
+        sents = [
+            f"{n} came into being in {o['year']} through the efforts of {f}.",
+            f"The group maintains its seat in {o['city'][0]}.",
+        ]
+    elif variant == 1:  # org3
+        sents = [
+            f"{n} owes its existence to {f}, who put the venture in motion "
+            f"in {o['year']}.",
+            f"{n} conducts its affairs out of {o['city'][0]}.",
+        ]
+    else:  # org4
+        sents = [
+            f"Since {o['year']}, {n} — the brainchild of {f} — has kept its "
+            f"principal offices in {o['city'][0]}.",
+        ]
+    return n, sents
+
+
+def _city_paragraph_v2(city: Tuple[str, str], variant: int) -> Tuple[str, List[str]]:
+    name, country = city
+    if variant == 0:  # city2
+        sents = [f"{name} lies inside {country}.",
+                 f"{name} is celebrated for bustling markets and old universities."]
+    elif variant == 1:  # city3
+        sents = [f"Among the urban centers of {country} one finds {name}.",
+                 f"{name} draws traders and scholars alike."]
+    else:  # city4
+        sents = [f"{name} counts among {country}'s municipalities.",
+                 f"Markets and universities give {name} its reputation."]
+    return name, sents
+
+
 def _person_paragraph(p: Dict[str, Any]) -> Tuple[str, List[str]]:
     sents = [
         f"{p['name']} is a {p['nationality']} {p['profession']} who was born in "
@@ -108,8 +231,13 @@ def _city_paragraph(city: Tuple[str, str]) -> Tuple[str, List[str]]:
 
 
 def make_world(rng: random.Random, n_people: int = 40, n_films: int = 18,
-               n_orgs: int = 12) -> Dict[str, Any]:
-    """Build a closed world of typed entities with non-ambiguous attributes."""
+               n_orgs: int = 12, version: str = "v1") -> Dict[str, Any]:
+    """Build a closed world of typed entities with non-ambiguous attributes.
+
+    ``version="v2"`` renders every paragraph through one of the three v2
+    surface realizations per entity type (sampled per paragraph) — the v1
+    renderers are deliberately EXCLUDED from the v2 pool so the v2 corpus is
+    template-disjoint from answer/qa.py (see V2_RELATION_MARKERS)."""
     names = [f"{f} {l}" for f in FIRST for l in LAST]
     rng.shuffle(names)
     people = []
@@ -142,20 +270,24 @@ def make_world(rng: random.Random, n_people: int = 40, n_films: int = 18,
             for i in range(n_orgs)]
     paragraphs: Dict[str, List[str]] = {}
     kinds: Dict[str, str] = {}
+    v2 = version == "v2"
     for p in people:
-        t, s = _person_paragraph(p)
+        t, s = (_person_paragraph_v2(p, rng.randrange(3)) if v2
+                else _person_paragraph(p))
         paragraphs[t], kinds[t] = s, "person"
     for f in films:
-        t, s = _film_paragraph(f)
+        t, s = (_film_paragraph_v2(f, rng.randrange(3)) if v2
+                else _film_paragraph(f))
         paragraphs[t], kinds[t] = s, "film"
     for o in orgs:
-        t, s = _org_paragraph(o)
+        t, s = (_org_paragraph_v2(o, rng.randrange(3)) if v2
+                else _org_paragraph(o))
         paragraphs[t], kinds[t] = s, "org"
     for c in CITIES:
-        t, s = _city_paragraph(c)
+        t, s = _city_paragraph_v2(c, rng.randrange(3)) if v2 else _city_paragraph(c)
         paragraphs[t], kinds[t] = s, "city"
     return {"people": people, "films": films, "orgs": orgs,
-            "paragraphs": paragraphs, "kinds": kinds}
+            "paragraphs": paragraphs, "kinds": kinds, "version": version}
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +396,69 @@ def _q_person_profession(w, rng):
     return q, [p["profession"]], [p["name"]], []
 
 
+# ---------------------------------------------------------------------------
+# v2-only families: NO gold-entity tokens in the question (pure attribute /
+# bridge descriptions). Retrieval gets no name anchor and answering requires a
+# real bridge hop — the regime where navigation is necessary (VERDICT r2 items
+# 2/4/5). Uniqueness of the describing attributes is enforced world-wide so the
+# questions stay unambiguous.
+# ---------------------------------------------------------------------------
+
+def _unique_people_by_desc(w):
+    from collections import Counter
+    combos = Counter((p["nationality"], p["profession"]) for p in w["people"])
+    return [p for p in w["people"]
+            if combos[(p["nationality"], p["profession"])] == 1]
+
+
+def _q_org_by_founder_desc(w, rng):
+    """Bridge with no names: describe the founder by attributes, ask the org's
+    city. Gold = org paragraph (city) + founder paragraph (attributes)."""
+    forgs: Dict[str, list] = {}
+    for o in w["orgs"]:
+        forgs.setdefault(o["founder"]["name"], []).append(o)
+    uniq = {p["name"]: p for p in _unique_people_by_desc(w)}
+    cands = [(uniq[fn], orgs[0]) for fn, orgs in sorted(forgs.items())
+             if len(orgs) == 1 and fn in uniq]
+    if not cands:
+        return None
+    p, o = rng.choice(cands)
+    q = rng.choice([
+        f"In what city are the offices of the organization begun by the "
+        f"{p['nationality']} {p['profession']}?",
+        f"Which city is home to the organization that the {p['nationality']} "
+        f"{p['profession']} brought about?",
+    ])
+    return q, [o["city"][0]], [o["name"], p["name"]], []
+
+
+def _q_person_year_by_desc(w, rng):
+    cands = _unique_people_by_desc(w)
+    if not cands:
+        return None
+    p = rng.choice(cands)
+    q = rng.choice([
+        f"What is the birth year of the {p['nationality']} {p['profession']}?",
+        f"In which year was the {p['nationality']} {p['profession']} born?",
+    ])
+    return q, [str(p["birth_year"])], [p["name"]], []
+
+
+def _q_star_by_film_desc(w, rng):
+    f = rng.choice(w["films"])
+    q = rng.choice([
+        f"Who has the leading role in the {f['genre']} film of {f['year']}?",
+        f"Which performer appears at the front of the {f['genre']} film from "
+        f"{f['year']}?",
+    ])
+    avoid = [g["title"] for g in w["films"]
+             if g is not f and (g["genre"] == f["genre"] or g["year"] == f["year"])]
+    return q, [f["star"]["name"]], [f["title"]], avoid
+
+
+NO_NAME_FAMILIES = ("film_by_attrs", "org_by_founder_desc",
+                    "person_year_by_desc", "star_by_film_desc")
+
 QUESTION_FAMILIES = [
     ("director_of_film", _q_director_of_film),
     ("film_by_attrs", _q_film_by_attrs),
@@ -275,6 +470,12 @@ QUESTION_FAMILIES = [
     ("film_year", _q_film_year),
     ("org_country", _q_org_country),
     ("person_profession", _q_person_profession),
+]
+
+V2_QUESTION_FAMILIES = QUESTION_FAMILIES + [
+    ("org_by_founder_desc", _q_org_by_founder_desc),
+    ("person_year_by_desc", _q_person_year_by_desc),
+    ("star_by_film_desc", _q_star_by_film_desc),
 ]
 
 
@@ -305,15 +506,20 @@ def _pick_distractors(w, gold_titles: List[str], avoid: List[str],
 
 
 def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
-                 split: str = "test") -> List[Dict[str, Any]]:
+                 split: str = "test",
+                 version: str = "v1") -> List[Dict[str, Any]]:
     rng = random.Random(seed)
-    world = make_world(rng)
+    world = make_world(rng, version=version)
+    families = V2_QUESTION_FAMILIES if version == "v2" else QUESTION_FAMILIES
     items: List[Dict[str, Any]] = []
     fam_idx = 0
     while len(items) < n_items:
-        qtype, fn = QUESTION_FAMILIES[fam_idx % len(QUESTION_FAMILIES)]
+        qtype, fn = families[fam_idx % len(families)]
         fam_idx += 1
-        q, answers, gold_titles, avoid = fn(world, rng)
+        out = fn(world, rng)
+        if out is None:
+            continue  # family has no unambiguous candidates in this world
+        q, answers, gold_titles, avoid = out
         if any(it["question"] == q for it in items):
             continue  # template+entity collision: resample
         titles = list(gold_titles) + _pick_distractors(world, gold_titles,
@@ -321,7 +527,8 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
                                                        n_distractors)
         rng.shuffle(titles)
         items.append({
-            "id": f"synth-{split}-{len(items):04d}",
+            "id": f"synth-{version}-{split}-{len(items):04d}" if version != "v1"
+                  else f"synth-{split}-{len(items):04d}",
             "question": q,
             "answers": answers,
             "gold_titles": gold_titles,
@@ -333,6 +540,9 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
 
 
 SPLIT_SEEDS = {"train": 11, "dev": 22, "test": 33}
+# v2 uses distinct world seeds so v2 entities/attributes differ from v1's
+# (heuristics tuned on v1 train/dev meet unseen entity-attribute bindings too)
+SPLIT_SEEDS_V2 = {"train": 111, "dev": 222, "test": 333}
 
 
 def main() -> None:
@@ -341,14 +551,17 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--seed", type=int, default=None,
                     help="override the split seed (default: frozen per split)")
+    ap.add_argument("--version", choices=["v1", "v2"], default="v1")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
-    seed = args.seed if args.seed is not None else SPLIT_SEEDS[args.split]
-    items = make_dataset(seed, args.n, split=args.split)
+    seeds = SPLIT_SEEDS_V2 if args.version == "v2" else SPLIT_SEEDS
+    seed = args.seed if args.seed is not None else seeds[args.split]
+    items = make_dataset(seed, args.n, split=args.split, version=args.version)
     with open(args.out, "w", encoding="utf-8") as f:
         for it in items:
             f.write(json.dumps(it, ensure_ascii=False) + "\n")
-    print(f"wrote {len(items)} items to {args.out} (split={args.split}, seed={seed})")
+    print(f"wrote {len(items)} items to {args.out} (split={args.split}, "
+          f"seed={seed}, version={args.version})")
 
 
 if __name__ == "__main__":

@@ -70,7 +70,15 @@ class GraphTensors:
         return int(self.emb.shape[1])
 
 
-def _ell(adj: Dict[int, List[int]], n_pad: int, min_k: int = 8) -> np.ndarray:
+def _ell(adj, n_pad: int, min_k: int = 8) -> np.ndarray:
+    if isinstance(adj, np.ndarray):
+        # pre-built ELL rows [N, K] (-1 padded) — the vectorized bulk-build path
+        # (bench/synthetic corpora); only row-pad to n_pad and lane-pad K to 8
+        kk = max(min_k, round_up(adj.shape[1] if adj.ndim == 2 else 1, 8))
+        out = np.full((n_pad, kk), -1, dtype=np.int32)
+        if adj.size:
+            out[: adj.shape[0], : adj.shape[1]] = adj
+        return out
     k = round_up(max([len(v) for v in adj.values()], default=1), 8)
     k = max(k, min_k)
     total = sum(len(v) for v in adj.values())
@@ -150,11 +158,18 @@ def build_graph_tensors(
     hj = np.zeros(n_pad, dtype=bool)
     cf = np.zeros(n_pad, dtype=np.float32)
     hc = np.zeros(n_pad, dtype=bool)
-    for i in range(n):
-        if judges[i] is not None:
-            jd[i], hj[i] = float(judges[i]), True
-        if confs[i] is not None:
-            cf[i], hc[i] = float(confs[i]), True
+    if isinstance(judges, np.ndarray) and isinstance(confs, np.ndarray):
+        # vectorized path: float arrays with NaN for "no value"
+        hj[:n] = ~np.isnan(judges)
+        jd[:n] = np.where(hj[:n], np.nan_to_num(judges), 0.0)
+        hc[:n] = ~np.isnan(confs)
+        cf[:n] = np.where(hc[:n], np.nan_to_num(confs), 0.0)
+    else:
+        for i in range(n):
+            if judges[i] is not None:
+                jd[i], hj[i] = float(judges[i]), True
+            if confs[i] is not None:
+                cf[i], hc[i] = float(confs[i]), True
     ix = np.zeros(n_pad, dtype=bool)
     ix[:n] = np.asarray(indexed, dtype=bool)
     vd = np.zeros(n_pad, dtype=bool)

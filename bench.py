@@ -5,23 +5,34 @@ Builds synthetic hierarchical graphs at increasing scale (deterministic, no
 LLM/network) and measures at each rung
 
 - **baseline**: a pure-Python/NumPy per-query search loop with the exact reference
-  semantics (seed top-k by full cosine scan + dict-based 1-hop expansion + Python
-  rerank loop) — the computational shape of the reference's Chroma-query +
+  semantics (seed top-k by full cosine scan + 1-hop expansion + Python rerank
+  loop) — the computational shape of the reference's Chroma-query +
   NetworkX-expansion + Python-rerank path (hierarchical_graph.py:706-789), run
   sequentially per query as the reference does (sampled + extrapolated at scale);
 - **device**: the jitted batched hybrid search over GraphTensors, with achieved
   TFLOP/s, HBM GB/s, and %-of-peak estimates from the analytic cost model.
 
-Rank parity between the two paths is verified before timing at every rung (a
-benchmark of a wrong answer is meaningless).
+Rank parity between the two paths is verified before timing at every rung, and a
+64-query **certificate audit** cross-checks the certified top-k seeds against a
+full-HIGHEST ground-truth matmul on the same device (a benchmark of a wrong
+answer is meaningless).
+
+The rung corpus is built DIRECTLY as arrays (clustered unit embeddings +
+vectorized ELL adjacency -> build_graph_tensors): the benchmarked quantity is
+search throughput, not host-side text featurization, and the former text-encode
+build path cost minutes of cold-compile/dict work per rung (round-2 driver run:
+457 s before first measurement). Structure matches the old text build: entities
+clustered around L1 topics (64/topic), topic->L2 communities (8/community),
+related chains, judge/confidence on a deterministic subset.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"};
 the headline value is the LARGEST completed rung's qps and detail.ladder holds
-every rung. Rungs are attempted in order while the time budget holds.
+every rung. Rungs are attempted in order while the time budget holds; a rung
+failure is recorded and does not abort the ladder.
 
 Env knobs: AHRAG_BENCH_LADDER ("2000,131072,1048576"), AHRAG_BENCH_QUERIES
 (2048), AHRAG_BENCH_BUDGET_S (480), AHRAG_BENCH_ENTITIES (legacy: single-rung
-override).
+override), AHRAG_EMB_DTYPE (float32|bfloat16 corpus storage).
 """
 from __future__ import annotations
 
@@ -34,131 +45,189 @@ import time
 import numpy as np
 
 
-def build_bench_graph(n_entities: int, n_topics: int):
-    from ahrag_tpu.graph import HierarchicalGraph
+class BenchArrays:
+    """Raw per-node arrays shared by the device build and the CPU baseline."""
 
-    rng = np.random.default_rng(7)
-    first = ["Ada", "Ben", "Cara", "Dan", "Eve", "Fay", "Gil", "Hana", "Ivan", "Joan",
-             "Kent", "Lena", "Milo", "Nina", "Otto", "Pia", "Quin", "Rosa", "Sam",
-             "Tara"]
-    last = ["Archer", "Baker", "Carter", "Dalton", "Ellis", "Foster", "Gibson",
-            "Harper", "Irwin", "Jensen", "Keller", "Lowell", "Mercer", "Norris",
-            "Oakes", "Parker", "Quimby", "Ramsey", "Sutton", "Turner"]
-    topics = ["quantum computing", "film directing", "marine biology", "jazz music",
-              "mountain climbing", "renaissance art", "particle physics",
-              "urban farming", "deep learning", "ancient history", "space travel",
-              "culinary arts", "civil engineering", "sports medicine",
-              "wildlife photography", "volcanology"]
+    def __init__(self, emb, node_type, level, judge, conf, parents_ell,
+                 children_ell, related_ell, n_topics, n_l2):
+        self.emb = emb                  # [N, D] f32 row-normalized
+        self.node_type = node_type      # [N] i32 (0 entity, 1 summary)
+        self.level = level              # [N] i32
+        self.judge = judge              # [N] f64, NaN = none
+        self.conf = conf                # [N] f64, NaN = none
+        self.parents_ell = parents_ell  # [N, Kp] i32, -1 padded
+        self.children_ell = children_ell
+        self.related_ell = related_ell
+        self.n_topics = n_topics
+        self.n_l2 = n_l2
 
-    hg = HierarchicalGraph(encoder_name="hashed")
-    topic_ids = list(range(n_topics))
-    per_topic = {t: [] for t in topic_ids}
-    for i in range(n_entities):
-        t = i % n_topics
-        topic = topics[t % len(topics)]
-        name = f"{first[i % 20]} {last[(i // 20) % 20]} {i}"
-        desc = (f"{name} is a specialist in {topic}, known for work number {i} "
-                f"and collaboration {i % 97} in the field of {topic}")
-        hg.add_entity(name, desc, "person")
-        per_topic[t].append(name)
-    for t in topic_ids:
-        topic = topics[t % len(topics)]
-        hg.add_summary(t, f"Experts in {topic}",
-                       f"People working on {topic} and its applications",
-                       confidence=5.0 + (t % 5), members=per_topic[t])
-        if t % 3 == 0:
-            hg.nodes[f"sum:{t}"]["judge_scores"] = {"overall": 6.0 + (t % 4)}
-    for t in topic_ids:
-        for name in per_topic[t]:
-            hg.add_belongs_to(hg.find_entity(name), f"sum:{t}", prob=0.9)
-    for t in topic_ids[:-1]:
-        if t % 2 == 0:
-            hg.add_related(f"sum:{t}", f"sum:{t + 1}", weight=0.4)
-    # L2 communities
+    @property
+    def n(self):
+        return self.emb.shape[0]
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
+
+
+def build_bench_arrays(n_entities: int, n_topics: int, d: int = 384,
+                       seed: int = 7) -> BenchArrays:
+    """Vectorized synthetic hierarchy: same shape as the former text-built bench
+    graph (entities round-robin over topics, topics round-robin over L2
+    communities, even-t related chain, judge on every 3rd topic), but the
+    embeddings are clustered unit vectors instead of hashed text — the search
+    path under test is identical either way."""
+    rng = np.random.default_rng(seed)
     n_l2 = max(1, n_topics // 8)
-    for c in range(n_l2):
-        members = [f"sum:{t}" for t in topic_ids if t % n_l2 == c]
-        hg.add_summary(n_topics + c, f"Community {c}",
-                       f"Broad community {c} of topics", confidence=7.0,
-                       members=members, level=2)
-        for m in members:
-            hg.add_belongs_to(m, f"sum:{n_topics + c}", prob=1.0)
-    hg.build_vector_index(layers=(0, 1, 2))
-    return hg, topics
+    n_total = n_entities + n_topics + n_l2
+    t0, t1 = n_entities, n_entities + n_topics   # topic/L2 index bases
+
+    centers = _normalize(rng.standard_normal((n_topics, d),
+                                             dtype=np.float32))
+    ent_topic = (np.arange(n_entities) % n_topics).astype(np.int32)
+    emb = np.empty((n_total, d), dtype=np.float32)
+    # entity noise from two coprime pools instead of fresh Gaussians per row:
+    # this host generates normals at only ~4M samples/s, which made the former
+    # per-entity draw the 1M rung's dominant cost (~200 s); gathers run at
+    # memory speed. 4096*4093 unique (a, b) combos >> 1M rows, so no two
+    # entities share an embedding (exact score ties would stress parity).
+    pool_a = rng.standard_normal((4096, d), dtype=np.float32)
+    pool_b = rng.standard_normal((4093, d), dtype=np.float32)
+    for s in range(0, n_entities, 262144):
+        e = min(s + 262144, n_entities)
+        idx = np.arange(s, e)
+        noise = pool_a[idx % 4096] + pool_b[idx % 4093]
+        emb[s:e] = _normalize(centers[ent_topic[s:e]] + 0.39 * noise)
+    emb[t0:t1] = _normalize(
+        centers + 0.15 * rng.standard_normal((n_topics, d), dtype=np.float32))
+    l2_of_topic = (np.arange(n_topics) % n_l2).astype(np.int32)
+    l2c = np.zeros((n_l2, d), dtype=np.float32)
+    np.add.at(l2c, l2_of_topic, centers)
+    emb[t1:] = _normalize(
+        l2c + 0.2 * rng.standard_normal((n_l2, d), dtype=np.float32))
+
+    node_type = np.zeros(n_total, np.int32)
+    node_type[t0:] = 1                           # topics + L2 are summaries
+    level = np.zeros(n_total, np.int32)
+    level[t0:t1] = 1
+    level[t1:] = 2
+
+    tt = np.arange(n_topics)
+    judge = np.full(n_total, np.nan)
+    judge[t0:t1] = np.where(tt % 3 == 0, 6.0 + (tt % 4), np.nan)
+    conf = np.full(n_total, np.nan)
+    conf[t0:t1] = 5.0 + (tt % 5)
+    conf[t1:] = 7.0
+
+    # parents (belongs_to out): entity -> its topic; topic -> its L2 community
+    parents = np.full((n_total, 1), -1, np.int32)
+    parents[:t0, 0] = t0 + ent_topic
+    parents[t0:t1, 0] = t1 + l2_of_topic
+
+    # children (belongs_to in, insertion order = ascending member index)
+    k_ent = -(-n_entities // n_topics)           # ceil: members per topic
+    k_top = -(-n_topics // n_l2)                 # topics per L2 community
+    kc = max(k_ent, k_top)
+    children = np.full((n_total, kc), -1, np.int32)
+    cand = tt[:, None] + n_topics * np.arange(k_ent)[None, :]
+    children[t0:t1, :k_ent] = np.where(cand < n_entities, cand, -1)
+    cc = np.arange(n_l2)
+    candt = cc[:, None] + n_l2 * np.arange(k_top)[None, :]
+    children[t1:, :k_top] = np.where(candt < n_topics, t0 + candt, -1)
+
+    # related (union of both directions): even t < n_topics-1 links t <-> t+1
+    related = np.full((n_total, 1), -1, np.int32)
+    ev = tt[(tt % 2 == 0) & (tt < n_topics - 1)]
+    related[t0 + ev, 0] = t0 + ev + 1
+    related[t0 + ev + 1, 0] = t0 + ev
+
+    return BenchArrays(emb, node_type, level, judge, conf, parents,
+                       children, related, n_topics, n_l2)
 
 
-def cpu_reference_search(hg, emb_ids, emb_mat, q_vec, top_k=5, member_top_m=5):
-    """Reference-shaped per-query search: full cosine scan + python expansion/rerank."""
-    sims = emb_mat @ q_vec
+def bench_tensors(arrs: BenchArrays):
+    from ahrag_tpu.graph.tensors import build_graph_tensors
+
+    n = arrs.n
+    empty = np.empty((0, 0), np.int32)
+    n_edges = int((arrs.parents_ell >= 0).sum() + (arrs.related_ell >= 0).sum())
+    return build_graph_tensors(
+        embeddings=arrs.emb,
+        node_types=arrs.node_type,
+        levels=arrs.level,
+        judges=arrs.judge,
+        confs=arrs.conf,
+        indexed=np.ones(n, bool),
+        parents=arrs.parents_ell,
+        children=arrs.children_ell,
+        related=arrs.related_ell,
+        hyperedges=empty,
+        members=empty,
+        n_edges=n_edges,
+    )
+
+
+def cpu_reference_search(arrs: BenchArrays, q_vec, top_k=5, member_top_m=5):
+    """Reference-shaped per-query search: full cosine scan + python expansion +
+    python rerank loop over each candidate (hierarchical_graph.py:706-789)."""
+    sims = arrs.emb @ q_vec
     order = np.argsort(-sims, kind="stable")[:top_k]
-    seeds = [(emb_ids[i], float(sims[i])) for i in order]
     expanded = {}
-    for nid, sem in seeds:
-        nt = hg.nodes[nid].get("node_type")
-        expanded[nid] = sem
-        if nt == "entity":
-            for parent in hg.get_belongs_to(nid)[:2]:
+    for i in order:
+        i = int(i)
+        sem = float(sims[i])
+        expanded[i] = sem
+        if arrs.node_type[i] == 0:
+            for parent in [int(p) for p in arrs.parents_ell[i] if p >= 0][:2]:
                 if parent not in expanded:
                     expanded[parent] = sem * 0.9
-        elif nt == "summary":
-            for child in hg.get_summary_members(nid)[:member_top_m]:
+        else:
+            for child in [int(c) for c in arrs.children_ell[i]
+                          if c >= 0][:member_top_m]:
                 if child not in expanded:
                     expanded[child] = sem * 0.85
     results = []
-    for nid, sem in expanded.items():
-        judge = hg.node_judge_overall(nid)
-        conf = hg.node_confidence(nid)
-        nt = hg.nodes[nid].get("node_type")
-        judge_term = 1.0 / (1.0 + math.exp(-(judge / 10.0))) if judge is not None else 0.0
-        conf_term = conf / 10.0 if conf is not None else 0.0
-        boost = 1.0 if nt == "summary" else 0.0
-        score = 0.6 * sem + 0.2 * judge_term + 0.1 * conf_term + 0.1 * boost
-        results.append((nid, score))
+    for i, sem in expanded.items():
+        judge = arrs.judge[i]
+        conf = arrs.conf[i]
+        jt = 1.0 / (1.0 + math.exp(-(judge / 10.0))) if not math.isnan(judge) else 0.0
+        ct = conf / 10.0 if not math.isnan(conf) else 0.0
+        boost = 1.0 if arrs.node_type[i] == 1 else 0.0
+        score = 0.6 * sem + 0.2 * jt + 0.1 * ct + 0.1 * boost
+        results.append((i, score))
     results.sort(key=lambda x: -x[1])
     return results[:top_k]
 
 
-def _bench_cache_key(n_entities: int, n_topics: int) -> str:
-    import hashlib
-    import inspect
+def certificate_audit(gt, q_dev, n_audit=64, k=5):
+    """On-device exactness audit: certified-path seeds vs a full f32-HIGHEST
+    ground truth over the same (storage-dtype) corpus (VERDICT r2 item 8 — a
+    standing empirical check at every scale the ladder measures, not just CPU
+    property tests)."""
+    import jax
+    import jax.numpy as jnp
 
-    return hashlib.sha1(
-        (inspect.getsource(build_bench_graph)
-         + f"|{n_entities}|{n_topics}").encode()).hexdigest()[:16]
+    from ahrag_tpu.ops.topk import (_full_highest_topk, refined_masked_topk,
+                                    refined_masked_topk_cert)
 
-
-def _bench_cache_exists(n_entities: int) -> bool:
-    n_topics = max(8, n_entities // 64)
-    return (n_entities >= 100000 and os.path.exists(
-        f"/tmp/ahrag_bench_graph_{_bench_cache_key(n_entities, n_topics)}.pkl"))
-
-
-def _cached_bench_graph(n_entities: int, n_topics: int):
-    """Disk-cached build: the 1M-entity host-side construction costs minutes
-    of pure-Python dict work that is NOT the benchmarked quantity (search qps
-    is); the cache is keyed on the builder's source so any change to the graph
-    shape invalidates it. Disable with AHRAG_BENCH_CACHE=0."""
-    import pickle
-
-    if os.environ.get("AHRAG_BENCH_CACHE", "1") != "1" or n_entities < 100000:
-        return build_bench_graph(n_entities, n_topics)
-    path = (f"/tmp/ahrag_bench_graph_"
-            f"{_bench_cache_key(n_entities, n_topics)}.pkl")
-    if os.path.exists(path):
-        try:
-            with open(path, "rb") as fh:
-                return pickle.load(fh)
-        except Exception:
-            pass
-    out = build_bench_graph(n_entities, n_topics)
-    try:
-        out[0].__dict__.pop("_compile_lock", None)  # lazily re-created
-        with open(path + ".tmp", "wb") as fh:
-            pickle.dump(out, fh, protocol=5)
-        os.replace(path + ".tmp", path)
-    except Exception:
-        pass
-    return out
+    qa = q_dev[:n_audit]
+    mask = gt.indexed & gt.valid
+    vals, idx = refined_masked_topk(qa, gt.emb, mask, k, margin=max(16, 3 * k))
+    _, _, cert = refined_masked_topk_cert(qa, gt.emb, mask, k,
+                                          margin=max(16, 3 * k))
+    qx = qa.astype(gt.emb.dtype) if gt.emb.dtype == jnp.bfloat16 else qa
+    gvals, gidx = _full_highest_topk(qx, gt.emb, mask, k)
+    idx, gidx, vals, gvals, cert = jax.device_get((idx, gidx, vals, gvals, cert))
+    # compare as sets per query with value tie-tolerance: equal-score orderings
+    # may differ between kernels; exactness means identical score multisets
+    mism = 0
+    for b in range(idx.shape[0]):
+        if list(idx[b]) != list(gidx[b]) and not np.allclose(
+                vals[b], gvals[b], rtol=0, atol=1e-6):
+            mism += 1
+    return {"audited_queries": int(idx.shape[0]),
+            "audit_mismatches": int(mism),
+            "cert_rate": round(float(np.mean(cert)), 4)}
 
 
 def run_rung(n_entities: int, n_queries: int) -> dict:
@@ -170,17 +239,21 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
 
     n_topics = max(8, n_entities // 64)
     t_build0 = time.perf_counter()
-    hg, topics = _cached_bench_graph(n_entities, n_topics)
-    gt = hg.tensors()
+    arrs = build_bench_arrays(n_entities, n_topics)
+    gt = bench_tensors(arrs)
+    jax.block_until_ready(gt.emb)
     build_s = time.perf_counter() - t_build0
+    print(f"[bench] rung {n_entities}: build {build_s:.1f}s", file=sys.stderr,
+          flush=True)
 
-    queries = [f"Who is the specialist in {topics[i % len(topics)]} number {i}?"
-               for i in range(n_queries)]
-    q_mat = hg.encode_query(queries)  # encoding cost excluded from both sides equally
-
-    # CPU baseline data: flat id/embedding table like the reference's collection
-    emb_ids = [nid for nid in hg.nodes if nid in hg._embeddings]
-    emb_mat = np.stack([hg._embeddings[i] for i in emb_ids])
+    # queries: unit vectors near a cycling topic center (the old text queries
+    # targeted "the specialist in <topic>"; same geometry, no encoder)
+    rng = np.random.default_rng(11)
+    q_topics = np.arange(n_queries) % n_topics
+    q_mat = _normalize(
+        arrs.emb[n_entities + q_topics]
+        + 0.35 * rng.standard_normal((n_queries, arrs.emb.shape[1]),
+                                     dtype=np.float32))
 
     w = SearchWeights.create()
     q_dev = jnp.asarray(q_mat)
@@ -191,26 +264,30 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
     res = hybrid_search_batch(gt, q_dev, w, top_k=5, member_top_m=5)
     jax.block_until_ready(res)
     warm_s = time.perf_counter() - t_c0
-    dev_ids = [[hg.idx_to_id(int(i)) for i, ok in zip(np.asarray(res.reranked_idx[b]),
-                                                      np.asarray(res.reranked_valid[b]))
+    dev_ids = [[int(i) for i, ok in zip(np.asarray(res.reranked_idx[b]),
+                                        np.asarray(res.reranked_valid[b]))
                 if ok] for b in range(8)]
     mismatches = 0
     for b in range(8):
-        ref = [nid for nid, _ in cpu_reference_search(hg, emb_ids, emb_mat, q_mat[b])]
+        ref = [i for i, _ in cpu_reference_search(arrs, q_mat[b])]
         if ref != dev_ids[b]:
             mismatches += 1
     if mismatches:
         print(f"WARNING: rank parity mismatches on {mismatches}/8 probe queries "
               f"at n={n_entities}", file=sys.stderr)
 
+    print(f"[bench] rung {n_entities}: warmup+parity done ({warm_s:.1f}s "
+          f"compile, {mismatches}/8 mismatches)", file=sys.stderr, flush=True)
+    audit = certificate_audit(gt, q_dev)
+
     # --- CPU baseline timing (sequential per query, as the reference runs).
     # The full query set at 1M nodes would take tens of minutes at ~3 qps; a
     # 64-query sample bounds baseline wall-time and the per-query cost is
-    # constant (one full scan + dict expansion each), so extrapolation is fair.
+    # constant (one full scan + expansion each), so extrapolation is fair.
     sample = min(n_queries, max(64, 2048 * 2000 // max(n_entities, 1)))
     t0 = time.perf_counter()
     for b in range(sample):
-        cpu_reference_search(hg, emb_ids, emb_mat, q_mat[b % q_mat.shape[0]])
+        cpu_reference_search(arrs, q_mat[b % q_mat.shape[0]])
     cpu_s = (time.perf_counter() - t0) / sample
     qps_cpu = 1.0 / cpu_s
 
@@ -224,7 +301,7 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
     qps_dev = n_queries / dev_s
 
     # analytic cost model of the dominant stage (seed scoring over the corpus):
-    # flops = 2*B*N*D per batch; HBM = corpus stream N*D*4 bytes per batch.
+    # flops = 2*B*N*D per batch; HBM = corpus stream N*D*itemsize per batch.
     n_pad, d = int(gt.emb.shape[0]), int(gt.emb.shape[1])
     flops = 2.0 * n_queries * n_pad * d
     hbm_bytes = n_pad * d * gt.emb.dtype.itemsize
@@ -233,7 +310,7 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
     peak_tflops = 197.0 if jax.default_backend() == "tpu" else None  # v5e bf16
 
     return {
-        "n_nodes": hg.number_of_nodes(),
+        "n_nodes": arrs.n,
         "n_pad": n_pad,
         "n_queries": n_queries,
         "qps": round(qps_dev, 2),
@@ -241,11 +318,13 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
         "cpu_baseline_sampled_queries": sample,
         "vs_baseline": round(qps_dev / qps_cpu, 2),
         "parity_mismatches_of_8": mismatches,
+        "cert_audit": audit,
         "batch_ms": round(dev_s * 1e3, 3),
         "achieved_tflops": round(tflops, 2),
         "achieved_hbm_gbps": round(gbps, 2),
         "mfu_pct_of_peak_bf16": (round(100 * tflops / peak_tflops, 2)
                                  if peak_tflops else None),
+        "emb_dtype": str(gt.emb.dtype),
         "build_s": round(build_s, 1),
         "warmup_compile_s": round(warm_s, 1),
     }
@@ -255,7 +334,7 @@ def main() -> None:
     import jax
 
     # persistent compile cache: the remote-compile latency through the device
-    # tunnel (~30-60s/shape) dominates wall time; cache across bench runs
+    # tunnel (~5-60s/shape) dominates cold wall time; cache across bench runs
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("AHRAG_COMPILE_CACHE",
@@ -274,14 +353,12 @@ def main() -> None:
 
     t_start = time.perf_counter()
     ladder = []
-    for i, n_entities in enumerate(rungs):
+    for n_entities in rungs:
         elapsed = time.perf_counter() - t_start
-        # estimated rung cost: with a warm disk cache the build is a ~15s
-        # pickle load + measurement; a cold large build is minutes of host
-        # dict work (measured ~1.2ms/entity) — skip what the budget can't
-        # finish and record it
-        est = (120.0 if _bench_cache_exists(n_entities)
-               else 60.0 + n_entities / 900.0)
+        # estimated rung cost: array build is seconds of NumPy; the dominant
+        # cold costs are the host->device corpus transfer and one remote
+        # compile per (shape) — measured ~35s at 2k, ~60s at 131k, ~150s at 1M
+        est = 40.0 + n_entities / 8000.0
         if ladder and elapsed + est > budget_s:
             ladder.append({"n_requested": n_entities, "skipped": True,
                            "reason": f"budget ({elapsed:.0f}s elapsed of "
@@ -291,9 +368,18 @@ def main() -> None:
         # queries over a 1M-row corpus is an 8.6 GB buffer — beyond what the
         # search pipeline's working set leaves free on a 16 GB v5e
         rung_queries = n_queries if n_entities <= 262144 else min(n_queries, 512)
-        ladder.append(run_rung(n_entities, rung_queries))
+        try:
+            ladder.append(run_rung(n_entities, rung_queries))
+        except Exception as e:  # a rung failure must not discard the ladder
+            ladder.append({"n_requested": n_entities, "error": f"{type(e).__name__}: {e}"})
 
-    done = [r for r in ladder if not r.get("skipped")]
+    done = [r for r in ladder if "qps" in r]
+    if not done:
+        print(json.dumps({"metric": "hybrid_search_qps", "value": 0.0,
+                          "unit": "queries/sec", "vs_baseline": 0.0,
+                          "detail": {"backend": jax.default_backend(),
+                                     "ladder": ladder}}))
+        sys.exit(1)
     head = done[-1]
     print(json.dumps({
         "metric": "hybrid_search_qps",
