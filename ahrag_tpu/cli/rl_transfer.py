@@ -26,11 +26,37 @@ def main() -> None:
     ap.add_argument("--data", required=True)
     ap.add_argument("--model", default="artifacts/rl/ppo_multi.msgpack")
     ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument("--qtypes", default=None,
+                    help="comma-separated question families to keep (e.g. the "
+                         "v2 no-name families — the honest condition where "
+                         "question-named anchors cannot carry retrieval); "
+                         "'no_name' expands to eval.synth.NO_NAME_FAMILIES")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from ahrag_tpu.cli.benchmark import run_benchmark
     from ahrag_tpu.utils.config import load_config
+
+    data_path = args.data
+    if args.qtypes:
+        import tempfile
+        if args.qtypes.strip() == "no_name":
+            from ahrag_tpu.eval.synth import NO_NAME_FAMILIES
+            keep = set(NO_NAME_FAMILIES)
+        else:
+            keep = {q.strip() for q in args.qtypes.split(",") if q.strip()}
+        rows = []
+        with open(args.data, encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip() and json.loads(line).get("qtype") in keep:
+                    rows.append(line)
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".jsonl", delete=False,
+                                          encoding="utf-8")
+        tmp.writelines(rows)
+        tmp.close()
+        data_path = tmp.name
+        print(f"filtered {args.data} to {len(rows)} items "
+              f"(qtypes={sorted(keep)})")
 
     base = load_config()
     runs: Dict[str, Any] = {}
@@ -40,7 +66,7 @@ def main() -> None:
         cfg["rl"]["inference"]["use_ppo"] = use_ppo
         cfg["rl"]["inference"]["ppo_model_path"] = args.model
         rep = run_benchmark("local", system="ah_rag", limit=args.limit,
-                            data_path=args.data, config=cfg)
+                            data_path=data_path, config=cfg)
         runs[label] = rep["aggregate"][0]
 
     keys = ("f1", "em", "retrieval_recall_at_10", "contextual_recall",

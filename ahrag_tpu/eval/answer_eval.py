@@ -4,10 +4,13 @@ Behavior parity with the reference evaluator (eval/answer_eval.py:15-519):
 
 - retriever metrics: contextual_relevancy (keyword overlap of evidence vs question,
   x1.1 boost cap 1.0), contextual_recall (used_nodes/evidence x1.2 cap 1.0, else
-  citations/retrieved), contextual_precision (documented 0.65 placeholder kept for
-  metric parity — flagged per SURVEY §7.4);
-- generator metrics: faithfulness / answer_relevancy proxied from LLM-judge
-  correctness/coverage ÷ 10 with the 0.5 no-judge default constant (kept for parity);
+  citations/retrieved), contextual_precision;
+- generator metrics: faithfulness / answer_relevancy from the LLM judge when one
+  is live (correctness/coverage ÷ 10), otherwise from the DETERMINISTIC judge
+  (eval/judge.py — evidence grounding, citation validity, contradiction and
+  answer-type checks), so the diagnosis formula carries signal without any LLM.
+  The reference's no-judge constants (0.5/0.5/0.65, answer_eval.py:331-361) stay
+  behind ``evaluation.judge.mode == "parity"``;
 - quantitative F1/EM: first-party SQuAD-style token-level F1/EM on the 0-100 scale
   (the reference delegates to the `evaluate` wheel; this implements the same metric
   directly — token F1, best over gold references);
@@ -123,7 +126,8 @@ class AnswerEvaluator:
                                                                evidence),
             "contextual_recall": self._contextual_recall(retrieved, answer_obj,
                                                          evidence, context),
-            "contextual_precision": self._contextual_precision(retrieved),
+            "contextual_precision": self._contextual_precision(
+                retrieved, question, answer_obj, config),
         }
 
     @staticmethod
@@ -165,9 +169,25 @@ class AnswerEvaluator:
             return min(1.0, len(citations) / max(len(retrieved), 1))
         return 0.7 if total > 0 else 0.0
 
-    def _contextual_precision(self, retrieved: List[str]) -> float:
-        # documented placeholder constant, kept for metric parity (SURVEY §7.4)
-        return 0.65 if retrieved else 0.0
+    @staticmethod
+    def _judge_mode(config: Dict | None) -> str:
+        """evaluation.judge.mode: "deterministic" (default — the metrics carry
+        signal without an LLM), or "parity" (the reference's no-judge
+        constants: faithfulness/relevancy 0.5, precision 0.65 —
+        answer_eval.py:331-361)."""
+        judge = ((config or {}).get("evaluation") or {}).get("judge") or {}
+        return str(judge.get("mode", "deterministic"))
+
+    def _contextual_precision(self, retrieved: List[str], question: str = "",
+                              answer_obj: Dict | None = None,
+                              config: Dict | None = None) -> float:
+        if not retrieved:
+            return 0.0
+        if self._judge_mode(config) == "parity":
+            # the reference's placeholder constant (answer_eval.py:331-338)
+            return 0.65
+        from ahrag_tpu.eval.judge import judge_contextual_precision
+        return judge_contextual_precision(question, answer_obj or {})
 
     # ------------------------------------------------------------- generator
     def evaluate_generator(self, answer_obj: Dict, session_data: Dict,
@@ -175,11 +195,16 @@ class AnswerEvaluator:
         qual = self.evaluate_qualitative(answer_obj, question, config)
         correctness = qual.get("correctness", 0.0)
         coverage = qual.get("coverage", 0.0)
-        return {
-            # no-judge 0.5 default constants kept for parity (answer_eval.py:350,361)
-            "faithfulness": correctness / 10.0 if correctness > 0 else 0.5,
-            "answer_relevancy": coverage / 10.0 if coverage > 0 else 0.5,
-        }
+        if correctness > 0 or coverage > 0:  # live LLM judge
+            return {"faithfulness": correctness / 10.0 if correctness > 0 else 0.5,
+                    "answer_relevancy": coverage / 10.0 if coverage > 0 else 0.5}
+        if self._judge_mode(config) == "parity":
+            # the reference's no-judge 0.5 constants (answer_eval.py:350,361)
+            return {"faithfulness": 0.5, "answer_relevancy": 0.5}
+        from ahrag_tpu.eval.judge import (judge_answer_relevancy,
+                                          judge_faithfulness)
+        return {"faithfulness": judge_faithfulness(answer_obj),
+                "answer_relevancy": judge_answer_relevancy(question, answer_obj)}
 
     # -------------------------------------------------------------- formulas
     def apply_diagnosis_formula(self, metrics: Dict[str, float]) -> Dict[str, Any]:

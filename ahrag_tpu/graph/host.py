@@ -78,6 +78,7 @@ class HierarchicalGraph:
                                              "indexed_meta": {}}
         self._embeddings: Dict[str, np.ndarray] = {}        # node_id -> [D]
         self._idf: Optional[np.ndarray] = None              # [buckets] corpus weights
+        self._assoc = None   # (idx [B, m], w [B, m]) query-expansion associations
         # compiled tensors cache
         self._tensors: Optional[GraphTensors] = None
         self._idx_to_id: List[str] = []
@@ -359,6 +360,8 @@ class HierarchicalGraph:
             extra = {}
             if getattr(self, "_idf", None) is not None:
                 extra["idf"] = self._idf
+            if getattr(self, "_assoc", None) is not None:
+                extra["assoc_idx"], extra["assoc_w"] = self._assoc
             np.savez_compressed(os.path.join(directory, "embeddings.npz"),
                                 ids=np.asarray(ids), emb=mat, **extra)
 
@@ -422,6 +425,9 @@ class HierarchicalGraph:
                 hg._embeddings[str(nid)] = np.asarray(row, dtype=np.float32)
             if "idf" in z:
                 hg._idf = np.asarray(z["idf"], dtype=np.float32)
+            if "assoc_idx" in z and "assoc_w" in z:
+                hg._assoc = (np.asarray(z["assoc_idx"], dtype=np.int32),
+                             np.asarray(z["assoc_w"], dtype=np.float32))
         else:
             hg.dirty = True  # needs (re)indexing before search
         hg._tensors = None
@@ -601,7 +607,8 @@ class HierarchicalGraph:
     def build_vector_index(self, layers: Sequence[int] = (0, 1),
                            include_hyperedges: bool = False,
                            upsert_only: bool = True, reset: bool = False,
-                           use_idf: bool = True) -> int:
+                           use_idf: bool = True,
+                           train_expansion: bool = True) -> int:
         """(Re)encode node texts into the embedding table. Incremental by content hash.
 
         With ``use_idf`` (and an encoder exposing ``document_frequencies``), a full
@@ -609,12 +616,18 @@ class HierarchicalGraph:
         bakes them into document AND query embeddings — the lexical weighting the
         reference gets implicitly from its pretrained encoder. Incremental upserts
         reuse the stored weights (approximation, refreshed on the next full build).
+
+        ``train_expansion`` additionally learns corpus co-occurrence
+        associations (PPMI top-m per hash bucket) applied to QUERY encodings
+        only — paraphrase reach the reference gets from MiniLM
+        (hierarchical_graph.py:709-712); see HashedNGramEncoder.train_associations.
         """
         enc = self._encoder()
         if reset:
             self.vector_index["indexed_meta"] = {}
             self._embeddings.clear()
             self._idf = None
+            self._assoc = None
         prev: Dict[str, str] = dict(self.vector_index.get("indexed_meta") or {})
         eligible_ids: List[str] = []
         for nid, d in self.nodes.items():
@@ -632,6 +645,8 @@ class HierarchicalGraph:
             df = enc.document_frequencies(texts)
             n_docs = len(texts)
             self._idf = (np.log((1.0 + n_docs) / (1.0 + df)) + 1.0).astype(np.float32)
+            if train_expansion and hasattr(enc, "train_associations"):
+                self._assoc = enc.train_associations(texts)
             todo_ids, todo_texts = eligible_ids, texts
         else:
             todo_ids, todo_texts = [], []
@@ -719,11 +734,13 @@ class HierarchicalGraph:
 
     def encode_query(self, texts: List[str]) -> np.ndarray:
         """Encode queries in the index's embedding space (applies the stored
-        corpus-IDF weights when present) — use this, not the raw encoder, for
-        anything that scores against ``tensors().emb``."""
+        corpus-IDF weights and the trained query-expansion associations when
+        present) — use this, not the raw encoder, for anything that scores
+        against ``tensors().emb``."""
         enc = self._encoder()
         if hasattr(enc, "document_frequencies") and getattr(self, "_idf", None) is not None:
-            return enc.encode(texts, idf=self._idf)
+            return enc.encode(texts, idf=self._idf,
+                              assoc=getattr(self, "_assoc", None))
         return enc.encode(texts)
 
     # ----------------------------------------------------------------- search

@@ -117,7 +117,8 @@ class HashedNGramEncoder:
     _CHUNKS = (16, 64, 256, 1024, 8192)
 
     def encode_device(self, texts: List[str], chunk: int | None = None,
-                      idf: np.ndarray | None = None) -> jnp.ndarray:
+                      idf: np.ndarray | None = None,
+                      assoc=None) -> jnp.ndarray:
         """Batch encode in fixed-size chunks; counts ship to the device as sparse
         COO triplets (padded to a static nnz bucket so jit doesn't respecialize),
         scattered and projected on device.
@@ -159,6 +160,10 @@ class HashedNGramEncoder:
                 vals = counts[rows, cols]
             else:
                 rows, cols, vals = coo
+            if assoc is not None:  # query-side co-occurrence expansion
+                rows, cols, vals = self.expand_coo(
+                    np.asarray(rows), np.asarray(cols),
+                    np.asarray(vals, np.float32), assoc)
             nnz = len(rows)
             cap = fixed_cap if nnz <= fixed_cap else 1 << (nnz - 1).bit_length()
             pad = cap - nnz
@@ -171,8 +176,9 @@ class HashedNGramEncoder:
             outs.append(out[: len(block)])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def encode(self, texts: List[str], idf: np.ndarray | None = None) -> np.ndarray:
-        return np.asarray(self.encode_device(texts, idf=idf))
+    def encode(self, texts: List[str], idf: np.ndarray | None = None,
+               assoc=None) -> np.ndarray:
+        return np.asarray(self.encode_device(texts, idf=idf, assoc=assoc))
 
     def document_frequencies(self, texts: List[str], chunk: int = 1024) -> np.ndarray:
         """Per-bucket document frequencies over ``texts`` ([buckets] int64)."""
@@ -186,3 +192,95 @@ class HashedNGramEncoder:
             else:  # one triplet per (doc, bucket) => bincount(cols) = df
                 df += np.bincount(coo[1], minlength=self.buckets)
         return df
+
+    def train_associations(self, texts: List[str], m: int = 4,
+                           max_active: int = 8192, beta: float = 0.35,
+                           sample: int = 20000, chunk: int = 1024,
+                           min_df: int = 2):
+        """Corpus-trained bucket associations for query expansion.
+
+        The hashed encoder is purely lexical — "Norwegian" and "Norway" land in
+        unrelated buckets, so a question phrased with vocabulary the gold
+        paragraph never uses gets no seed signal (the capability MiniLM gives
+        the reference for free, hierarchical_graph.py:709-712). This learns a
+        corpus co-occurrence structure instead: document-level bucket
+        co-occurrence counts ``C = X^T X`` (chunked matmul on the default
+        device), PPMI weighting, top-``m`` associations per bucket. Applied to
+        QUERIES ONLY (``encode(..., assoc=...)``): each query feature adds
+        ``beta``-scaled mass to its associated buckets before projection, so
+        the query reaches documents that say the same thing differently.
+        Document embeddings are untouched (incremental indexing stays valid).
+
+        Returns ``(assoc_idx [buckets, m] int32 (-1 pad), assoc_w [buckets, m]
+        float32)`` or ``None`` when the corpus is too small to train on.
+        """
+        import jax.numpy as jnp
+
+        if len(texts) < 8:
+            return None
+        if len(texts) > sample:  # deterministic sample bounds training cost
+            step = len(texts) / sample
+            texts = [texts[int(i * step)] for i in range(sample)]
+        df = self.document_frequencies(texts, chunk=chunk)
+        active = np.flatnonzero(df >= min_df)
+        if active.size < 2:
+            return None
+        if active.size > max_active:
+            order = np.argsort(-df[active], kind="stable")
+            active = np.sort(active[order[:max_active]])
+        amap = np.full(self.buckets, -1, np.int32)
+        amap[active] = np.arange(active.size, dtype=np.int32)
+
+        a = active.size
+        C = jnp.zeros((a, a), jnp.float32)
+        n_docs = 0
+        for i in range(0, len(texts), chunk):
+            block = texts[i:i + chunk]
+            coo = self._coo_block(block)
+            if coo is None:
+                counts = self._count_matrix(block)
+                rows, cols = np.nonzero(counts)
+            else:
+                rows, cols = coo[0], coo[1]
+            keep = amap[cols] >= 0
+            X = np.zeros((len(block), a), np.float32)
+            X[rows[keep], amap[cols[keep]]] = 1.0   # binary incidence
+            C = C + jnp.dot(jnp.asarray(X).T, jnp.asarray(X),
+                            preferred_element_type=jnp.float32)
+            n_docs += len(block)
+        C = np.asarray(C)
+        occ = np.maximum(np.diag(C), 1.0)
+        # PPMI over document-level co-occurrence
+        with np.errstate(divide="ignore"):
+            pmi = np.log((C * n_docs) / (occ[:, None] * occ[None, :]))
+        pmi[~np.isfinite(pmi)] = 0.0
+        np.fill_diagonal(pmi, 0.0)
+        pmi = np.maximum(pmi, 0.0)
+        top = np.argsort(-pmi, axis=1, kind="stable")[:, :m]
+        top_w = np.take_along_axis(pmi, top, axis=1)
+        row_max = np.maximum(top_w[:, :1], 1e-9)
+        w = (beta * top_w / row_max).astype(np.float32)
+        w[top_w <= 0.0] = 0.0
+        assoc_idx = np.full((self.buckets, m), -1, np.int32)
+        assoc_w = np.zeros((self.buckets, m), np.float32)
+        assoc_idx[active] = active[top].astype(np.int32)
+        assoc_w[active] = w
+        assoc_idx[active][assoc_w[active] <= 0] = -1  # no-op guard (copy)
+        return assoc_idx, assoc_w
+
+    @staticmethod
+    def expand_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                   assoc) -> tuple:
+        """Apply trained associations to COO feature triplets (query side):
+        each (row, col, val) adds (row, assoc_idx[col, j], val * assoc_w[col, j])."""
+        assoc_idx, assoc_w = assoc
+        ai = assoc_idx[cols]                       # [nnz, m]
+        aw = assoc_w[cols]
+        keep = (ai >= 0) & (aw > 0)
+        if not keep.any():
+            return rows, cols, vals
+        r2 = np.broadcast_to(rows[:, None], ai.shape)[keep]
+        c2 = ai[keep]
+        v2 = (vals[:, None] * aw)[keep]
+        return (np.concatenate([rows, r2]), np.concatenate([cols, c2]),
+                np.concatenate([vals, v2]).astype(np.float32))

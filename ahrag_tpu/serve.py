@@ -71,6 +71,7 @@ class MicroBatcher:
         self._results: Dict[int, List[Any]] = {}
         self._abandoned: Dict[int, int] = {}   # gen -> timed-out submitters
         self._generation = 0
+        self._inflight: Optional[tuple] = None  # (gen, batch_len) being processed
         self._closed = False
         self.n_batches = 0
         self.n_items = 0
@@ -93,6 +94,7 @@ class MicroBatcher:
                 gen = self._generation
                 self._pending = []
                 self._generation += 1
+                self._inflight = (gen, len(batch))
                 self.n_batches += 1
                 self.n_items += len(batch)
                 self.max_batch_seen = max(self.max_batch_seen, len(batch))
@@ -109,8 +111,11 @@ class MicroBatcher:
                 # future submit() forever.
                 payload = ("err", exc)
             with self._lock:
+                self._inflight = None
                 readers = len(batch) - self._abandoned.pop(gen, 0)
-                if readers > 0:  # timed-out submitters never read their entry
+                if readers > 0 and gen not in self._results:
+                    # (close() may already have error-published this gen after
+                    # a drain timeout; its submitters are gone — drop ours)
                     self._results[gen] = [payload, readers]
                 self._lock.notify_all()
 
@@ -162,11 +167,33 @@ class MicroBatcher:
         """Stop accepting submissions and drain: the worker keeps flushing
         already-queued batches (blocked submitters get their results), then
         exits; ``drain_timeout_s`` bounds the join so shutdown cannot hang on
-        a wedged device."""
+        a wedged device. If the drain deadline passes with the worker still
+        busy, every still-pending submitter is released with an error instead
+        of blocking until process exit."""
         with self._lock:
             self._closed = True
             self._lock.notify_all()
         self._worker.join(timeout=drain_timeout_s)
+        if self._worker.is_alive():
+            exc = RuntimeError(
+                f"batcher drain exceeded {drain_timeout_s}s; worker still busy")
+            with self._lock:
+                if self._pending:
+                    # the worker never picked this batch up — publish the
+                    # failure under its generation so submitters wake
+                    gen = self._generation
+                    readers = len(self._pending) - self._abandoned.pop(gen, 0)
+                    self._pending = []
+                    self._generation += 1
+                    if readers > 0:
+                        self._results[gen] = [("err", exc), readers]
+                if self._inflight is not None:
+                    # a batch is wedged inside process(): release its waiters
+                    gen, size = self._inflight
+                    readers = size - self._abandoned.pop(gen, 0)
+                    if readers > 0 and gen not in self._results:
+                        self._results[gen] = [("err", exc), readers]
+                self._lock.notify_all()
 
 
 class RetrievalService:
@@ -216,6 +243,13 @@ class RetrievalService:
                     counts = enc._count_matrix(padded)
                     rows, cols = np.nonzero(counts)
                     vals = counts[rows, cols]
+                assoc = getattr(self.hg, "_assoc", None)
+                if assoc is not None and hasattr(enc, "expand_coo"):
+                    # query-side co-occurrence expansion — must match
+                    # hg.encode_query exactly or fused and host paths diverge
+                    rows, cols, vals = enc.expand_coo(
+                        np.asarray(rows), np.asarray(cols),
+                        np.asarray(vals, np.float32), assoc)
                 cap = len(padded) * 256
                 if len(rows) > cap:
                     cap = 1 << (len(rows) - 1).bit_length()

@@ -199,35 +199,39 @@ def cpu_reference_search(arrs: BenchArrays, q_vec, top_k=5, member_top_m=5):
     return results[:top_k]
 
 
-def certificate_audit(gt, q_dev, n_audit=64, k=5):
-    """On-device exactness audit: certified-path seeds vs a full f32-HIGHEST
-    ground truth over the same (storage-dtype) corpus (VERDICT r2 item 8 — a
-    standing empirical check at every scale the ladder measures, not just CPU
-    property tests)."""
+def certificate_audit(gt, q_dev, res, n_audit=64, k=5):
+    """On-device exactness audit: the certified search path's seeds vs a full
+    f32-HIGHEST ground truth over the same (storage-dtype) corpus (VERDICT r2
+    item 8 — a standing empirical check at every scale the ladder measures,
+    not just CPU property tests).
+
+    Reuses the seeds the ALREADY-COMPILED batched search produced
+    (``res.seed_idx`` is ``refined_masked_topk``'s output) so the audit adds
+    exactly one small eager ground-truth matmul per rung — a separate jitted
+    audit batch cost 1-2 extra remote compiles per rung, which on slow-compile
+    days pushed the ladder past the driver's budget."""
     import jax
     import jax.numpy as jnp
 
-    from ahrag_tpu.ops.topk import (_full_highest_topk, refined_masked_topk,
-                                    refined_masked_topk_cert)
+    from ahrag_tpu.ops.topk import _full_highest_topk
 
     qa = q_dev[:n_audit]
     mask = gt.indexed & gt.valid
-    vals, idx = refined_masked_topk(qa, gt.emb, mask, k, margin=max(16, 3 * k))
-    _, _, cert = refined_masked_topk_cert(qa, gt.emb, mask, k,
-                                          margin=max(16, 3 * k))
     qx = qa.astype(gt.emb.dtype) if gt.emb.dtype == jnp.bfloat16 else qa
     gvals, gidx = _full_highest_topk(qx, gt.emb, mask, k)
-    idx, gidx, vals, gvals, cert = jax.device_get((idx, gidx, vals, gvals, cert))
-    # compare as sets per query with value tie-tolerance: equal-score orderings
-    # may differ between kernels; exactness means identical score multisets
+    idx = res.seed_idx[:n_audit]
+    vals = res.seed_sim[:n_audit]
+    idx, gidx, vals, gvals = jax.device_get((idx, gidx, vals, gvals))
+    # exactness means identical rankings up to equal-score ties: orderings of
+    # tied scores may differ between kernels, so a position mismatch only
+    # counts when the score multisets differ too
     mism = 0
     for b in range(idx.shape[0]):
         if list(idx[b]) != list(gidx[b]) and not np.allclose(
                 vals[b], gvals[b], rtol=0, atol=1e-6):
             mism += 1
     return {"audited_queries": int(idx.shape[0]),
-            "audit_mismatches": int(mism),
-            "cert_rate": round(float(np.mean(cert)), 4)}
+            "audit_mismatches": int(mism)}
 
 
 def run_rung(n_entities: int, n_queries: int) -> dict:
@@ -278,7 +282,11 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
 
     print(f"[bench] rung {n_entities}: warmup+parity done ({warm_s:.1f}s "
           f"compile, {mismatches}/8 mismatches)", file=sys.stderr, flush=True)
-    audit = certificate_audit(gt, q_dev)
+    t_a0 = time.perf_counter()
+    audit = certificate_audit(gt, q_dev, res)
+    print(f"[bench] rung {n_entities}: cert audit {time.perf_counter()-t_a0:.1f}s "
+          f"({audit['audit_mismatches']} mismatches)", file=sys.stderr,
+          flush=True)
 
     # --- CPU baseline timing (sequential per query, as the reference runs).
     # The full query set at 1M nodes would take tens of minutes at ~3 qps; a
@@ -290,6 +298,8 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
         cpu_reference_search(arrs, q_mat[b % q_mat.shape[0]])
     cpu_s = (time.perf_counter() - t0) / sample
     qps_cpu = 1.0 / cpu_s
+    print(f"[bench] rung {n_entities}: cpu baseline {sample}q in "
+          f"{sample * cpu_s:.1f}s", file=sys.stderr, flush=True)
 
     # --- device timing (batched, jitted; warmed up by the parity pass) ---
     reps = 5
@@ -348,17 +358,20 @@ def main() -> None:
     if "AHRAG_BENCH_ENTITIES" in os.environ:  # legacy single-rung override
         rungs = [int(os.environ["AHRAG_BENCH_ENTITIES"])]
     else:
+        # 1M runs SECOND, right after the tiny warmup rung: remote-compile
+        # latency through the tunnel varies run to run, and the headline rung
+        # must not be the one the budget gate sacrifices
         rungs = [int(x) for x in os.environ.get(
-            "AHRAG_BENCH_LADDER", "2000,131072,1048576").split(",")]
+            "AHRAG_BENCH_LADDER", "2000,1048576,131072").split(",")]
 
     t_start = time.perf_counter()
     ladder = []
     for n_entities in rungs:
         elapsed = time.perf_counter() - t_start
         # estimated rung cost: array build is seconds of NumPy; the dominant
-        # cold costs are the host->device corpus transfer and one remote
-        # compile per (shape) — measured ~35s at 2k, ~60s at 131k, ~150s at 1M
-        est = 40.0 + n_entities / 8000.0
+        # cold costs are 1-2 remote compiles (tens of seconds each, variable)
+        # plus the corpus transfer and the sampled CPU baseline
+        est = 40.0 + n_entities / 12000.0
         if ladder and elapsed + est > budget_s:
             ladder.append({"n_requested": n_entities, "skipped": True,
                            "reason": f"budget ({elapsed:.0f}s elapsed of "
@@ -380,7 +393,7 @@ def main() -> None:
                           "detail": {"backend": jax.default_backend(),
                                      "ladder": ladder}}))
         sys.exit(1)
-    head = done[-1]
+    head = max(done, key=lambda r: r["n_nodes"])  # largest completed rung
     print(json.dumps({
         "metric": "hybrid_search_qps",
         "value": head["qps"],

@@ -59,13 +59,20 @@ def test_full_evaluate_offline():
                                    "actions": [{"action": "expand_parents",
                                                 "inputs": ["ent:1", "sum:0"]}]}},
     }
-    out = ev.evaluate(answer_obj, graph=None, config={})
+    # parity mode pins the reference's no-judge constants (answer_eval.py:350,361)
+    out = ev.evaluate(answer_obj, graph=None,
+                      config={"evaluation": {"judge": {"mode": "parity"}}})
     scores = out["scores"]
     assert scores["f1"] == 100.0 and scores["em"] == 100.0
     assert scores["contextual_recall"] == 1.0  # 2 used / 2 evidence * 1.2 capped
     assert scores["faithfulness"] == 0.5       # no-judge default constant
     assert scores["contextual_precision"] == 0.65
     assert 0 < scores["overall"] <= 1.0
+    # default (deterministic) mode: grounded correct answer scores high
+    det = ev.evaluate(answer_obj, graph=None, config={})["scores"]
+    assert det["faithfulness"] >= 0.7
+    assert det["answer_relevancy"] >= 0.9
+    assert 0.0 < det["contextual_precision"] <= 1.0
     spec = out["details"]["specific_metrics"]
     assert spec["graph_coverage"] == 2
     assert spec["layer_utilization"]["L0"] == 1 and spec["layer_utilization"]["L1"] == 1

@@ -1,0 +1,119 @@
+"""Encoder-level retrieval ablation on the v2 no-gold-name questions.
+
+VERDICT r2 item 4: demonstrate paraphrase-robust retrieval without egress —
+lift recall@10 on questions that share no entity name with the gold paragraphs
+via corpus-trained structure, and report the ablation against the plain hashed
+encoder.
+
+Protocol: pool every unique paragraph of the split's world into ONE corpus
+(per-item 10-paragraph contexts make recall@10 trivially 1.0 — ten candidates,
+ten slots), index it one node per paragraph (the per-paragraph granularity the
+reference's Chroma index gives HotpotQA contexts), then run hybrid search on
+each question over the full world and measure gold-title recall@10 among
+~85 candidates. Variants:
+
+- ``plain``    — hashed n-gram encoder + IDF (round-2 configuration);
+- ``expanded`` — + corpus-trained PPMI co-occurrence query expansion
+                 (models/encoder/hashed.py::train_associations).
+
+Run on CPU: ``python tools/cpu_python.py tools.retrieval_ablation_v2 --out
+reports/retrieval_ablation_v2_r3.json``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ahrag_tpu.eval.retrieval import recall_at_k
+from ahrag_tpu.eval.synth import NO_NAME_FAMILIES
+
+
+def _load(path):
+    with open(path, encoding="utf-8") as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def _index_world(items, train_expansion):
+    """One graph over every unique paragraph appearing in the split."""
+    from ahrag_tpu.graph import HierarchicalGraph
+    paragraphs = {}
+    for item in items:
+        ctx = item["context"]
+        for title, sents in zip(ctx["title"], ctx["sentences"]):
+            paragraphs.setdefault(title, " ".join(sents))
+    hg = HierarchicalGraph(encoder_name="hashed")
+    for title, text in paragraphs.items():
+        hg.add_entity(title, text, "concept")
+    hg.build_vector_index(layers=(0, 1, 2), train_expansion=train_expansion)
+    return hg
+
+
+def run_item(item, hg, k=10):
+    res = hg.search(item["question"], top_k=k, return_cluster=False)
+    ids = [r["node_id"] for r in (res or [])]
+    return recall_at_k(ids, item.get("gold_titles") or [], hg, k=k)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=os.path.join(REPO, "samples",
+                                                   "synth_v2_test.jsonl"))
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    items = _load(args.data)
+    if args.limit:
+        items = items[: args.limit]
+
+    hg_plain = _index_world(items, train_expansion=False)
+    hg_exp = _index_world(items, train_expansion=True)
+    rows = []
+    for item in items:
+        rows.append({"id": item["id"], "qtype": item["qtype"],
+                     "no_name": item["qtype"] in NO_NAME_FAMILIES,
+                     "recall_plain": run_item(item, hg_plain),
+                     "recall_expanded": run_item(item, hg_exp)})
+
+    def _mean(sel, key):
+        xs = [r[key] for r in rows if sel(r)]
+        return round(sum(xs) / len(xs), 4) if xs else None
+
+    summary = {
+        "n_items": len(rows),
+        "no_name": {
+            "n": sum(r["no_name"] for r in rows),
+            "recall_at_10_plain": _mean(lambda r: r["no_name"], "recall_plain"),
+            "recall_at_10_expanded": _mean(lambda r: r["no_name"],
+                                           "recall_expanded"),
+        },
+        "named": {
+            "n": sum(not r["no_name"] for r in rows),
+            "recall_at_10_plain": _mean(lambda r: not r["no_name"],
+                                        "recall_plain"),
+            "recall_at_10_expanded": _mean(lambda r: not r["no_name"],
+                                           "recall_expanded"),
+        },
+        "by_qtype": {},
+    }
+    for qt in sorted({r["qtype"] for r in rows}):
+        summary["by_qtype"][qt] = {
+            "n": sum(r["qtype"] == qt for r in rows),
+            "plain": _mean(lambda r: r["qtype"] == qt, "recall_plain"),
+            "expanded": _mean(lambda r: r["qtype"] == qt, "recall_expanded"),
+        }
+    report = {"dataset": os.path.basename(args.data), "summary": summary,
+              "items": rows}
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
