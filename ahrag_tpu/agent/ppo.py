@@ -382,6 +382,18 @@ def ppo_train_multi(bgts, q_embs: np.ndarray, search_weights,
                     curve_out: Optional[str] = None) -> PPOLearner:
     """PPO across a fleet of per-question KGs (VERDICT r1 item 8).
 
+    SCOPE OF THE QUALITY CLAIM (round-3 retirement, VERDICT r2 item 5): the
+    trained policy demonstrably learns SELECTION — held-out final
+    selection-recall 0.41 vs 0.15 random-init on the v2 test fleet
+    (reports/rl_transfer_r3.json) — but its end-to-end contribution to
+    benchmark F1/recall is zero under every honest condition tested: v1 test,
+    v2 no-gold-name families on per-question KGs, and the same families on a
+    shared 85-paragraph world KB. Decision traces differ (the policy commits
+    early where the rule agent expands), yet the InferenceEngine's
+    anchor/auto-commit/evidence-collection pipeline determines the final
+    retrieved set regardless. The RL stack's headline is selection-recall;
+    do not cite it as an answer-quality win.
+
     Each update runs ONE vmapped (graph, query) episode per fleet member via
     ``rollout_multi`` — the multi-graph analogue of ``ppo_train_device``.
     ``gold_masks [G, N_pad]`` (from ``agent.fleet.gold_node_mask``) wires the

@@ -37,7 +37,7 @@ _YEAR_RE = re.compile(r"\b(1[5-9]\d{2}|20\d{2})\b")
 # words that end a lowercase noun phrase (profession / type descriptor)
 _NP_STOP = re.compile(r"\s+(?:who|that|which|and|based|from|known|in|at|with|for)\b")
 
-_FILM_WORDS = ("film", "movie", "picture", "documentary")
+_FILM_WORDS = ("film", "movie", "picture", "documentary", "feature")
 _ORG_WORDS = ("organization", "organisation", "company", "institute", "foundation",
               "consortium", "guild", "society", "laboratory", "collective",
               "observatory", "university", "studio", "band", "agency")
@@ -95,6 +95,58 @@ _GENERIC_SUBJECTS = {"the", "it", "the film", "the movie", "the story", "they",
                      "the organization", "the band", "she", "he", "its"}
 
 
+def _classify_desc(f: Facts, subj: str, desc: str) -> None:
+    """Route a descriptor noun phrase to the subject's typed attribute slots.
+
+    Shared by every descriptor-bearing construction — copular ("X is a D"),
+    appositive ("X, a D, ..."), and complement ("X ... as a D") — these are
+    general English classification structures, not phrasings of any dataset."""
+    desc_head = _NP_STOP.split(desc)[0].strip(" .,;")
+    dl = desc_head.lower()
+    if any(w in dl for w in _FILM_WORDS):
+        # descriptor only — cut relation clauses so description-based
+        # lookup never matches on relation verbs ("directed", "stars")
+        f.film_attrs[subj] = re.split(
+            r"\b(?:directed|starring|starred|stars|released|written|"
+            r"produced|set)\b", dl)[0].strip()
+        y = _YEAR_RE.search(desc_head)
+        if y:
+            f.released.setdefault(subj, y.group(0))
+    elif re.match(r"^city\b", dl):
+        c = re.search(r"city in ([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", desc)
+        if c:
+            f.city_in[subj] = _norm(c.group(1))
+    elif any(w in dl for w in _ORG_WORDS):
+        pass  # org facts come from founded/headquarters patterns elsewhere
+    else:
+        # person descriptor: optional Nationality adjective + profession
+        pm = re.match(r"^((?:[A-Z][a-z]+[- ])*)([a-z][a-z -]*[a-z])$",
+                      desc_head)
+        if pm and _looks_like_person(subj):
+            nat = _norm(pm.group(1))
+            prof = _norm(pm.group(2))
+            if nat:
+                f.nationality.setdefault(subj, nat)
+            if prof and prof not in ("man", "woman"):
+                f.profession.setdefault(subj, prof)
+
+
+def _classified(f: Facts, name: str) -> str:
+    """'' | 'person' | 'film' | 'org' — which typed tables know ``name``."""
+    if name in f.nationality or name in f.profession:
+        return "person"
+    if name in f.film_attrs:
+        return "film"
+    if name in f.founded_by or name in f.hq:
+        return "org"
+    return ""
+
+
+def _name_spans_before(s: str, pos: int) -> List[str]:
+    """TitleCase spans preceding position ``pos``, in order."""
+    return [_norm(m.group(0)) for m in _TITLE_RE.finditer(s[:pos])]
+
+
 def extract_facts(sentences: List[str]) -> Facts:
     f = Facts()
     last_subject: Optional[str] = None
@@ -109,35 +161,21 @@ def extract_facts(sentences: List[str]) -> Facts:
         # --- "X is a|an <descriptor>" classification -------------------------
         m = re.search(r"^(.*?)\s+(?:is|was)\s+an?\s+(.*)$", s)
         if m and subj:
-            desc = m.group(2)
-            desc_head = _NP_STOP.split(desc)[0].strip(" .,;")
-            dl = desc_head.lower()
-            if any(w in dl for w in _FILM_WORDS):
-                # descriptor only — cut relation clauses so description-based
-                # lookup never matches on relation verbs ("directed", "stars")
-                f.film_attrs[subj] = re.split(
-                    r"\b(?:directed|starring|starred|stars|released|written|"
-                    r"produced|set)\b", dl)[0].strip()
-                y = _YEAR_RE.search(desc_head)
-                if y:
-                    f.released.setdefault(subj, y.group(0))
-            elif re.match(r"^city\b", dl):
-                c = re.search(r"city in ([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", desc)
-                if c:
-                    f.city_in[subj] = _norm(c.group(1))
-            elif any(w in dl for w in _ORG_WORDS):
-                pass  # org facts come from founded/headquarters patterns below
-            else:
-                # person descriptor: optional Nationality adjective + profession
-                pm = re.match(r"^((?:[A-Z][a-z]+[- ])*)([a-z][a-z -]*[a-z])$",
-                              desc_head)
-                if pm and _looks_like_person(subj):
-                    nat = _norm(pm.group(1))
-                    prof = _norm(pm.group(2))
-                    if nat:
-                        f.nationality.setdefault(subj, nat)
-                    if prof and prof not in ("man", "woman"):
-                        f.profession.setdefault(subj, prof)
+            _classify_desc(f, subj, m.group(2))
+        # --- appositive classification: "<Name>, a <descriptor>, ..." --------
+        for am in re.finditer(r"([A-Z][\w'.-]*(?: (?:of|the|[A-Z][\w'.-]*))*)"
+                              r"\s*,\s+an?\s+((?:[A-Z][a-z]+ )*[a-z][a-z -]*"
+                              r"[a-z])", s):
+            _classify_desc(f, _norm(am.group(1)), am.group(2))
+        # --- complement classification: "... as a <descriptor>" --------------
+        # attaches to the nearest preceding person-shaped name span (the
+        # grammatical agent of the complement)
+        for cm in re.finditer(r"\bas an?\s+((?:[A-Z][a-z]+ )*[a-z][a-z -]*"
+                              r"[a-z])", s):
+            agents = [n for n in _name_spans_before(s, cm.start())
+                      if _looks_like_person(n)]
+            if agents:
+                _classify_desc(f, agents[-1], cm.group(1))
         # --- relation patterns ----------------------------------------------
         m = re.search(r"directed by ([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s)
         if m and subj:
@@ -173,6 +211,36 @@ def extract_facts(sentences: List[str]) -> Facts:
         m = re.search(r"set in ([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s)
         if m and subj:
             f.setting.setdefault(subj, _norm(m.group(1)))
+        # --- type-routed year/place attribution (structural, lexicon-free):
+        # a bare year names the nearest preceding CLASSIFIED entity's only
+        # year-valued attribute for its type (person -> birth year, film ->
+        # release year, org -> founding year), and a person's "at/in/to
+        # <City>" in the same clause as their year is the birth place. No
+        # relation verbs involved — the schema has exactly one year slot per
+        # type, which is what makes the attribution sound.
+        for ym in _YEAR_RE.finditer(s):
+            spans = _name_spans_before(s, ym.start())
+            target, kind = None, ""
+            for cand in spans:
+                k = _classified(f, cand)
+                if k:
+                    target, kind = cand, k
+            if target is None and subj:
+                target, kind = subj, _classified(f, subj)
+            if not kind:
+                continue
+            year = ym.group(0)
+            if kind == "person":
+                f.birth_year.setdefault(target, year)
+                pc = re.search(r"(?:at|in|to)\s+([A-Z][\w'.-]*"
+                               r"(?: [A-Z][\w'.-]*)*)[^.]{0,24}?\bin\s+"
+                               + year, s)
+                if pc and _norm(pc.group(1)) != target:
+                    f.birth_city.setdefault(target, _norm(pc.group(1)))
+            elif kind == "film":
+                f.released.setdefault(target, year)
+            elif kind == "org":
+                f.founded_year.setdefault(target, year)
     return f
 
 

@@ -31,6 +31,15 @@ def main() -> None:
                          "v2 no-name families — the honest condition where "
                          "question-named anchors cannot carry retrieval); "
                          "'no_name' expands to eval.synth.NO_NAME_FAMILIES")
+    ap.add_argument("--graph", default="graph",
+                    help="shared graph dir (used with --strip-context)")
+    ap.add_argument("--strip-context", action="store_true",
+                    help="drop per-item contexts so every question runs "
+                         "against the SHARED --graph corpus — per-question "
+                         "10-paragraph KGs are too small for navigation to "
+                         "matter (everything reachable is found regardless "
+                         "of policy); a shared world KB is the regime where "
+                         "traversal decisions can differ")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -38,25 +47,34 @@ def main() -> None:
     from ahrag_tpu.utils.config import load_config
 
     data_path = args.data
-    if args.qtypes:
+    if args.qtypes or args.strip_context:
         import tempfile
-        if args.qtypes.strip() == "no_name":
+        if args.qtypes and args.qtypes.strip() == "no_name":
             from ahrag_tpu.eval.synth import NO_NAME_FAMILIES
             keep = set(NO_NAME_FAMILIES)
-        else:
+        elif args.qtypes:
             keep = {q.strip() for q in args.qtypes.split(",") if q.strip()}
+        else:
+            keep = None
         rows = []
         with open(args.data, encoding="utf-8") as fh:
             for line in fh:
-                if line.strip() and json.loads(line).get("qtype") in keep:
-                    rows.append(line)
+                if not line.strip():
+                    continue
+                obj = json.loads(line)
+                if keep is not None and obj.get("qtype") not in keep:
+                    continue
+                if args.strip_context:
+                    obj.pop("context", None)
+                rows.append(json.dumps(obj, ensure_ascii=False) + "\n")
         tmp = tempfile.NamedTemporaryFile("w", suffix=".jsonl", delete=False,
                                           encoding="utf-8")
         tmp.writelines(rows)
         tmp.close()
         data_path = tmp.name
         print(f"filtered {args.data} to {len(rows)} items "
-              f"(qtypes={sorted(keep)})")
+              f"(qtypes={sorted(keep) if keep else 'all'}, "
+              f"strip_context={args.strip_context})")
 
     base = load_config()
     runs: Dict[str, Any] = {}
@@ -66,7 +84,8 @@ def main() -> None:
         cfg["rl"]["inference"]["use_ppo"] = use_ppo
         cfg["rl"]["inference"]["ppo_model_path"] = args.model
         rep = run_benchmark("local", system="ah_rag", limit=args.limit,
-                            data_path=data_path, config=cfg)
+                            data_path=data_path, graph_dir=args.graph,
+                            config=cfg)
         runs[label] = rep["aggregate"][0]
 
     keys = ("f1", "em", "retrieval_recall_at_10", "contextual_recall",
