@@ -101,7 +101,7 @@ class SemanticAggregator:
                          min_topic_size: int = 2, n_topics: Optional[int] = None,
                          softmax_tau: float = 0.1, seed: int = 42,
                          merge_threshold: Optional[float] = 0.6,
-                         outlier_sigma: Optional[float] = 2.5,
+                         outlier_sigma="auto",
                          min_outlier_cluster: int = 8,
                          oversplit: int = 1,
                          density_alpha: Optional[float] = None) -> Dict[str, Any]:
@@ -130,6 +130,11 @@ class SemanticAggregator:
           (semantic_aggregator.py:136-141 -> ``entity_to_parents = []``).
           Applied only within clusters of >= ``min_outlier_cluster`` members
           (tiny clusters have no meaningful density statistics).
+          ``outlier_sigma="auto"`` (default) resolves to 2.5 for adaptive k
+          and to None (no cut) when the caller pins ``n_topics`` — mirroring
+          how merge is skipped, so pinned-k callers keep every entity parented
+          and ``n_topics`` keeps meaning "requested k" (ADVICE r2). Pass an
+          explicit float to force the cut either way.
         """
         if self.entity_embeddings is None or not self.entity_names:
             raise RuntimeError("Embeddings not available. Run embed_l0_entities first.")
@@ -139,6 +144,8 @@ class SemanticAggregator:
         # cluster and no post-pass can recover them); splitting finer and
         # density-merging the same-topic splits back recovers both (HDBSCAN
         # leaf-splitting analogue) — opt-in, see docstring
+        if isinstance(outlier_sigma, str):  # "auto"
+            outlier_sigma = None if n_topics is not None else 2.5
         osf = oversplit if (n_topics is None and merge_threshold is not None) else 1
         k = n_topics or max(1, min(n // max(1, min_topic_size),
                                    osf * (int(round(math.sqrt(n / 2))) or 1)))

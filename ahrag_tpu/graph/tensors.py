@@ -176,6 +176,20 @@ def build_graph_tensors(
     vd[:n] = True
 
     store_dtype = jnp.bfloat16 if emb_dtype == "bfloat16" else jnp.float32
+    if (jax.default_backend() == "tpu" and n_pad % 1024 == 0
+            and n_pad >= 4096):
+        # prime the kernel-true certificate calibration EAGERLY (mirrors the
+        # ops.topk routing for this corpus): the binned certified path will
+        # usually be reached inside a jit trace, where the Pallas calibration
+        # cannot run — a warm lru cache is what makes traced callers get the
+        # kernel-calibrated eps instead of the XLA-dot fallback band
+        from ahrag_tpu.ops.topk import binmax_eps
+        is_bf16 = store_dtype == jnp.bfloat16
+        try:
+            binmax_eps("tpu", d, 2048 if n_pad % 2048 == 0 else 1024,
+                       "default" if is_bf16 else "highest", is_bf16, False)
+        except Exception:  # pragma: no cover - calibration must never block
+            pass           # index builds (falls back to the XLA band)
     return GraphTensors(
         emb=jnp.asarray(emb, dtype=store_dtype),
         node_type=jnp.asarray(nt),

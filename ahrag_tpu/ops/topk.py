@@ -113,21 +113,70 @@ def matmul_eps(backend: str, d: int, mode: str = "default") -> float:
     return 8.0 * err + 1e-7
 
 
+@functools.lru_cache(maxsize=None)
+def binmax_eps(backend: str, d: int, tile_n: int, precision: str,
+               bf16_in: bool, interpret: bool = False) -> float:
+    """Coarse error band calibrated THROUGH ``dense_binmax_pallas`` itself.
+
+    ``matmul_eps`` calibrates an XLA ``jnp.dot``, but the binned certificate's
+    coarse scores come from the Pallas kernel, whose per-tile matmul has its
+    own tiling/accumulation order — only the 8x safety factor covered that
+    gap (ADVICE r2, medium). This measures the kernel directly: with
+    ``n_valid = 128`` exactly one corpus row is live per lane bin, so the
+    kernel's bin maxima ARE its per-row scores, comparable one-to-one against
+    a float64 host ground truth. The refine-stage error (HIGHEST dot for f32
+    storage, single-pass bf16 product otherwise) is measured the same way and
+    added, then the same 8x engineering margin + 1e-7 floor as matmul_eps.
+    Cached per (backend, d, tile_n, precision, bf16_in, interpret): two small
+    kernel launches once per process. Unlike ``matmul_eps`` this does NOT use
+    ``ensure_compile_time_eval`` — its eval mode cannot run pallas_call
+    (no eval rule for ``program_id``); the jitted kernel on concrete inputs
+    executes normally even when first reached at trace time.
+    """
+    import numpy as np
+    key = jax.random.PRNGKey(0)
+    kq, ke = jax.random.split(key)
+    q = jax.random.normal(kq, (64, d), jnp.float32)
+    e = jax.random.normal(ke, (tile_n, d), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+    if bf16_in:
+        q = q.astype(jnp.bfloat16)
+        e = e.astype(jnp.bfloat16)
+    bm = dense_binmax_pallas(q, e, jnp.int32(128),
+                             jnp.ones(tile_n, bool), tile_n=tile_n,
+                             interpret=interpret, precision=precision)
+    coarse = np.asarray(bm[:, :128], np.float64)
+    true = np.asarray(q, np.float64) @ np.asarray(e[:128], np.float64).T
+    refine = jnp.dot(q, e[:128].T, preferred_element_type=jnp.float32,
+                     precision=(None if bf16_in
+                                else jax.lax.Precision.HIGHEST))
+    err = (float(np.max(np.abs(coarse - true)))
+           + float(np.max(np.abs(np.asarray(refine, np.float64) - true))))
+    return 8.0 * err + 1e-7
+
+
 def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                              k: int, margin: int = 16
                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase top-k with a per-query exactness certificate.
 
-    Fast default-precision coarse scores select ``m = k + margin`` candidates
-    (whose coverage of the true coarse top-m is SOUND on every branch — flat
-    ``lax.top_k``, per-tile top-m Pallas merge, or bin-max Pallas; never
-    ``lax.approx_max_k``, whose recall misses admit no bound); candidates are
-    re-scored at f32 HIGHEST. The certificate then bounds every non-candidate:
-    its coarse score is <= the m-th coarse value ``c_m``, so its exact score is
-    <= ``c_m + eps`` with ``eps`` the calibrated default-vs-HIGHEST error band
-    (``matmul_eps``). If the k-th exact candidate value exceeds that bound, no
-    outside row can belong in the top-k and the result is certified exact
-    (VERDICT r1 item 6 — replaces the former "0/8 bench probes" empiricism).
+    Fast default-precision coarse scores select ``m = k + margin`` candidates;
+    candidates are re-scored at f32 HIGHEST. Candidate COVERAGE need not be
+    sound for the certificate to be: the binned branch selects bins with
+    ``lax.approx_max_k`` (XLA's exact top-k dominates wall time at >=64k
+    bins), and a hot bin that approx selection misses lands in ``c_out`` —
+    the exact max over NON-selected bin maxima — which then exceeds the k-th
+    candidate value and honestly FAILS the certificate instead of corrupting
+    the result (the public wrapper recomputes at full HIGHEST). The
+    certificate bounds every non-candidate row: its coarse score is <= the
+    coarse bound (``c_m`` on the flat branch, ``c_out`` on the binned
+    branch), so its exact score is <= bound + ``eps`` with ``eps`` the
+    calibrated coarse-vs-f64 error band measured through the SAME computation
+    that produced the coarse scores (``matmul_eps`` for the flat XLA dot,
+    ``binmax_eps`` through the Pallas kernel itself). If the k-th exact
+    candidate value exceeds that bound, no outside row can belong in the
+    top-k and the result is certified exact.
 
     q: [B, D], emb: [N, D], mask: [N] bool.
     Returns (vals [B, k], idx [B, k], certified [B] bool).
@@ -151,8 +200,10 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # is what keeps the certificate satisfiable on clustered score
         # distributions (measured cert_rate 0.72 -> 1.0 at 1M rows — with the
         # bf16 band the fallback fires on EVERY batch of clustered corpora and
-        # throughput collapses 4x); approx bin selection at rt=0.999 + the
-        # exact c_out bound halves the refine cost while staying sound (see
+        # throughput collapses 4x); EXACT bin selection costs the same as
+        # approx_max_k at these shapes (measured 8.25 vs 8.15 ms incl. kernel
+        # at 1M/B=512) and makes the out-of-net bound free — the m-th selected
+        # value — instead of an O(B*m*nbins) c_out pass (see
         # binned_refined_topk).
         # Batch-chunked: the kernel's VMEM blocks scale with B (scores tile
         # [B, tile_n] plus the HIGHEST 3-pass scratch); 256 is the measured
@@ -160,13 +211,10 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # stream at these N. Trace-time Python loop: B is static under jit.
         B = q.shape[0]
         tile_n = 2048 if n % 2048 == 0 else 1024
-        # Margin scales with the bin count: approx_max_k's top-bin misses grow
-        # with the number of bins, and a missed hot bin lands in c_out and
-        # honestly fails the certificate — whereupon the whole batch pays the
-        # ~30ms full-HIGHEST fallback. Measured at k=5, B=256: 8448 bins
-        # (131k rows) certifies ~1.0 at the narrow net (wide net just costs
-        # 12k qps of gather), while 66688 bins (1M rows) certifies 0.93 narrow
-        # (effective 48ms with fallbacks) vs 1.0 wide (19.6ms).
+        # The wide margin keeps the certificate satisfiable: the bound on
+        # out-of-net rows is the m-th selected bin max, which shrinks as m
+        # grows — at 66688 bins (1M rows) the narrow net certified only 0.93
+        # of batches (effective 48ms with fallbacks) vs ~1.0 wide.
         nbins_total = (n // tile_n) * 128
         wide = 8 * k + 2 if nbins_total > 16384 else 3 * k + 2
         # bf16 storage halves every VMEM block, so the batch chunk doubles
@@ -178,7 +226,7 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
                 q[s:s + chunk], emb, mask, k,
                 margin=max(margin, wide), tile_n=tile_n,
                 coarse_precision="default" if is_bf16 else "highest",
-                select="approx"))
+                select="exact"))
         if len(outs) == 1:
             return outs[0]
         return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
@@ -452,9 +500,24 @@ def binned_rows_of(bin_idx: jnp.ndarray, tile_n: int) -> jnp.ndarray:
     return (tile * tile_n + lane)[..., None] + 128 * jnp.arange(g)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "margin", "tile_n",
-                                             "interpret", "coarse_precision",
-                                             "select", "recall_target"))
+def _safe_binmax_eps(d: int, tile_n: int, coarse_precision: str,
+                     is_bf16: bool, interpret: bool) -> float:
+    """Kernel-true eps when obtainable, XLA-calibrated band otherwise.
+
+    ``binmax_eps`` runs the Pallas kernel, which cannot execute inside an
+    ambient jit trace (inner jits inline; pallas has no eval rule). The lru
+    cache is primed eagerly at ``build_graph_tensors`` time and by the
+    ``binned_refined_topk`` shell, so traced callers normally find it warm;
+    a cold in-trace call falls back to the XLA-dot calibration whose
+    kernel-order gap the 8x safety factor covers (the pre-round-3 band)."""
+    try:
+        return binmax_eps(jax.default_backend(), d, tile_n, coarse_precision,
+                          is_bf16, interpret)
+    except jax.errors.TracerArrayConversionError:
+        return matmul_eps(jax.default_backend(), d,
+                          "bf16in" if is_bf16 else coarse_precision)
+
+
 def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         k: int, margin: int = 16, tile_n: int = 4096,
                         interpret: bool = False,
@@ -462,6 +525,29 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         select: str = "exact",
                         recall_target: float = 0.999
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Public shell: resolves the calibrated ``eps`` eagerly (priming the
+    kernel-true calibration when called outside a trace), then dispatches the
+    jitted implementation with ``eps`` baked in as a static constant."""
+    eps = _safe_binmax_eps(emb.shape[1], tile_n, coarse_precision,
+                           emb.dtype == jnp.bfloat16, interpret)
+    return _binned_refined_topk(q, emb, mask, k, margin=margin, tile_n=tile_n,
+                                interpret=interpret,
+                                coarse_precision=coarse_precision,
+                                select=select, recall_target=recall_target,
+                                eps=eps)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "margin", "tile_n",
+                                             "interpret", "coarse_precision",
+                                             "select", "recall_target", "eps"))
+def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
+                         k: int, margin: int = 16, tile_n: int = 4096,
+                         interpret: bool = False,
+                         coarse_precision: str = "default",
+                         select: str = "exact",
+                         recall_target: float = 0.999,
+                         eps: float = 0.0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Certified top-k via the streaming bin-max kernel.
 
     coarse = top-(k+margin) bins by bin max -> gather those bins' G rows each ->
@@ -515,15 +601,23 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     if m >= nbins:
         # every bin selected: all rows re-scored exactly
         return vals, idx, jnp.ones((B,), bool)
-    eps = matmul_eps(jax.default_backend(), emb.shape[1],
-                     "bf16in" if is_bf16 else coarse_precision)
-    # exact bound over everything outside the candidate net: the max of the
-    # NON-selected bin maxima. Strictly tighter than the m-th selected value
-    # (so the certificate passes more often), and — crucially — still sound
-    # when approx selection skipped a hot bin: that bin's max lands in c_out.
-    col = jax.lax.broadcasted_iota(jnp.int32, binmax.shape, 1)
-    chosen = (col[:, None, :] == bm_idx[:, :, None]).any(axis=1)
-    c_out = jnp.max(jnp.where(chosen, NEG_INF, binmax), axis=1)
+    if select == "approx":
+        # approx selection can MISS a hot bin, so the out-of-net bound must be
+        # computed from the actual non-selected maxima: a missed bin lands in
+        # c_out and honestly fails the certificate. O(B*m*nbins) compare —
+        # measured ~7ms of the 1M path's wall, which is why exact selection
+        # (below) is now the default.
+        col = jax.lax.broadcasted_iota(jnp.int32, binmax.shape, 1)
+        chosen = (col[:, None, :] == bm_idx[:, :, None]).any(axis=1)
+        c_out = jnp.max(jnp.where(chosen, NEG_INF, binmax), axis=1)
+    else:
+        # EXACT selection: every non-selected bin max <= the m-th selected
+        # value by definition of top_k, so the bound is free — no O(B*nbins)
+        # pass. (Negligibly looser than the true (m+1)-th max.) Measured at
+        # 1M x 384 B=512: exact top_k costs the same as approx_max_k at this
+        # shape, and dropping the c_out pass takes the full certified path
+        # from ~19ms to ~11ms.
+        c_out = bm_vals[:, m - 1]
     cert = (vals[:, kk - 1] > c_out + eps) | (c_out <= NEG_INF / 2)
     return vals, idx, cert
 
