@@ -200,11 +200,10 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # is what keeps the certificate satisfiable on clustered score
         # distributions (measured cert_rate 0.72 -> 1.0 at 1M rows — with the
         # bf16 band the fallback fires on EVERY batch of clustered corpora and
-        # throughput collapses 4x); EXACT bin selection costs the same as
-        # approx_max_k at these shapes (measured 8.25 vs 8.15 ms incl. kernel
-        # at 1M/B=512) and makes the out-of-net bound free — the m-th selected
-        # value — instead of an O(B*m*nbins) c_out pass (see
-        # binned_refined_topk).
+        # throughput collapses 4x); approx bin selection because exact
+        # lax.top_k over 66688 bins costs ~60ms at B=512 (differential-wall
+        # measured; the full exact path ran 70.7 vs 18.9 ms approx) — the
+        # certificate stays sound via the c_out bound (binned_refined_topk).
         # Batch-chunked: the kernel's VMEM blocks scale with B (scores tile
         # [B, tile_n] plus the HIGHEST 3-pass scratch); 256 is the measured
         # safe block. Chunking costs extra corpus passes — milliseconds of HBM
@@ -226,7 +225,7 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
                 q[s:s + chunk], emb, mask, k,
                 margin=max(margin, wide), tile_n=tile_n,
                 coarse_precision="default" if is_bf16 else "highest",
-                select="exact"))
+                select="approx"))
         if len(outs) == 1:
             return outs[0]
         return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
@@ -613,10 +612,9 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     else:
         # EXACT selection: every non-selected bin max <= the m-th selected
         # value by definition of top_k, so the bound is free — no O(B*nbins)
-        # pass. (Negligibly looser than the true (m+1)-th max.) Measured at
-        # 1M x 384 B=512: exact top_k costs the same as approx_max_k at this
-        # shape, and dropping the c_out pass takes the full certified path
-        # from ~19ms to ~11ms.
+        # pass (negligibly looser than the true (m+1)-th max). Exact top_k
+        # itself is the cost: ~60ms over 66688 bins at B=512, which is why
+        # approx selection stays the production default at large nbins.
         c_out = bm_vals[:, m - 1]
     cert = (vals[:, kk - 1] > c_out + eps) | (c_out <= NEG_INF / 2)
     return vals, idx, cert
