@@ -26,7 +26,8 @@ _CAP_STOP = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This", "Tha
              "They", "His", "Her", "Its", "After", "Before", "When", "While",
              "During", "From", "For", "With", "And", "But", "Or", "Who", "What",
              "Which", "Where", "Why", "How", "Entity", "Summary", "Relation",
-             "Keywords", "Evidence", "Based"}
+             "Keywords", "Evidence", "Based", "Among", "Since", "Over",
+             "Under", "Between", "To", "Of", "By"}
 _STOPWORDS = {"the", "a", "an", "of", "in", "on", "at", "to", "for", "by", "from",
               "with", "and", "or", "is", "are", "was", "were", "did", "does", "do",
               "who", "what", "which", "where", "when", "why", "how", "that", "this",
@@ -219,11 +220,21 @@ def extract_answer(query: str, context_text: str,
     # entity.
     best: Tuple[int, float, float, str] | None = None
 
+    # proper-name spans the question itself contains: sentences about the
+    # asked entity stay candidates for place questions even when the question
+    # paraphrases every relation word — it still names the org, and the org's
+    # own sentences are where the place lives
+    q_entities = [s.lower() for s in _name_spans(query)]
+
     for sentence in sentences:
         s_lower = sentence.lower()
         overlap = sum(1 for k in keywords if k in s_lower)
         if overlap == 0:
-            continue
+            if qtype in ("where", "which") and any(e in s_lower
+                                                  for e in q_entities):
+                overlap = 1  # entity-anchored sentence
+            else:
+                continue
         if qtype == "year":
             cands = _YEAR_RE.findall(sentence)
         elif qtype == "number":
@@ -237,6 +248,16 @@ def extract_answer(query: str, context_text: str,
                 continue  # the question already contains it
             score = float(overlap)
             tier = 0
+            # keyword proximity: among same-sentence candidates the span
+            # adjacent to the matched keywords wins ("<S> carries the leading
+            # role" must answer S, not the name 40 chars upstream) — a generic
+            # locality cue, no relation vocabulary involved
+            spos_prox = s_lower.find(span_l)
+            if spos_prox >= 0:
+                dists = [abs(spos_prox - s_lower.find(k))
+                         for k in keywords if k in s_lower]
+                if dists and min(dists) <= 40:
+                    score += 1.0 - min(dists) / 80.0
             if qtype == "which" and focus:
                 # 'Which <focus> ...' — candidates tied to the focus noun (in
                 # the span or its sentence) dominate ones that merely share
@@ -268,6 +289,19 @@ def extract_answer(query: str, context_text: str,
             if qtype == "who":
                 if " " in span:  # prefer multi-word proper names
                     score += 0.5
+                if (span.startswith(("The ", "A ", "An "))
+                        or f"the {span_l}" in s_lower
+                        or f"an {span_l}" in s_lower):
+                    # a who-question asks for a person; determiner-led spans
+                    # are titles/works, not people (generic shape cue; the
+                    # span extractor strips the leading article, so check the
+                    # sentence context too)
+                    score -= 2.5
+                if any(k in span_l.split() for k in keywords):
+                    # a span built from the question's own words names the
+                    # thing asked ABOUT, not the person asked FOR ("Best
+                    # Picture" for a Best-Director question)
+                    score -= 1.5
                 signal = _agent_signal(span_l, s_lower, verbs)
                 score += signal
                 # tier dominance only for the question's MAIN verb (the first:

@@ -192,6 +192,19 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # A single default-precision pass is then already exact (no 3-pass),
         # and the corpus stream halves (see graph/tensors.py emb_dtype).
         q = q.astype(jnp.bfloat16)
+    if (on_tpu and is_bf16 and n >= 4096 and q.shape[0] >= 256
+            and q.shape[0] * n * 4 <= (4 << 30)):
+        # bf16 STORAGE, large batch: one default-precision MXU pass over the
+        # bf16 operands IS the exact score (products exact in f32
+        # accumulation), so the flat matmul + top_k is certainty by
+        # construction — no coarse stage, no certificate, no fallback branch.
+        # Measured at 1M x 384, B=512: 17.6 ms vs 18.8 ms for the full binned
+        # certified path (and zero cert-failure variance). Gated to batches
+        # >= 256 whose [B, N] f32 score buffer fits comfortably (<= 4 GB);
+        # smaller batches amortize the corpus stream worse than the binned
+        # kernel and keep the streaming path below.
+        vals, idx = _full_highest_topk(q, emb, mask, k)
+        return vals, idx, jnp.ones((q.shape[0],), bool)
     if on_tpu and n % 1024 == 0 and n >= 4096:
         # streaming bin-max kernel: one corpus pass, no [B, N] materialization,
         # exact coarse coverage (every bin's max upper-bounds its members).

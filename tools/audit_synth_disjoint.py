@@ -50,6 +50,13 @@ V1_RELATION_PHRASES = [
 # relation-critical stems shorter than the 5-char token rule
 SHORT_STEM_BLOCKLIST = {"cast", "born", "star", "helm", "made", "set", "hq"}
 
+# function words carry no relation semantics: an answerer containing a bare
+# preposition/determiner (e.g. a sentence-starter stoplist) cannot match a
+# fact through it, so marker tokens in this closed class are not violations
+FUNCTION_WORD_WHITELIST = {"among", "since", "over", "under", "between",
+                           "about", "after", "before", "during", "while",
+                           "where", "there", "their", "these", "those"}
+
 _TOKEN_RE = re.compile(r"[a-z]+")
 
 
@@ -110,7 +117,7 @@ def run_audit(repo_root: str) -> dict:
             if any(tok.startswith(stem) for stem in SHORT_STEM_BLOCKLIST):
                 violations.append(f"marker token '{tok}' ({name}) hits the "
                                   f"short-stem blocklist")
-            if len(tok) < 5:
+            if len(tok) < 5 or tok in FUNCTION_WORD_WHITELIST:
                 continue
             for st in src_tokens:
                 if tok == st or st in tok:
