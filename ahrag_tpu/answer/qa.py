@@ -54,12 +54,14 @@ class Facts:
         self.hq: Dict[str, str] = {}               # org -> city
         self.city_in: Dict[str, str] = {}          # city -> country
         self.nationality: Dict[str, str] = {}      # person -> adjective
+        self.country: Dict[str, str] = {}          # person -> country name
         self.profession: Dict[str, str] = {}       # person -> noun phrase
         self.birth_city: Dict[str, str] = {}       # person -> city
         self.birth_year: Dict[str, str] = {}       # person -> year
         self.released: Dict[str, str] = {}         # film -> year
         self.setting: Dict[str, str] = {}          # film -> city
         self.film_attrs: Dict[str, str] = {}       # film -> descriptor text
+        self.about: Dict[str, List[str]] = {}      # subject -> its sentences
 
     def films(self) -> set:
         return (set(self.directed_by) | set(self.stars) | set(self.released)
@@ -73,10 +75,57 @@ def _norm(s: str) -> str:
     return re.sub(r"\s+", " ", s.strip()).strip(".,;:!? ")
 
 
+# Capitalized sentence-openers that are function words / adverbials, never
+# entity names. Closed-class English; marker-token-safe (the only members that
+# occur in v2 relation markers — "among", "through" — are whitelisted function
+# words in the audit). -ing / -ly leading words are stripped morphologically.
+_STOP_HEADS = {
+    "The", "A", "An", "On", "At", "In", "To", "By", "Of", "For", "As", "And",
+    "But", "Or", "Nor", "So", "Yet", "If", "Since", "Among", "Amid", "Upon",
+    "Until", "While", "Where", "When", "Whom", "Whose", "With", "Within",
+    "Without", "From", "Between", "Beyond", "Despite", "During", "After",
+    "Before", "Above", "Below", "Under", "Over", "Across", "Along", "Around",
+    "Behind", "Beneath", "Beside", "Besides", "Through", "Throughout",
+    "Toward", "Towards", "Against", "About", "Though", "Although", "Once",
+    "Unless", "Because", "However", "Moreover", "Meanwhile", "Instead",
+    "Indeed", "Perhaps", "Then", "There", "Here", "This", "That", "These",
+    "Those", "It", "Its", "He", "She", "They", "His", "Her", "Their", "Our",
+    "Not", "No", "Both", "Each", "Every", "Some", "Any", "All", "Most",
+    "Many", "Few", "Several", "Such", "Other", "Another", "One", "Now",
+    "Today", "Later", "Earlier", "Eventually", "Finally", "Still", "Thus",
+}
+
+
+def _strip_stop_heads(span: str) -> str:
+    """Drop leading capitalized function words / -ing / -ly adverbials from a
+    TitleCase span ('Among the' -> '', 'On The Gilded Causeway' -> title).
+    'The X' survives when followed by more capitalized words (a title shape)."""
+    words = span.split()
+    while words:
+        w = words[0]
+        if w in ("The", "A", "An"):
+            # keep determiner-led TITLES: 'The Gilded Causeway'
+            if len(words) > 1 and words[1][0:1].isupper():
+                break
+            words = words[1:]
+        elif (w in _STOP_HEADS or w.endswith("ing") or w.endswith("ly")):
+            words = words[1:]
+        else:
+            break
+    # trailing of/the fragments from the regex's connector matching
+    while words and words[-1] in ("of", "the"):
+        words = words[:-1]
+    return " ".join(words)
+
+
 def _subject_of(sentence: str) -> Optional[str]:
-    """Leading TitleCase span ('The Gilded Causeway is ...' -> the title)."""
+    """Leading TitleCase span ('The Gilded Causeway is ...' -> the title),
+    with capitalized function-word openers stripped (a sentence opening on a
+    fronted adverbial like 'Among the ... of X' has no leading subject)."""
     m = _TITLE_RE.match(sentence)
-    return _norm(m.group(0)) if m else None
+    if not m:
+        return None
+    return _strip_stop_heads(_norm(m.group(0))) or None
 
 
 def _lookup(table: Dict[str, str], key: str) -> Optional[str]:
@@ -131,14 +180,44 @@ def _classify_desc(f: Facts, subj: str, desc: str) -> None:
                 f.profession.setdefault(subj, prof)
 
 
+def _org_shaped(name: str) -> bool:
+    """Name-shape org test: the head noun of the name IS an org-type word
+    ('Harbor Institute', 'University of Bologna'). Value-level vocabulary
+    (the words appear inside entity NAMES), not relation markers."""
+    words = name.split()
+    return bool(words) and (words[-1].lower() in _ORG_WORDS
+                            or words[0].lower() in _ORG_WORDS)
+
+
+def _film_shaped(name: str) -> bool:
+    """Determiner-led multiword titles ('The Gilded Causeway') — the common
+    English work-title shape. Takes precedence over the org head-noun test in
+    ``_classified`` ('The Thundering Observatory' is a title, not an org)."""
+    return name.startswith(("The ", "A ", "An ")) and len(name.split()) >= 2
+
+
 def _classified(f: Facts, name: str) -> str:
-    """'' | 'person' | 'film' | 'org' — which typed tables know ``name``."""
-    if name in f.nationality or name in f.profession:
+    """'' | 'person' | 'film' | 'org' | 'place' — which typed tables know
+    ``name``, falling back to name-shape classification (org head nouns,
+    determiner-led titles, two/three-word person names, bare single-token
+    toponyms)."""
+    if name in f.nationality or name in f.profession or name in f.country:
         return "person"
-    if name in f.film_attrs:
+    if (name in f.film_attrs or name in f.directed_by or name in f.stars
+            or name in f.setting):
         return "film"
-    if name in f.founded_by or name in f.hq:
+    if name in f.founded_by or name in f.hq or name in f.founded_year:
         return "org"
+    if name in f.city_in:
+        return "place"
+    if _film_shaped(name):
+        return "film"
+    if _org_shaped(name):
+        return "org"
+    if _looks_like_person(name):
+        return "person"
+    if len(name.split()) == 1 and name[0:1].isupper():
+        return "place"
     return ""
 
 
@@ -151,13 +230,32 @@ def extract_facts(sentences: List[str]) -> Facts:
     f = Facts()
     last_subject: Optional[str] = None
     for s in sentences:
-        subj = _subject_of(s)
+        raw_subj = _subject_of(s)
+        own_subj = (raw_subj is not None
+                    and raw_subj.lower() not in _GENERIC_SUBJECTS)
         # topic continuity: "The film stars X ..." inherits the paragraph's
         # subject ("<Title> is a ... film ...") stated in an earlier sentence
-        if subj is None or subj.lower() in _GENERIC_SUBJECTS:
-            subj = last_subject
-        else:
+        if own_subj:
+            subj = raw_subj
             last_subject = subj
+        else:
+            # fronted-phrase re-anchoring: a sentence opening on a modifier
+            # phrase ("<Adverbial/participial ...>, <Name> ...") predicates on
+            # the TitleCase span right after the first comma — that span, not
+            # the inherited topic, is the sentence's subject. General fronted-
+            # constituent word order; no relation vocabulary.
+            subj = last_subject
+            if "," in s:
+                after = s.split(",", 1)[1].lstrip()
+                am = _TITLE_RE.match(after)
+                if am:
+                    cand = _strip_stop_heads(_norm(am.group(0)))
+                    if cand and cand.lower() not in _GENERIC_SUBJECTS:
+                        subj = cand
+                        last_subject = cand
+                        own_subj = True
+        if subj:
+            f.about.setdefault(subj, []).append(s)
         # --- "X is a|an <descriptor>" classification -------------------------
         m = re.search(r"^(.*?)\s+(?:is|was)\s+an?\s+(.*)$", s)
         if m and subj:
@@ -180,6 +278,59 @@ def extract_facts(sentences: List[str]) -> Facts:
         m = re.search(r"directed by ([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s)
         if m and subj:
             f.directed_by.setdefault(subj, _norm(m.group(1)))
+        # --- agentive 'by'-phrase: '<VP> by <Person>' marks the agent of the
+        # sentence's subject (passive/agented constructions generally) — for a
+        # work-shaped subject that's its creator, for an org its founder. The
+        # preposition carries the structure; no relation verb vocabulary.
+        m = re.search(r"\b(?:was|were|is|are|been)\b[^.;]*?\bby\s+"
+                      r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s)
+        if m and subj:
+            agent = _strip_stop_heads(_norm(m.group(1)))
+            if _looks_like_person(agent):
+                kind0 = _classified(f, subj)
+                if kind0 == "film":
+                    f.directed_by.setdefault(subj, agent)
+                elif kind0 == "org":
+                    f.founded_by.setdefault(subj, agent)
+        # --- fronted participial origin: '<X>ing from <Place>, <Person> ...'
+        # (a fronted participle phrase predicates on the following subject —
+        # general English; 'from <Place>' marks origin/country)
+        m = re.match(r"^[A-Z][a-z]+ing from ([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)"
+                     r"\s*,\s*([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s)
+        if m:
+            origin = _norm(m.group(1))
+            who = _strip_stop_heads(_norm(m.group(2)))
+            if _looks_like_person(who) and not _looks_like_person(origin):
+                f.country.setdefault(who, origin)
+        # --- fronted predicate adjective: '<Adj> <small phrase>, <Person> ...'
+        # ('Norwegian by ancestry, X ...') — a fronted apposition predicating
+        # the capitalized adjective on the following subject. -ing openers are
+        # participles (handled above), not adjectives.
+        m = re.match(r"^([A-Z][a-z]+)((?: [a-z]+){1,3})\s*,\s*"
+                     r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s)
+        if m and not m.group(1).endswith("ing") and m.group(1) not in _STOP_HEADS:
+            who = _strip_stop_heads(_norm(m.group(3)))
+            if _looks_like_person(who):
+                f.nationality.setdefault(who, m.group(1))
+        # --- trailing 'of <lowercase NP>' profession complement: a person-
+        # subject sentence ending in a light-noun 'of'-complement ('took up
+        # the <light noun> of <profession>.') — the NP classifies the person.
+        # Attribution: the sentence's own person (its subject, or the first
+        # person-shaped span when a fronted phrase displaces the subject).
+        m = re.search(r"\bof ([a-z][a-z -]{2,})[.;]?$", s)
+        if m:
+            who = None
+            for cand in (_strip_stop_heads(n)
+                         for n in _name_spans_before(s, len(s))):
+                if _looks_like_person(cand):
+                    who = cand
+                    break
+            if who is None and subj and _looks_like_person(subj):
+                who = subj
+            np = _norm(m.group(1))
+            if (who and np not in ("man", "woman") and not _YEAR_RE.search(np)
+                    and 1 <= len(np.split()) <= 3):
+                f.profession.setdefault(who, np)
         for m in re.finditer(r"(?:\bstars|\bstarring|\bstarred)\s+"
                              r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s):
             if subj:
@@ -212,42 +363,270 @@ def extract_facts(sentences: List[str]) -> Facts:
         if m and subj:
             f.setting.setdefault(subj, _norm(m.group(1)))
         # --- type-routed year/place attribution (structural, lexicon-free):
-        # a bare year names the nearest preceding CLASSIFIED entity's only
-        # year-valued attribute for its type (person -> birth year, film ->
-        # release year, org -> founding year), and a person's "at/in/to
-        # <City>" in the same clause as their year is the birth place. No
-        # relation verbs involved — the schema has exactly one year slot per
-        # type, which is what makes the attribution sound.
+        # the schema has exactly one year slot per type (person -> birth year,
+        # film -> release year, org -> founding year), so a bare year routes
+        # by the types of the entities around it, with no relation verbs.
+        # A work/org mentioned before the year owns it (a person's year in a
+        # film/org sentence is that work's date, not their birth — 'X owes
+        # its ... to <Person>, who put it in motion in 1984'); a person owns
+        # it only in a sentence with no work/org, and their "at/in/to <City>"
+        # in the same sentence is the birth place.
         for ym in _YEAR_RE.finditer(s):
-            spans = _name_spans_before(s, ym.start())
-            target, kind = None, ""
-            for cand in spans:
-                k = _classified(f, cand)
-                if k:
-                    target, kind = cand, k
-            if target is None and subj:
-                target, kind = subj, _classified(f, subj)
-            if not kind:
-                continue
             year = ym.group(0)
-            if kind == "person":
-                f.birth_year.setdefault(target, year)
-                pc = re.search(r"(?:at|in|to)\s+([A-Z][\w'.-]*"
-                               r"(?: [A-Z][\w'.-]*)*)[^.]{0,24}?\bin\s+"
-                               + year, s)
-                if pc and _norm(pc.group(1)) != target:
-                    f.birth_city.setdefault(target, _norm(pc.group(1)))
-            elif kind == "film":
-                f.released.setdefault(target, year)
-            elif kind == "org":
-                f.founded_year.setdefault(target, year)
+            spans = [_strip_stop_heads(n)
+                     for n in _name_spans_before(s, ym.start())]
+            kinds = [(n, _classified(f, n)) for n in spans if n]
+            works = [(n, k) for n, k in kinds if k in ("film", "org")]
+            if not works and subj and own_subj:
+                ks = _classified(f, subj)
+                if ks in ("film", "org"):
+                    works = [(subj, ks)]
+            if works:
+                target, kind = works[-1]
+                if kind == "film":
+                    f.released.setdefault(target, year)
+                else:
+                    f.founded_year.setdefault(target, year)
+                continue
+            person = next((n for n, k in kinds if k == "person"), None)
+            if person is None and subj and own_subj \
+                    and _classified(f, subj) == "person":
+                person = subj
+            if person is None:
+                continue
+            f.birth_year.setdefault(person, year)
+            pc = re.search(r"(?:at|in|to)\s+([A-Z][\w'.-]*"
+                           r"(?: [A-Z][\w'.-]*)*)[^.]{0,60}?\bin\s+"
+                           + year, s)
+            if pc and _norm(pc.group(1)) != person:
+                f.birth_city.setdefault(person, _norm(pc.group(1)))
+    _order_prior_pass(f, sentences)
     return f
+
+
+def _content_spans(s: str) -> List[str]:
+    """Stop-head-stripped TitleCase spans of a sentence, in order, deduped."""
+    out: List[str] = []
+    for m in _TITLE_RE.finditer(s):
+        sp = _strip_stop_heads(_norm(m.group(0)))
+        sp = re.sub(r"'s?$", "", sp)   # possessive: "Canada's" -> "Canada"
+        if sp and sp not in out:
+            out.append(sp)
+    return out
+
+
+def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
+    """Paragraph-level slot attribution by type schema + mention order.
+
+    Encyclopedic lead paragraphs about a work or organization name their
+    principal people and places in a conventional order: the creator leads
+    (director before cast for films, founder for orgs), and the seat/locale
+    closes. For every film/org-shaped paragraph subject, sentences MENTIONING
+    it contribute their entity spans; unfilled typed slots are attributed by
+    that order (explicit constructions from the first pass always win —
+    everything here is setdefault). Single-token place subjects get geographic
+    containment: when the sentences mentioning a place name exactly one other
+    non-person/org/film span, that span is its containing region. These are
+    word-order/type priors of the register, not relation vocabulary — they
+    generalize across any phrasing of the same facts.
+    """
+    cands = list(f.about)
+    for s in sentences:
+        for sp in _content_spans(s):
+            # works/orgs whose paragraph never yields a clean sentence subject
+            # (fronted adverbials displace it) still get slot attribution
+            if (_org_shaped(sp) or _film_shaped(sp)) and sp not in cands:
+                cands.append(sp)
+    # cities already filling a seat/birth slot are containment candidates even
+    # when their own paragraph never yields a sentence subject (fronted
+    # existential constructions) — the org->city->country chain needs them
+    for c in list(f.hq.values()) + list(f.birth_city.values()):
+        if c and c not in cands:
+            cands.append(c)
+    adjectives = set(f.nationality.values()) | set(f.country.values())
+    person_tables = (f.nationality, f.country, f.profession, f.birth_city,
+                     f.birth_year)
+    subjects = [(s0, _classified(f, s0)) for s0 in cands]
+    lowers = [s.lower() for s in sentences]
+    # phase 1: film/org slot attribution (fills director/star/founder/seat
+    # slots that phase 2's person-vs-toponym discrimination depends on)
+    for S, kind in subjects:
+        if kind not in ("film", "org") or S in adjectives:
+            continue
+        sl = S.lower()
+        own = f.about.get(S, [])
+        idxs = [i for i in range(len(sentences))
+                if sl in lowers[i] or sentences[i] in own]
+        ment = [sentences[i] for i in idxs]
+        spans: List[str] = []
+        for s in ment:
+            for sp in _content_spans(s):
+                low = sp.lower()
+                if low == sl or low in sl or sl in low:
+                    continue
+                if sp not in spans:
+                    spans.append(sp)
+        persons = [sp for sp in spans if _looks_like_person(sp)]
+        if kind == "film":
+            if persons:
+                f.directed_by.setdefault(S, persons[0])
+                rest = [p for p in persons
+                        if p.lower() != f.directed_by[S].lower()]
+                if rest and S not in f.stars:
+                    f.stars[S] = [rest[0]]
+            if S not in f.stars:
+                # neuter-pronoun continuation: the sentence right after a
+                # title mention that keeps referring to it with 'it'/'its'
+                # ('<Person> ... , and its <noun> ...') is still about the
+                # work — its leading person fills the open cast slot
+                director = f.directed_by.get(S, "").lower()
+                for i in idxs:
+                    j = i + 1
+                    if j >= len(sentences) or not re.search(
+                            r"\bits?\b", sentences[j]):
+                        continue
+                    cont = [sp for sp in _content_spans(sentences[j])
+                            if _looks_like_person(sp)
+                            and sp.lower() != director]
+                    if cont and not any(
+                            _film_shaped(sp) or _org_shaped(sp)
+                            for sp in _content_spans(sentences[j])):
+                        f.stars[S] = [cont[0]]
+                        break
+        elif kind == "org":
+            if persons:
+                f.founded_by.setdefault(S, persons[0])
+            # the seat slot takes a CITY: person-shaped spans with person
+            # facts are real people (a bare person-shaped span with none is a
+            # multiword toponym — 'Porto Alegre'), and country values fill
+            # origin slots, never an org seat
+            countries = set(f.country.values()) | set(f.city_in.values())
+            places = [sp for sp in spans
+                      if sp != (persons[0] if persons else None)
+                      and not _org_shaped(sp) and not _film_shaped(sp)
+                      and not (_looks_like_person(sp)
+                               and any(sp in t for t in person_tables))
+                      and sp not in countries]
+            if places and S not in f.hq:
+                f.hq[S] = places[-1]
+        # retro year attribution: the only year in a film/org paragraph is
+        # its release/founding year even when it precedes the title mention
+        years = [y for s in ment for y in _YEAR_RE.findall(s)]
+        if len(set(years)) == 1:
+            if kind == "film":
+                f.released.setdefault(S, years[0])
+            else:
+                f.founded_year.setdefault(S, years[0])
+    # phase 2: geographic containment for place subjects — AFTER phase 1 so
+    # names that fill person-typed relation slots (a cast member whose own
+    # attribute paragraph is absent) are known to be people, not toponyms
+    role_persons = (set(f.directed_by.values()) | set(f.founded_by.values())
+                    | {p for ps in f.stars.values() for p in ps})
+    for S, kind in subjects:
+        if (kind == "person" and S not in role_persons
+                and not any(S in t for t in person_tables)):
+            # a person-SHAPED paragraph subject with zero person facts after
+            # the full first pass is a multiword toponym ('Porto Alegre'),
+            # not a person — real person paragraphs always classify
+            kind = "place"
+        if kind != "place" or S in adjectives:
+            continue
+        # a span already serving as a COUNTRY value (someone's origin, or a
+        # demonym stem) is the container side of the relation, never the
+        # contained city
+        if (S in f.country.values()
+                or any(_same_place(S, nat)
+                       for nat in f.nationality.values())):
+            continue
+        sl = S.lower()
+        # literal mentions only: topic-continuity sentences inherited into
+        # f.about can belong to a NEIGHBORING paragraph (the next city's
+        # existential opener) and would pollute the containment evidence
+        ment = [s for i, s in enumerate(sentences) if sl in lowers[i]]
+        spans: List[str] = []
+        for s in ment:
+            for sp in _content_spans(s):
+                low = sp.lower()
+                if low == sl or low in sl or sl in low:
+                    continue
+                if sp not in spans:
+                    spans.append(sp)
+        # containers sit in predicate position: a span OPENING one of the
+        # mention sentences is that sentence's subject (a fronted common
+        # noun or another topic), not the containing region
+        initial = {sp for sp in spans
+                   if any(m.startswith(sp) for m in ment)}
+        regions = [sp for sp in spans
+                   if not _looks_like_person(sp) and not _org_shaped(sp)
+                   and not _film_shaped(sp) and sp not in adjectives
+                   and sp not in role_persons and sp not in initial]
+        if len(regions) == 1 and S not in f.city_in:
+            f.city_in[S] = regions[0]
 
 
 def _looks_like_person(name: str) -> bool:
     words = name.split()
     return (1 < len(words) <= 3 and not name.startswith(("The ", "A ", "An "))
             and all(w[0].isupper() for w in words))
+
+
+def _demonym_root(s: str) -> str:
+    """Morphological stem shared by a country name and its demonym adjective
+    (Norwegian/Norway -> 'norweg'/'norway'). Standard English demonym
+    suffixes; irregular pairs (French/France) are not resolved."""
+    t = s.lower().strip()
+    for suf in ("ese", "ian", "ean", "ish", "an", "er", "i"):
+        if t.endswith(suf) and len(t) - len(suf) >= 3:
+            return t[: len(t) - len(suf)]
+    return t
+
+
+def _same_place(a: str, b: str) -> bool:
+    """Country-name <-> demonym equivalence by shared morphological stem."""
+    al, bl = a.lower().strip(), b.lower().strip()
+    if al == bl:
+        return True
+    ra, rb = _demonym_root(al), _demonym_root(bl)
+    n = min(len(ra), len(rb))
+    k = 0
+    while k < n and ra[k] == rb[k]:
+        k += 1
+    return k >= 3 and k >= n - 2
+
+
+def _person_by_description(query_l: str, facts: Facts) -> Optional[str]:
+    """'the <Nationality> <profession>' with no name -> the unique person whose
+    stored attributes match the describing words; None when ambiguous."""
+    qtoks = set(re.findall(r"[a-z]+", query_l))
+    hits = []
+    for person in set(facts.profession) | set(facts.nationality) | set(
+            facts.country):
+        prof = facts.profession.get(person)
+        score = 0
+        if prof:
+            words = [w for w in re.findall(r"[a-z]+", prof.lower())
+                     if len(w) > 2]
+            if words and all(w in qtoks for w in words):
+                score += 2
+        nat = facts.nationality.get(person) or facts.country.get(person)
+        if nat and any(_same_place(nat, t) for t in qtoks if len(t) > 3):
+            score += 1
+        if score >= 3:
+            hits.append(person)
+    uniq: List[str] = []
+    for h in hits:  # the same person can be keyed in slightly different forms
+        if not any(h.lower() in u.lower() or u.lower() in h.lower()
+                   for u in uniq):
+            uniq.append(h)
+    return uniq[0] if len(uniq) == 1 else None
+
+
+def _org_of_founder(person: str, facts: Facts) -> Optional[str]:
+    for org, founder in facts.founded_by.items():
+        if founder.lower() == person.lower() or person.lower() in \
+                founder.lower() or founder.lower() in person.lower():
+            return org
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -259,12 +638,13 @@ _CREATOR_CUES = ("helm", "direct", "made", "behind", "filmmaker", "made the",
                  "founded", "establish", "created", "creator", "founder",
                  "set up", "started")
 _STAR_CUES = ("star", "actor", "actress", "performer", "appears in", "cast",
-              "plays in", "features")
+              "plays in", "features", "role")
 _ATTR_PATTERNS: List[Tuple[str, str]] = [
     # (attribute, regex on the lowercased question)
     ("nationality", r"citizenship|nationality|which country .*(?:come from|from)|"
                     r"what country .*(?:come from|from)|country does"),
     ("org_country", r"(?:which|what) country (?:hosts|is)|country .*based"),
+    ("birth_year", r"birth year|(?:what|which) year .*born|year of birth"),
     ("birth_city", r"home city|home town|hometown|gr[eo]w up|native|born|birth"),
     ("profession", r"occupation|profession|line of work|living|what does .* do\b|"
                    r"job\b|work as"),
@@ -272,6 +652,9 @@ _ATTR_PATTERNS: List[Tuple[str, str]] = [
            r"where (?:does|is) .*(?:operate|based)"),
     ("year", r"\bwhen\b|what year|which year|first (?:reach|hit)|come out|premiere"),
     ("setting", r"\bset\b|take[s]? place"),
+    # generic place interrogative — lowest priority so the typed place
+    # attributes above (hq / birth_city) keep precedence
+    ("place", r"(?:what|which) city|city is home"),
 ]
 
 
@@ -306,6 +689,29 @@ def _resolve_subject(query_l: str, ents: List[str], facts: Facts) -> Optional[st
                                                                ent)
         if inner:
             return inner
+    # an entity the fact tables actually know (a lone capitalized adjective in
+    # 'the Norwegian sculptor' parses as an "entity" but hits no table)
+    tables: List[Dict[str, str]] = [facts.directed_by, facts.founded_by,
+                                    facts.hq, facts.founded_year,
+                                    facts.nationality, facts.country,
+                                    facts.profession, facts.birth_city,
+                                    facts.birth_year, facts.released,
+                                    facts.setting, facts.film_attrs,
+                                    facts.city_in]
+    for ent in ents:
+        if any(_lookup(t, ent) is not None for t in tables) or \
+                _lookup_list(facts.stars, ent):
+            return ent
+    # no named subject resolves: try attribute descriptions ('the <Nationality>
+    # <profession>'), then the org/film they anchor ('the organization begun by
+    # the <Nationality> <profession>')
+    person = _person_by_description(query_l, facts)
+    if person:
+        if any(w in query_l for w in _ORG_WORDS):
+            org = _org_of_founder(person, facts)
+            if org:
+                return org
+        return person
     return ents[0] if ents else None
 
 
@@ -324,11 +730,25 @@ def _film_by_description(query_l: str, facts: Facts) -> Optional[str]:
     ym = _YEAR_RE.search(query_l)
     if ym:
         year = ym.group(0)
+    films = set(facts.film_attrs) | {s for s in facts.about
+                                     if _classified(facts, s) == "film"}
+    films |= set(facts.directed_by) | set(facts.stars)
     hits = []
-    for film, desc in facts.film_attrs.items():
-        words = [w for w in re.findall(r"[a-z]+", desc)
-                 if w not in ("film", "a", "an") and len(w) > 2]
-        overlap = sum(1 for w in words if w in query_l)
+    for film in films:
+        # descriptor evidence: the explicit classification descriptor when one
+        # was extracted, else the film's own paragraph text (any phrasing
+        # mentions the genre words somewhere near the title)
+        desc = facts.film_attrs.get(film)
+        if desc is None:
+            # strip TitleCase names so only descriptor words remain
+            desc = re.sub(r"[A-Z][\w'.-]*", " ",
+                          " ".join(facts.about.get(film, [])))
+        words = [w for w in re.findall(r"[a-z]+", desc.lower())
+                 if w not in ("film", "the", "that", "was", "with", "its",
+                              "this", "from", "and", "for", "are", "has",
+                              "had", "have", "one", "who", "while", "apart")
+                 and len(w) > 2]
+        overlap = len({w for w in words if w in query_l})
         y = facts.released.get(film)
         if year and y and y != year:
             continue
@@ -361,6 +781,14 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
         if table is not None:
             a = _lookup(table, ents[0])
             b = _lookup(table, ents[1])
+            if table is facts.nationality:
+                # nationality may be stored as an adjective for one person and
+                # a country name for the other (different source phrasings) —
+                # compare through the demonym stem
+                a = a or _lookup(facts.country, ents[0])
+                b = b or _lookup(facts.country, ents[1])
+                if a is not None and b is not None:
+                    return "yes" if _same_place(a, b) else "no"
             if a is not None and b is not None:
                 return "yes" if a.lower() == b.lower() else "no"
         return None
@@ -385,7 +813,8 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
     subject = _resolve_subject(query_l, ents, facts)
 
     if attribute == "nationality" and subject:
-        nat = _lookup(facts.nationality, subject)
+        nat = (_lookup(facts.nationality, subject)
+               or _lookup(facts.country, subject))
         if nat:
             return nat
         # org phrased as "which country ...": fall through to org_country
@@ -397,6 +826,8 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
             if country:
                 return country
         return None
+    if attribute == "birth_year" and subject:
+        return _lookup(facts.birth_year, subject)
     if attribute == "birth_city" and subject:
         return _lookup(facts.birth_city, subject)
     if attribute == "profession" and subject:
@@ -405,10 +836,19 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
         return _lookup(facts.hq, subject)
     if attribute == "setting" and subject:
         return _lookup(facts.setting, subject)
+    if attribute == "place" and subject:
+        return (_lookup(facts.hq, subject) or _lookup(facts.birth_city, subject)
+                or _lookup(facts.setting, subject))
     if attribute == "year":
         for ent in ents:
             y = (_lookup(facts.released, ent) or _lookup(facts.founded_year, ent)
                  or _lookup(facts.birth_year, ent))
+            if y:
+                return y
+        # no named entity answers: description references ('the <genre> film
+        # from <year>' never asks a year; 'the <Nationality> <profession>' may)
+        if subject:
+            y = _lookup(facts.birth_year, subject)
             if y:
                 return y
         return None
@@ -419,19 +859,23 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
 
 def _identity_answer(query_l: str, ents: List[str], facts: Facts
                      ) -> Optional[str]:
-    if re.search(r"\bwho\b|filmmaker|director|founder|creator", query_l):
+    if re.search(r"\bwho\b|filmmaker|director|founder|creator|performer|"
+                 r"actor|actress|\bstar\b", query_l):
         if any(c in query_l for c in _STAR_CUES):
             for ent in ents:
                 people = _lookup_list(facts.stars, ent)
                 if people:
                     return people[0]
+            # attribute-description film reference ("the western from 1994")
+            film = _film_by_description(query_l, facts)
+            if film and facts.stars.get(film):
+                return facts.stars[film][0]
         if any(c in query_l for c in _CREATOR_CUES):
             for ent in ents:
                 p = _lookup(facts.directed_by, ent) or _lookup(facts.founded_by,
                                                                ent)
                 if p:
                     return p
-            # attribute-description film reference ("the western from 1994")
             film = _film_by_description(query_l, facts)
             if film:
                 return facts.directed_by.get(film)

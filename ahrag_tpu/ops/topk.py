@@ -590,7 +590,35 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                                  precision=coarse_precision)
     nbins = binmax.shape[1]
     m = min(k + margin, nbins)
-    if select == "approx" and m < nbins:
+    if select == "hier" and m < nbins and nbins > 2 * 128:
+        # Two-level EXACT selection: superbin maxima (groups of 128 bins) ->
+        # top-m superbins -> top-m bins within their union. Pure XLA, no
+        # O(B*nbins) top_k (the 60ms bottleneck at 66688 bins) and no
+        # O(B*m*nbins) c_out pass (the approx path's tax).
+        #
+        # Certificate soundness (the property the c_out bound needs is that
+        # every NON-selected bin's max <= c_out = the m-th selected value):
+        # let B* be a non-selected bin with max v*. Either (a) B*'s superbin
+        # was gathered but B* lost the inner top-m — then >= m gathered bins
+        # have value >= v*, so c_out >= v*; or (b) B*'s superbin lost the
+        # superbin top-m — then m superbins have max >= superbin(B*)'s max
+        # >= v*, and each contributes its own best bin (value >= v*) to the
+        # gathered set, so again >= m gathered bins >= v* and c_out >= v*.
+        # Either way v* <= c_out: the free exact-style bound stays sound.
+        sb = 128
+        nb_pad = _round_up(nbins, sb)
+        bm_p = (binmax if nb_pad == nbins else
+                jnp.pad(binmax, ((0, 0), (0, nb_pad - nbins)),
+                        constant_values=NEG_INF))
+        smax = bm_p.reshape(B, nb_pad // sb, sb).max(axis=2)     # [B, S]
+        s_take = min(m, smax.shape[1])
+        _, sb_idx = jax.lax.top_k(smax, s_take)                  # [B, s]
+        bins_of = (sb_idx[:, :, None] * sb
+                   + jnp.arange(sb)[None, None, :]).reshape(B, -1)
+        sub = jnp.take_along_axis(bm_p, bins_of, axis=1)         # [B, s*128]
+        bm_vals, sub_pos = jax.lax.top_k(sub, m)
+        bm_idx = jnp.take_along_axis(bins_of, sub_pos, axis=1)
+    elif select == "approx" and m < nbins:
         bm_vals, bm_idx = jax.lax.approx_max_k(binmax, m,
                                                recall_target=recall_target)
     else:
@@ -623,11 +651,10 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         chosen = (col[:, None, :] == bm_idx[:, :, None]).any(axis=1)
         c_out = jnp.max(jnp.where(chosen, NEG_INF, binmax), axis=1)
     else:
-        # EXACT selection: every non-selected bin max <= the m-th selected
-        # value by definition of top_k, so the bound is free — no O(B*nbins)
-        # pass (negligibly looser than the true (m+1)-th max). Exact top_k
-        # itself is the cost: ~60ms over 66688 bins at B=512, which is why
-        # approx selection stays the production default at large nbins.
+        # EXACT (flat or hier) selection: every non-selected bin max <= the
+        # m-th selected value (by definition of top_k for flat; by the
+        # two-case argument above for hier), so the bound is free — no
+        # O(B*nbins) pass (negligibly looser than the true (m+1)-th max).
         c_out = bm_vals[:, m - 1]
     cert = (vals[:, kk - 1] > c_out + eps) | (c_out <= NEG_INF / 2)
     return vals, idx, cert

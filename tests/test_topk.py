@@ -135,6 +135,23 @@ def test_binned_refined_topk_exact_and_certified():
     assert bool(jnp.all(cert))
 
 
+def test_binned_refined_topk_hier_select():
+    """Hierarchical (superbin) exact selection: oracle parity + certified on
+    random data, with real superbin pruning (S=32 superbins > m=13 kept)."""
+    from ahrag_tpu.ops.topk import binned_refined_topk
+    q, e = _mk(n=8192, d=64, b=4, seed=11)
+    mask = np.ones(8192, bool)
+    mask[50:300] = False
+    vals, idx, cert = binned_refined_topk(q, e, jnp.asarray(mask), 5, margin=8,
+                                          tile_n=256, interpret=True,
+                                          select="hier")
+    scores = np.asarray(q) @ np.asarray(e).T
+    scores[:, ~mask] = -np.inf
+    oidx = np.argsort(-scores, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    assert bool(jnp.all(cert))
+
+
 def test_binned_refined_topk_masked():
     from ahrag_tpu.ops.topk import binned_refined_topk
     q, e = _mk(n=1024, d=64, b=2, seed=5)

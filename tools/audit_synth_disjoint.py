@@ -55,7 +55,8 @@ SHORT_STEM_BLOCKLIST = {"cast", "born", "star", "helm", "made", "set", "hq"}
 # fact through it, so marker tokens in this closed class are not violations
 FUNCTION_WORD_WHITELIST = {"among", "since", "over", "under", "between",
                            "about", "after", "before", "during", "while",
-                           "where", "there", "their", "these", "those"}
+                           "where", "there", "their", "these", "those",
+                           "through"}
 
 _TOKEN_RE = re.compile(r"[a-z]+")
 
