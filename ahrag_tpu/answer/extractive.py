@@ -21,7 +21,12 @@ _YEAR_RE = re.compile(r"\b(1[5-9]\d{2}|20\d{2})\b")
 _NUM_RE = re.compile(r"\b\d+(?:\.\d+)?\b")
 _NUMWORD_RE = re.compile(r"\b(one|two|three|four|five|six|seven|eight|nine|ten|"
                          r"eleven|twelve|twenty|thirty|hundred)\b", re.IGNORECASE)
-_SENT_SPLIT = re.compile(r"(?<=[.!?。])\s+|;\s+")
+# split after sentence-final punctuation, including the description-joiner
+# form "<snippet>.; <snippet>". A BARE semicolon stays inside its sentence:
+# it coordinates clauses that share the discourse topic ("On <Film>, the
+# camera answered to X; <second clause about the same film>") — splitting
+# there severs the second clause from the film and the fact layer loses it.
+_SENT_SPLIT = re.compile(r"(?<=[.!?。])(?:\s*;\s*|\s+)")
 _CAP_STOP = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This", "That",
              "They", "His", "Her", "Its", "After", "Before", "When", "While",
              "During", "From", "For", "With", "And", "But", "Or", "Who", "What",

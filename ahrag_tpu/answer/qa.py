@@ -446,6 +446,17 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
     adjectives = set(f.nationality.values()) | set(f.country.values())
     person_tables = (f.nationality, f.country, f.profession, f.birth_city,
                      f.birth_year)
+    # structural personhood: a '<Name>, who ...' relative clause marks its
+    # head span as a person — generic English anaphora, no relation
+    # vocabulary. Needed because evidence assembly can REORDER sentences
+    # (skeleton briefs precede detail blocks), destroying the paragraph-order
+    # prior that normally puts the creator before the seat: a person-shaped
+    # toponym ('Porto Alegre') mentioned first would otherwise win persons[0].
+    who_persons: set = set()
+    for s in sentences:
+        for wm in re.finditer(r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)\s*,\s*"
+                              r"who(?:m|se)?\b", s):
+            who_persons.add(_strip_stop_heads(_norm(wm.group(1))))
     subjects = [(s0, _classified(f, s0)) for s0 in cands]
     lowers = [s.lower() for s in sentences]
     # phase 1: film/org slot attribution (fills director/star/founder/seat
@@ -467,6 +478,9 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
                 if sp not in spans:
                     spans.append(sp)
         persons = [sp for sp in spans if _looks_like_person(sp)]
+        # spans with 'who'-clause evidence are definite persons — they take
+        # the person slot ahead of mention order (stable within each class)
+        persons.sort(key=lambda p: p not in who_persons)
         if kind == "film":
             if persons:
                 f.directed_by.setdefault(S, persons[0])
@@ -506,7 +520,7 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
                       and not _org_shaped(sp) and not _film_shaped(sp)
                       and not (_looks_like_person(sp)
                                and any(sp in t for t in person_tables))
-                      and sp not in countries]
+                      and sp not in countries and sp not in who_persons]
             if places and S not in f.hq:
                 f.hq[S] = places[-1]
         # retro year attribution: the only year in a film/org paragraph is
@@ -524,6 +538,7 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
                     | {p for ps in f.stars.values() for p in ps})
     for S, kind in subjects:
         if (kind == "person" and S not in role_persons
+                and S not in who_persons
                 and not any(S in t for t in person_tables)):
             # a person-SHAPED paragraph subject with zero person facts after
             # the full first pass is a multiword toponym ('Porto Alegre'),
@@ -559,7 +574,8 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
         regions = [sp for sp in spans
                    if not _looks_like_person(sp) and not _org_shaped(sp)
                    and not _film_shaped(sp) and sp not in adjectives
-                   and sp not in role_persons and sp not in initial]
+                   and sp not in role_persons and sp not in who_persons
+                   and sp not in initial]
         if len(regions) == 1 and S not in f.city_in:
             f.city_in[S] = regions[0]
 
@@ -915,7 +931,24 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
         return []
     person_tables = (facts.nationality, facts.profession, facts.birth_city,
                      facts.birth_year)
-    subject_known = any(_lookup(t, subject) is not None for t in person_tables)
+    # known-ness is decided by the ASKED attribute's tables: a bridge subject
+    # whose profession arrived in a summary is still missing for a nationality
+    # question — any-table known-ness silently swallowed the follow-up hop
+    attr_tables: Dict[str, List[Dict[str, str]]] = {
+        "nationality": [facts.nationality, facts.country],
+        "org_country": [facts.country, facts.city_in],
+        "birth_year": [facts.birth_year],
+        "birth_city": [facts.birth_city],
+        "profession": [facts.profession],
+        "hq": [facts.hq],
+        "year": [facts.birth_year, facts.released, facts.founded_year],
+        "setting": [facts.setting],
+        "place": [facts.hq, facts.birth_city],
+    }
+    asked = next((a for a, pat in _ATTR_PATTERNS if re.search(pat, query_l)),
+                 None)
+    tables = attr_tables.get(asked or "", list(person_tables))
+    subject_known = any(_lookup(t, subject) is not None for t in tables)
     # org-country chain: headquarters city known, its country missing
     hq_city = _lookup(facts.hq, subject)
     if (re.search(r"\bcountry\b|citizenship|nationality", query_l) and hq_city

@@ -311,27 +311,60 @@ class HypergraphExtractor:
 
     # -------------------------------------------------------------- fallback
     def fallback_extract(self, text_chunk: str) -> List[HypergraphExtraction]:
-        """Deterministic capitalization-based extraction (LLM-free path)."""
+        """Deterministic capitalization-based extraction (LLM-free path).
+
+        Deviation from the reference fallback (hypergraph_extractor.py:214-264):
+        **section topicality** — every sentence inside a ``=== Section ===``
+        block predicates on the section subject even when it refers to it only
+        coreferentially ("<Star> fronts the ensemble, and its narrative ..."),
+        so the subject joins each sentence's extraction as a participant. This
+        keeps a paragraph's facts reachable from its titled entity in the graph
+        (and in that entity's merged description/embedding); without it, a fact
+        sentence that never names the title is connected to it by nothing.
+        """
         out: List[HypergraphExtraction] = []
-        for sent in (s.strip() for s in _SENT_SPLIT.split(text_chunk) if s.strip()):
-            names: List[str] = []
-            seen: set[str] = set()
-            for m in _NAME_RE.findall(sent):
-                if " " not in m and m in _CAP_STOPWORDS:
-                    continue  # lone sentence-starter, not an entity
-                if m not in seen:
-                    seen.add(m)
-                    names.append(m)
-            if not names:
+        sections: List[tuple] = []  # (subject_or_None, section_text)
+        subject: Optional[str] = None
+        for part in _HDR_SPLIT.split(text_chunk):
+            m = _HDR_RE.fullmatch(part.strip())
+            if m:
+                cand = re.sub(r"\s*\([^)]*\)\s*$", "", m.group(1).strip())
+                subject = cand if _PROPER_NAME_RE.match(cand) else None
                 continue
-            entities = [Entity(name=n,
-                               type=self.normalize_entity_type(None, n, sent,
-                                                               sent.lower()),
-                               description=sent[:240]) for n in names]
-            out.append(HypergraphExtraction(
-                hyperedge=sent[:240],
-                relation_type="CoOccurrence" if len(entities) > 1 else "Mention",
-                entities=entities, confidence_score=5.0))
+            if part.strip():
+                sections.append((subject, part))
+        if not sections:
+            sections = [(None, text_chunk)]
+        for subject, section_text in sections:
+            subj_type = (self.normalize_entity_type(
+                None, subject, section_text, section_text.lower())
+                if subject else None)
+            for sent in (s.strip() for s in _SENT_SPLIT.split(section_text)
+                         if s.strip()):
+                names: List[str] = []
+                seen: set[str] = set()
+                for m in _NAME_RE.findall(sent):
+                    if " " not in m and m in _CAP_STOPWORDS:
+                        continue  # lone sentence-starter, not an entity
+                    if m not in seen:
+                        seen.add(m)
+                        names.append(m)
+                if not names:
+                    continue
+                entities = [Entity(name=n,
+                                   type=self.normalize_entity_type(None, n, sent,
+                                                                   sent.lower()),
+                                   description=sent[:240]) for n in names]
+                if subject and not any(
+                        subject.lower() in n.lower() or n.lower() in subject.lower()
+                        for n in names):
+                    entities.append(Entity(name=subject, type=subj_type,
+                                           description=sent[:240]))
+                out.append(HypergraphExtraction(
+                    hyperedge=sent[:240],
+                    relation_type=("CoOccurrence" if len(entities) > 1
+                                   else "Mention"),
+                    entities=entities, confidence_score=5.0))
         if not out:
             out.append(HypergraphExtraction(
                 hyperedge=text_chunk[:240], relation_type="DocumentSummary",

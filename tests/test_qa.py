@@ -91,3 +91,23 @@ def test_no_relation_words_copied_from_question():
 def test_facts_empty_evidence():
     assert answer_from_facts("Who helmed X?", []) is None
     assert extract_facts([]).films() == set()
+
+
+def test_reordered_evidence_who_clause_personhood():
+    """Evidence assembly can put the seat sentence BEFORE the founder sentence
+    (skeleton briefs precede detail blocks), so mention order alone would fill
+    the org's person slot with the person-shaped toponym. The '<Name>, who ...'
+    relative clause must pin the person slot regardless of sentence order."""
+    sents = [
+        "Porto Alegre .",
+        "The group maintains operations out of Porto Alegre.",
+        "Harbor Collective conducts its affairs out of Porto Alegre.",
+        "Harbor Collective owes its existence to Tomoko Ustinov, who put the "
+        "venture in motion in 1960.",
+    ]
+    f = extract_facts(sents)
+    assert f.founded_by["Harbor Collective"] == "Tomoko Ustinov"
+    assert f.hq["Harbor Collective"] == "Porto Alegre"
+    assert answer_from_facts(
+        "In which city does Harbor Collective have its base of operations?",
+        sents) == "Porto Alegre"
