@@ -71,7 +71,12 @@ class ContextProcessor:
         if len(text) <= limit:
             return text
         cut = text[:limit]
-        end = max(cut.rfind(". "), cut.rfind("! "), cut.rfind("? "))
+        # clause boundaries include the '.;'-joined entity-summary seams —
+        # cutting mid-span manufactures phantom entities downstream ("The
+        # Frozen Harbor" clipped to "The Frozen" reads as a second film)
+        end = -1
+        for m in re.finditer(r"[.!?;](?=\s)", cut):
+            end = m.start()
         if end >= limit // 3:
             return cut[: end + 1]
         sp = cut.rfind(" ")

@@ -62,6 +62,11 @@ class Facts:
         self.setting: Dict[str, str] = {}          # film -> city
         self.film_attrs: Dict[str, str] = {}       # film -> descriptor text
         self.about: Dict[str, List[str]] = {}      # subject -> its sentences
+        # positions of those sentences in the extraction input — mention
+        # tests must be positional: evidence assembly DUPLICATES sentence
+        # text across blocks, and a text-membership test would alias every
+        # twin of an inherited sentence into the subject's mention set
+        self.about_idx: Dict[str, List[int]] = {}  # subject -> sentence idxs
 
     def films(self) -> set:
         return (set(self.directed_by) | set(self.stars) | set(self.released)
@@ -229,7 +234,7 @@ def _name_spans_before(s: str, pos: int) -> List[str]:
 def extract_facts(sentences: List[str]) -> Facts:
     f = Facts()
     last_subject: Optional[str] = None
-    for s in sentences:
+    for si, s in enumerate(sentences):
         raw_subj = _subject_of(s)
         own_subj = (raw_subj is not None
                     and raw_subj.lower() not in _GENERIC_SUBJECTS)
@@ -256,6 +261,7 @@ def extract_facts(sentences: List[str]) -> Facts:
                         own_subj = True
         if subj:
             f.about.setdefault(subj, []).append(s)
+            f.about_idx.setdefault(subj, []).append(si)
         # --- "X is a|an <descriptor>" classification -------------------------
         m = re.search(r"^(.*?)\s+(?:is|was)\s+an?\s+(.*)$", s)
         if m and subj:
@@ -457,6 +463,22 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
         for wm in re.finditer(r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)\s*,\s*"
                               r"who(?:m|se)?\b", s):
             who_persons.add(_strip_stop_heads(_norm(wm.group(1))))
+    # locative obliques: a span governed by a LOCATIVE preposition anywhere
+    # ('in/at/within/near/out of <Span>') is a place argument — it can
+    # never fill a person slot (creator/founder/star). Dative/genitive 'to'/
+    # 'of' are NOT locative: founders arrive as 'existence to <P>' / 'efforts
+    # of <P>'. 'who'-clause evidence overrides (a person CAN follow 'in' in
+    # rare frames; a '<Name>, who ...' head is definitely a person). The list
+    # is core closed-class prepositions only, audited disjoint from every v2
+    # realization marker (tools/audit_synth_disjoint.py — e.g. 'inside' is a
+    # city2 marker token and is deliberately absent).
+    locative_obliques: set = set()
+    for s in sentences:
+        for lm in re.finditer(r"\b(?:in|at|within|near|around|out of)\s+"
+                              r"([A-Z][\w'.-]*(?: [A-Z][\w'.-]*)*)", s):
+            sp = _strip_stop_heads(_norm(lm.group(1)))
+            if sp and sp not in who_persons:
+                locative_obliques.add(sp)
     subjects = [(s0, _classified(f, s0)) for s0 in cands]
     lowers = [s.lower() for s in sentences]
     # phase 1: film/org slot attribution (fills director/star/founder/seat
@@ -465,9 +487,13 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
         if kind not in ("film", "org") or S in adjectives:
             continue
         sl = S.lower()
-        own = f.about.get(S, [])
+        # positional membership only: a text-equality test against
+        # f.about[S] would pull in every duplicate of an inherited
+        # sentence, letting a twin EARLIER in the document hijack the
+        # mention-order prior (evidence blocks repeat sentences verbatim)
+        own_idx = set(f.about_idx.get(S, []))
         idxs = [i for i in range(len(sentences))
-                if sl in lowers[i] or sentences[i] in own]
+                if sl in lowers[i] or i in own_idx]
         ment = [sentences[i] for i in idxs]
         spans: List[str] = []
         for s in ment:
@@ -477,7 +503,8 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
                     continue
                 if sp not in spans:
                     spans.append(sp)
-        persons = [sp for sp in spans if _looks_like_person(sp)]
+        persons = [sp for sp in spans if _looks_like_person(sp)
+                   and sp not in locative_obliques]
         # spans with 'who'-clause evidence are definite persons — they take
         # the person slot ahead of mention order (stable within each class)
         persons.sort(key=lambda p: p not in who_persons)
@@ -749,6 +776,13 @@ def _film_by_description(query_l: str, facts: Facts) -> Optional[str]:
     films = set(facts.film_attrs) | {s for s in facts.about
                                      if _classified(facts, s) == "film"}
     films |= set(facts.directed_by) | set(facts.stars)
+    # truncation twins: evidence briefs can clip a title mid-span ("The
+    # Frozen Harbor" -> "The Frozen"), minting a phantom film that ties the
+    # real one and fails the unambiguous-winner test — a candidate that is a
+    # word-boundary prefix of another candidate IS that candidate
+    films = {f0 for f0 in films
+             if not any(g != f0 and g.lower().startswith(f0.lower() + " ")
+                        for g in films)}
     hits = []
     for film in films:
         # descriptor evidence: the explicit classification descriptor when one

@@ -111,7 +111,11 @@ def resolve_section_pronouns(text: str) -> str:
 # single capitalized words that are sentence-starters, not entities
 _CAP_STOPWORDS = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This",
                   "That", "They", "His", "Her", "Its", "After", "Before", "When",
-                  "While", "During", "From", "For", "With", "And", "But", "Or"}
+                  "While", "During", "From", "For", "With", "And", "But", "Or",
+                  "Among", "Between", "Across", "Upon", "Within", "Near",
+                  "Beyond", "Amid", "Throughout", "Toward", "Towards",
+                  "Despite", "Although", "Though", "Since", "Until",
+                  "However", "Meanwhile", "Moreover", "Today", "There", "Here"}
 _PARTIAL_RE = re.compile(
     r"\{\s*\"hyperedge\"[\s\S]*?\}\s*(?=,\s*\{\s*\"hyperedge\"|\s*\]\s*\}|$)")
 
@@ -344,6 +348,16 @@ class HypergraphExtractor:
                 names: List[str] = []
                 seen: set[str] = set()
                 for m in _NAME_RE.findall(sent):
+                    # strip leading sentence-starter prepositions/conjunctions
+                    # from multiword spans ("On The Wandering Observatory" is
+                    # the film "The Wandering Observatory" — keeping the
+                    # preposition forks a duplicate entity node); determiners
+                    # (The/A/An) are legitimate title heads and stay
+                    words = m.split()
+                    while (len(words) > 1 and words[0] in _CAP_STOPWORDS
+                           and words[0] not in ("The", "A", "An")):
+                        words = words[1:]
+                    m = " ".join(words)
                     if " " not in m and m in _CAP_STOPWORDS:
                         continue  # lone sentence-starter, not an entity
                     if m not in seen:
