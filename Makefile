@@ -18,6 +18,11 @@ bench:
 gate:
 	$(PY) -m ahrag_tpu.cli.eval_gate --data samples/mini_questions.jsonl --limit 5 --faith-min 0.5
 
+# v2 quality gate on the template-disjoint frozen dev split, ratcheted to the
+# round-3 level (LSA retrieval + structural QA: dev F1 98 as of r3)
+gate-v2:
+	$(PYCPU) ahrag_tpu.cli.eval_gate --dataset local --data samples/synth_v2_dev.jsonl --limit 100 --f1-min 90 --faith-min 0.9 --out reports/eval_gate_v2_dev_r3.json
+
 trajectories:
 	$(PY) -m ahrag_tpu.cli.collect_trajectories --data samples/mini_questions.jsonl --limit 5
 

@@ -79,6 +79,7 @@ class HierarchicalGraph:
         self._embeddings: Dict[str, np.ndarray] = {}        # node_id -> [D]
         self._idf: Optional[np.ndarray] = None              # [buckets] corpus weights
         self._assoc = None   # (idx [B, m], w [B, m]) query-expansion associations
+        self._lsa: Optional[np.ndarray] = None  # [buckets, D] corpus-fitted basis
         # compiled tensors cache
         self._tensors: Optional[GraphTensors] = None
         self._idx_to_id: List[str] = []
@@ -362,6 +363,8 @@ class HierarchicalGraph:
                 extra["idf"] = self._idf
             if getattr(self, "_assoc", None) is not None:
                 extra["assoc_idx"], extra["assoc_w"] = self._assoc
+            if getattr(self, "_lsa", None) is not None:
+                extra["lsa"] = self._lsa
             np.savez_compressed(os.path.join(directory, "embeddings.npz"),
                                 ids=np.asarray(ids), emb=mat, **extra)
 
@@ -428,6 +431,8 @@ class HierarchicalGraph:
             if "assoc_idx" in z and "assoc_w" in z:
                 hg._assoc = (np.asarray(z["assoc_idx"], dtype=np.int32),
                              np.asarray(z["assoc_w"], dtype=np.float32))
+            if "lsa" in z:
+                hg._lsa = np.asarray(z["lsa"], dtype=np.float32)
         else:
             hg.dirty = True  # needs (re)indexing before search
         hg._tensors = None
@@ -608,7 +613,8 @@ class HierarchicalGraph:
                            include_hyperedges: bool = False,
                            upsert_only: bool = True, reset: bool = False,
                            use_idf: bool = True,
-                           train_expansion: bool = True) -> int:
+                           train_expansion: bool = True,
+                           fit_lsa: bool = True) -> int:
         """(Re)encode node texts into the embedding table. Incremental by content hash.
 
         With ``use_idf`` (and an encoder exposing ``document_frequencies``), a full
@@ -628,6 +634,7 @@ class HierarchicalGraph:
             self._embeddings.clear()
             self._idf = None
             self._assoc = None
+            self._lsa = None
         prev: Dict[str, str] = dict(self.vector_index.get("indexed_meta") or {})
         eligible_ids: List[str] = []
         for nid, d in self.nodes.items():
@@ -647,6 +654,10 @@ class HierarchicalGraph:
             self._idf = (np.log((1.0 + n_docs) / (1.0 + df)) + 1.0).astype(np.float32)
             if train_expansion and hasattr(enc, "train_associations"):
                 self._assoc = enc.train_associations(texts)
+            if fit_lsa and hasattr(enc, "fit_projection"):
+                # corpus-fitted LSA basis: exact lexical ranking on small
+                # corpora, top-D LSA at scale (see fit_projection docstring)
+                self._lsa = enc.fit_projection(texts, idf=self._idf)
             todo_ids, todo_texts = eligible_ids, texts
         else:
             todo_ids, todo_texts = [], []
@@ -658,7 +669,8 @@ class HierarchicalGraph:
                 todo_texts.append(self._embedding_text(nid))
         if todo_ids:
             if supports_idf:
-                mat = enc.encode(todo_texts, idf=getattr(self, "_idf", None))
+                mat = enc.encode(todo_texts, idf=getattr(self, "_idf", None),
+                                 basis=getattr(self, "_lsa", None))
             else:
                 mat = enc.encode(todo_texts)
             for nid, row in zip(todo_ids, mat):
@@ -740,7 +752,8 @@ class HierarchicalGraph:
         enc = self._encoder()
         if hasattr(enc, "document_frequencies") and getattr(self, "_idf", None) is not None:
             return enc.encode(texts, idf=self._idf,
-                              assoc=getattr(self, "_assoc", None))
+                              assoc=getattr(self, "_assoc", None),
+                              basis=getattr(self, "_lsa", None))
         return enc.encode(texts)
 
     # ----------------------------------------------------------------- search

@@ -33,6 +33,13 @@ import jax.numpy as jnp
 from ahrag_tpu.graph.tensors import GraphTensors
 from ahrag_tpu.ops.topk import NEG_INF, masked_topk, refined_masked_topk
 
+# |cosine| below this is "no lexical relation" — flushed to exact 0.0 before
+# seed top-k so tie order among irrelevant nodes is pinned to node index and
+# identical across serving batch shapes (a corpus-fitted LSA basis makes
+# irrelevant rows exactly orthogonal; their scores are matmul tiling noise
+# otherwise). Mirrored by tests/helpers.py::oracle_search.
+SEM_FLUSH_EPS = 1e-5
+
 
 class SearchWeights(NamedTuple):
     """Traced rerank parameters (defaults mirror hierarchical_graph.py:37-47)."""
@@ -198,7 +205,7 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     # parity, while full-HIGHEST costs 3x the matmul).
     seed_sim, seed_idx = refined_masked_topk(
         q_emb[None, :], gt.emb, gt.indexed & gt.valid, top_k,
-        margin=max(16, 3 * top_k), certify=certify)
+        margin=max(16, 3 * top_k), certify=certify, flush_eps=SEM_FLUSH_EPS)
     return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m)
 
 
@@ -212,6 +219,7 @@ def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
     ~20x wall-clock at 100k nodes) with two-phase precision refinement; only the
     O(candidates) stages are vmapped."""
     seed_sim, seed_idx = refined_masked_topk(
-        q_embs, gt.emb, gt.indexed & gt.valid, top_k, margin=max(16, 3 * top_k))
+        q_embs, gt.emb, gt.indexed & gt.valid, top_k, margin=max(16, 3 * top_k),
+        flush_eps=SEM_FLUSH_EPS)
     return jax.vmap(lambda ss, si: _post_seed(gt, ss, si, w, top_k,
                                               member_top_m))(seed_sim, seed_idx)

@@ -118,7 +118,7 @@ class HashedNGramEncoder:
 
     def encode_device(self, texts: List[str], chunk: int | None = None,
                       idf: np.ndarray | None = None,
-                      assoc=None) -> jnp.ndarray:
+                      assoc=None, basis: np.ndarray | None = None) -> jnp.ndarray:
         """Batch encode in fixed-size chunks; counts ship to the device as sparse
         COO triplets (padded to a static nnz bucket so jit doesn't respecialize),
         scattered and projected on device.
@@ -132,6 +132,9 @@ class HashedNGramEncoder:
         ``idf`` ([buckets] f32, optional) weights features before projection —
         corpus-frequency weights computed at index-build time (graph/host.py)
         and applied identically to documents and queries.
+
+        ``basis`` ([buckets, dim] f32, optional) replaces the fixed Gaussian
+        projection with a corpus-fitted LSA basis (see ``fit_projection``).
         """
         if not texts:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
@@ -147,6 +150,8 @@ class HashedNGramEncoder:
                 chunk = max(c for c in self._CHUNKS if c <= len(texts))
         idf_dev = jnp.asarray(np.ones(self.buckets, np.float32) if idf is None
                               else np.asarray(idf, np.float32))
+        proj = self._proj if basis is None else jnp.asarray(
+            np.asarray(basis, np.float32))
         # rows padded to the full chunk, nnz padded to a fixed per-chunk cap, so
         # every call at a given chunk size reuses ONE compiled shape
         fixed_cap = chunk * 256
@@ -172,13 +177,93 @@ class HashedNGramEncoder:
             vals = np.concatenate([vals, np.zeros(pad)]).astype(np.float32)
             out = _project_normalize_sparse(
                 jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
-                self._proj, idf_dev, n_rows=chunk)
+                proj, idf_dev, n_rows=chunk)
             outs.append(out[: len(block)])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def encode(self, texts: List[str], idf: np.ndarray | None = None,
-               assoc=None) -> np.ndarray:
-        return np.asarray(self.encode_device(texts, idf=idf, assoc=assoc))
+               assoc=None, basis: np.ndarray | None = None) -> np.ndarray:
+        return np.asarray(self.encode_device(texts, idf=idf, assoc=assoc,
+                                             basis=basis))
+
+    def _tfidf_block(self, block: List[str], idf_v: np.ndarray) -> np.ndarray:
+        """Dense sublinear-TF x IDF rows for ``block`` — the exact weighting
+        ``_project_normalize`` applies, materialized on host for fitting."""
+        counts = self._count_matrix(block)
+        tf = np.where(counts > 0, 1.0 + np.log(np.maximum(counts, 1.0)),
+                      0.0).astype(np.float32)
+        return tf * idf_v[None, :]
+
+    def fit_projection(self, texts: List[str], idf: np.ndarray | None = None,
+                       sample: int = 20000, oversample: int = 48,
+                       chunk: int = 1024) -> np.ndarray | None:
+        """Corpus-fitted LSA basis ([buckets, dim] f32) replacing the fixed
+        Gaussian projection for this corpus.
+
+        Why: the Johnson-Lindenstrauss projection preserves cosines only to
+        ~1/sqrt(dim) ≈ 0.05 — the same order as the true lexical score gaps on
+        entity-dense corpora, so random-projection noise can reorder top-k
+        (measured: a gold node at exact-cosine rank 0 fell to rank 6 through
+        the Gaussian). The fix is the projection the corpus itself prescribes:
+
+        - n_docs <= dim: an orthonormal basis of the corpus row span (economy
+          SVD right singular vectors). Every document lies in the span, so
+          doc-query inner products through the basis equal the EXACT hashed
+          TF-IDF cosine up to the query's (ranking-irrelevant) out-of-span
+          component — per-question KGs get exact lexical ranking.
+        - n_docs > dim: top-dim LSA via two-pass randomized SVD (chunked so
+          the dense [n, buckets] matrix never materializes; rows re-hashed in
+          the second pass instead of cached — featurization is cheaper than
+          1GB+ of resident TF-IDF). Deterministic (seeded by ``self.seed``).
+
+        This is the capability the reference buys with a pretrained dense
+        encoder (hierarchical_graph.py:709-712) rebuilt from corpus statistics:
+        LSA additionally smooths synonymy at scale (docs sharing co-occurring
+        vocabulary project nearby). Incremental upserts reuse the stored basis
+        (out-of-span components of genuinely novel docs are dropped until the
+        next full build — same refresh contract as the IDF weights).
+        """
+        n = len(texts)
+        if n < 2:
+            return None
+        if n > sample:  # deterministic stride sample bounds fitting cost
+            step = n / sample
+            texts = [texts[int(i * step)] for i in range(sample)]
+            n = len(texts)
+        idf_v = (np.ones(self.buckets, np.float32) if idf is None
+                 else np.asarray(idf, np.float32))
+        if n <= self.dim:
+            A = np.concatenate([self._tfidf_block(texts[i:i + chunk], idf_v)
+                                for i in range(0, n, chunk)], axis=0)
+            _, s, vt = np.linalg.svd(A, full_matrices=False)
+            r = int((s > (s[0] if s.size else 0.0) * 1e-6).sum())
+            if r == 0:
+                return None
+            basis = np.zeros((self.buckets, self.dim), np.float32)
+            basis[:, :r] = vt[:r].T
+            return basis
+        # two-pass randomized SVD for the top-dim right-singular subspace
+        rng = np.random.default_rng(self.seed)
+        k = min(self.dim + oversample, n)
+        G = rng.standard_normal((self.buckets, k)).astype(np.float32)
+        Y = np.empty((n, k), np.float32)
+        for i in range(0, n, chunk):
+            X = self._tfidf_block(texts[i:i + chunk], idf_v)
+            Y[i:i + len(X)] = np.asarray(
+                jnp.dot(jnp.asarray(X), jnp.asarray(G),
+                        preferred_element_type=jnp.float32))
+        Q, _ = np.linalg.qr(Y)
+        Bmat = np.zeros((k, self.buckets), np.float32)
+        for i in range(0, n, chunk):
+            X = self._tfidf_block(texts[i:i + chunk], idf_v)
+            Bmat += np.asarray(
+                jnp.dot(jnp.asarray(Q[i:i + len(X)].T), jnp.asarray(X),
+                        preferred_element_type=jnp.float32))
+        _, _, vt = np.linalg.svd(Bmat, full_matrices=False)
+        basis = vt[: self.dim].T.astype(np.float32)
+        if basis.shape[1] < self.dim:
+            basis = np.pad(basis, ((0, 0), (0, self.dim - basis.shape[1])))
+        return basis
 
     def document_frequencies(self, texts: List[str], chunk: int = 1024) -> np.ndarray:
         """Per-bucket document frequencies over ``texts`` ([buckets] int64)."""

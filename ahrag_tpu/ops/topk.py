@@ -156,8 +156,21 @@ def binmax_eps(backend: str, d: int, tile_n: int, precision: str,
     return 8.0 * err + 1e-7
 
 
+def _flush_tiny(s: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Flush |score| < eps to exact 0.0.
+
+    Purpose: batch-shape-stable tie-breaking. A corpus-fitted LSA basis makes
+    query-irrelevant rows EXACTLY orthogonal, so their scores are pure matmul
+    noise (~1e-7) whose sign/order varies with the batch tiling — top-k
+    membership among them then differs between a bucket-1 and a bucket-64
+    serving batch for the same query. Flushing collapses the noise cloud to a
+    bitwise-equal 0.0, and ``lax.top_k``'s documented lowest-index-first tie
+    break makes the selection deterministic across shapes."""
+    return jnp.where(jnp.abs(s) < eps, 0.0, s)
+
+
 def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
-                             k: int, margin: int = 16
+                             k: int, margin: int = 16, flush_eps: float = 0.0
                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase top-k with a per-query exactness certificate.
 
@@ -249,15 +262,19 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # build_graph_tensors' kernel-window padding) fall through to the flat
         # coarse+rescore+certificate path below instead — a [B, N] HIGHEST
         # matmul at 1M rows is 3x the work and an 8 GB score buffer.
-        vals, idx = _full_highest_topk(q, emb, mask, k)
+        vals, idx = _full_highest_topk(q, emb, mask, k, flush_eps=flush_eps)
         return vals, idx, jnp.ones((q.shape[0],), bool)
     coarse = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
+    if flush_eps:
+        coarse = _flush_tiny(coarse, flush_eps)
     coarse = jnp.where(mask[None, :], coarse, NEG_INF)
     cvals, cand = jax.lax.top_k(coarse, m)                   # [B, m]
     cand_emb = emb[cand]                                     # [B, m, D]
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
+    if flush_eps:
+        exact = _flush_tiny(exact, flush_eps)
     exact = jnp.where(mask[cand], exact, NEG_INF)
     vals, pos = jax.lax.top_k(exact, min(k, m))
     idx = jnp.take_along_axis(cand, pos, axis=1)
@@ -277,17 +294,22 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
 
 
 def _full_highest_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
-                       k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       k: int, flush_eps: float = 0.0
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Certainly-exact fallback: full matmul at HIGHEST + flat top_k."""
     scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
+    if flush_eps:
+        scores = _flush_tiny(scores, flush_eps)
     vals, idx = jax.lax.top_k(jnp.where(mask[None, :], scores, NEG_INF), k)
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "margin", "certify"))
+@functools.partial(jax.jit, static_argnames=("k", "margin", "certify",
+                                             "flush_eps"))
 def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
-                        k: int, margin: int = 16, certify: bool = True
+                        k: int, margin: int = 16, certify: bool = True,
+                        flush_eps: float = 0.0
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Certified-exact two-phase top-k (see ``refined_masked_topk_cert``).
 
@@ -303,6 +325,13 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     would have passed, which the rollout paths tolerate.
 
     q: [B, D], emb: [N, D], mask: [N] bool. Returns ([B, k], [B, k]).
+
+    ``flush_eps`` > 0 flushes |score| < eps to exact 0.0 before each top-k
+    (see ``_flush_tiny``) on the flat and small-corpus branches — the graph
+    search passes it for batch-shape-stable tie order. The large-N binned TPU
+    branch does not flush: at corpus scale the tied-at-zero rows are
+    uniformly irrelevant fillers and the streaming kernel's bin order is
+    already deterministic per shape.
     """
     if emb.dtype == jnp.bfloat16:
         # bf16 storage contract: EVERY stage (coarse, refine, fallback) scores
@@ -310,12 +339,14 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         # unrounded f32 q (it would order near-ties differently than the
         # certified branch, making results depend on batch composition)
         q = q.astype(jnp.bfloat16)
-    vals, idx, cert = refined_masked_topk_cert(q, emb, mask, k, margin=margin)
+    vals, idx, cert = refined_masked_topk_cert(q, emb, mask, k, margin=margin,
+                                               flush_eps=flush_eps)
     if not certify:
         return vals, idx
     return jax.lax.cond(jnp.all(cert),
                         lambda: (vals, idx),
-                        lambda: _full_highest_topk(q, emb, mask, k))
+                        lambda: _full_highest_topk(q, emb, mask, k,
+                                                   flush_eps=flush_eps))
 
 
 # ---------------------------------------------------------------------------

@@ -267,9 +267,13 @@ class RetrievalService:
                 idf = getattr(self.hg, "_idf", None)
                 idf = (np.ones(enc.buckets, np.float32) if idf is None
                        else np.asarray(idf, np.float32))
+                lsa = getattr(self.hg, "_lsa", None)  # corpus-fitted basis —
+                # must match hg.encode_query or fused/host paths diverge
+                proj = enc._proj if lsa is None else jnp.asarray(
+                    np.asarray(lsa, np.float32))
                 packed = np.asarray(_encode_and_search(
                     jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
-                    enc._proj, jnp.asarray(idf), self.gt, w,
+                    proj, jnp.asarray(idf), self.gt, w,
                     n_rows=len(padded), top_k=self._default_top_k,
                     member_top_m=member_top_m))
                 idx = packed[..., 0].astype(np.int64)

@@ -65,20 +65,38 @@ def oracle_search(hg: HierarchicalGraph, query: str, top_k: int = 5,
     q = hg.encode_query([query])[0]
     indexed = [nid for nid in hg.nodes if nid in hg._embeddings]
     sims = {nid: float(np.dot(hg._embeddings[nid], q)) for nid in indexed}
-    seeds = sorted(indexed, key=lambda nid: (-sims[nid], list(hg.nodes).index(nid)))[:top_k]
+    # mirror graph/search.py::SEM_FLUSH_EPS: |cosine| < eps is "no relation",
+    # flushed to exact 0; ties then break by TENSOR ROW index (lax.top_k's
+    # lowest-index-first), which is the device's deterministic order — the
+    # reference's hnswlib makes no ordering promise among zero-relation rows
+    sims = {nid: (0.0 if abs(s) < 1e-5 else s) for nid, s in sims.items()}
+    seeds = sorted(indexed, key=lambda nid: (-sims[nid], hg.id_to_idx(nid)))[:top_k]
 
+    # candidate priorities mirror the device layout (search.py::expand_candidates):
+    # seed i at priority i; seed i's parents/members in a per-seed block after
+    # ALL seeds. First-seen (lowest priority) wins on re-encounter — since every
+    # seed slot precedes every expansion slot, a node that is both a seed and a
+    # member keeps its seed value/priority, which is also what the reference's
+    # unconditional self-assignment produces value-wise. Priority is the final
+    # zero-score tie-break (exact ties exist under the LSA encoder's flushed
+    # zero-relation scores; the reference's hnswlib makes no tie promise).
     expanded: Dict[str, float] = {}
-    for nid in seeds:
+    prio: Dict[str, int] = {}
+    blk = 2 + member_top_m
+    for i, nid in enumerate(seeds):
         nt = hg.nodes[nid].get("node_type")
         expanded[nid] = sims[nid]  # unconditional self-assignment
+        prio[nid] = min(prio.get(nid, 1 << 30), i)
         if nt == "entity":
-            for parent in hg.get_belongs_to(nid)[:2]:
+            for j, parent in enumerate(hg.get_belongs_to(nid)[:2]):
                 if parent not in expanded:
                     expanded[parent] = sims[nid] * 0.9
+                    prio[parent] = top_k + i * blk + j
         elif nt == "summary":
-            for child in hg.get_summary_members(nid)[:member_top_m]:
+            for j, child in enumerate(hg.get_summary_members(nid)[:member_top_m]):
                 if child not in expanded:
                     expanded[child] = sims[nid] * 0.85
+                    prio[child] = top_k + i * blk + 2 + j
     results = []
     boost_map = {"entity": 0.0, "summary": 1.0, "hyperedge": 0.0}
     for nid, sem in expanded.items():
@@ -96,5 +114,5 @@ def oracle_search(hg: HierarchicalGraph, query: str, top_k: int = 5,
         conf_term = conf / 10.0 if conf is not None else 0.0
         score = alpha * sem + beta * judge_term + gamma * conf_term + delta * boost_map[nt]
         results.append({"node_id": nid, "score": score, "semantic": sem})
-    results.sort(key=lambda x: -x["score"])
+    results.sort(key=lambda x: (-x["score"], prio[x["node_id"]]))
     return results[:top_k]

@@ -61,3 +61,62 @@ def test_sparse_and_dense_projection_agree():
         jnp.asarray(enc._count_matrix(texts)), enc._proj,
         jnp.ones(enc.buckets)))
     np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_lsa_basis_exact_ranking_small_corpus():
+    """With a corpus-fitted LSA basis (n_docs <= dim), projected cosine must
+    reproduce the EXACT hashed TF-IDF bucket-space ranking — the property that
+    motivates fit_projection (Gaussian JL noise ~1/sqrt(dim) reorders top-k
+    on entity-dense corpora; see hashed.py::fit_projection)."""
+    enc = HashedNGramEncoder()
+    docs = [
+        "The Thundering Colonnade opened to audiences in 1999 as a work of war cinema.",
+        "The life of Boris Moreau has been devoted to days spent as a sculptor.",
+        "On The Wandering Quarry, the camera answered to Boris Moreau.",
+        "Mexican by heritage, Boris Moreau traces family roots to Guadalajara.",
+        "The Distant Meridian opened to audiences in 1993 as a romantic comedy.",
+        "Farid Rasmussen, a French sculptor, entered the world at Lyon in 1979.",
+    ]
+    q = "Who has the leading role in the war film of 1999?"
+    df = enc.document_frequencies(docs)
+    idf = (np.log((1.0 + len(docs)) / (1.0 + df)) + 1.0).astype(np.float32)
+    basis = enc.fit_projection(docs, idf=idf)
+    assert basis is not None and basis.shape == (enc.buckets, enc.dim)
+    # exact bucket-space TF-IDF cosine
+    C = enc._count_matrix(docs + [q])
+    TF = np.where(C > 0, 1.0 + np.log(np.maximum(C, 1.0)), 0.0) * idf[None, :]
+    N = TF / np.maximum(np.linalg.norm(TF, axis=1, keepdims=True), 1e-9)
+    exact = N[:-1] @ N[-1]
+    # projected through the fitted basis
+    D = enc.encode(docs, idf=idf, basis=basis)
+    qv = enc.encode([q], idf=idf, basis=basis)[0]
+    proj = D @ qv
+    assert list(np.argsort(-exact)) == list(np.argsort(-proj))
+    # doc-doc inner products are preserved exactly (all docs lie in the span)
+    np.testing.assert_allclose(D @ D.T, N[:-1] @ N[:-1].T, atol=2e-4)
+
+
+def test_lsa_basis_large_corpus_beats_gaussian():
+    """Randomized-SVD path (n_docs > dim): on a corpus with latent topical
+    structure (the case LSA targets — real corpora share templates/entities,
+    so the TF-IDF spectrum decays), the fitted basis approximates exact bucket
+    cosine better than the fixed Gaussian projection. (On spectrum-flat random
+    text the truncation necessarily loses mass — not the production regime.)"""
+    enc = HashedNGramEncoder(dim=64, buckets=4096)
+    rng = np.random.default_rng(0)
+    topics = [[f"t{t}w{i}" for i in range(30)] for t in range(8)]
+    shared = [f"common{i}" for i in range(20)]
+    docs = [" ".join(list(rng.choice(topics[int(rng.integers(8))], size=8))
+                     + list(rng.choice(shared, size=4)))
+            for _ in range(200)]
+    basis = enc.fit_projection(docs)  # 200 > 64 -> randomized path
+    assert basis is not None and basis.shape == (4096, 64)
+    C = enc._count_matrix(docs)
+    TF = np.where(C > 0, 1.0 + np.log(np.maximum(C, 1.0)), 0.0)
+    N = TF / np.maximum(np.linalg.norm(TF, axis=1, keepdims=True), 1e-9)
+    exact = N @ N.T
+    E_lsa = enc.encode(docs, basis=basis)
+    E_g = enc.encode(docs)
+    err_lsa = np.abs(E_lsa @ E_lsa.T - exact).mean()
+    err_g = np.abs(E_g @ E_g.T - exact).mean()
+    assert err_lsa < err_g

@@ -12,9 +12,13 @@ reference's Chroma index gives HotpotQA contexts), then run hybrid search on
 each question over the full world and measure gold-title recall@10 among
 ~85 candidates. Variants:
 
-- ``plain``    — hashed n-gram encoder + IDF (round-2 configuration);
+- ``plain``    — hashed n-gram encoder + IDF, fixed Gaussian projection
+                 (round-2 configuration);
 - ``expanded`` — + corpus-trained PPMI co-occurrence query expansion
-                 (models/encoder/hashed.py::train_associations).
+                 (models/encoder/hashed.py::train_associations);
+- ``lsa``      — corpus-fitted LSA projection, no expansion
+                 (models/encoder/hashed.py::fit_projection);
+- ``lsa_expanded`` — LSA projection + query expansion (production default).
 
 Run on CPU: ``python tools/cpu_python.py tools.retrieval_ablation_v2 --out
 reports/retrieval_ablation_v2_r3.json``.
@@ -38,7 +42,7 @@ def _load(path):
         return [json.loads(l) for l in f if l.strip()]
 
 
-def _index_world(items, train_expansion):
+def _index_world(items, train_expansion, fit_lsa=False):
     """One graph over every unique paragraph appearing in the split."""
     from ahrag_tpu.graph import HierarchicalGraph
     paragraphs = {}
@@ -49,7 +53,8 @@ def _index_world(items, train_expansion):
     hg = HierarchicalGraph(encoder_name="hashed")
     for title, text in paragraphs.items():
         hg.add_entity(title, text, "concept")
-    hg.build_vector_index(layers=(0, 1, 2), train_expansion=train_expansion)
+    hg.build_vector_index(layers=(0, 1, 2), train_expansion=train_expansion,
+                          fit_lsa=fit_lsa)
     return hg
 
 
@@ -71,41 +76,43 @@ def main() -> None:
     if args.limit:
         items = items[: args.limit]
 
-    hg_plain = _index_world(items, train_expansion=False)
-    hg_exp = _index_world(items, train_expansion=True)
+    variants = {
+        "plain": _index_world(items, train_expansion=False),
+        "expanded": _index_world(items, train_expansion=True),
+        "lsa": _index_world(items, train_expansion=False, fit_lsa=True),
+        "lsa_expanded": _index_world(items, train_expansion=True,
+                                     fit_lsa=True),
+    }
     rows = []
     for item in items:
-        rows.append({"id": item["id"], "qtype": item["qtype"],
-                     "no_name": item["qtype"] in NO_NAME_FAMILIES,
-                     "recall_plain": run_item(item, hg_plain),
-                     "recall_expanded": run_item(item, hg_exp)})
+        row = {"id": item["id"], "qtype": item["qtype"],
+               "no_name": item["qtype"] in NO_NAME_FAMILIES}
+        for name, hg in variants.items():
+            row[f"recall_{name}"] = run_item(item, hg)
+        rows.append(row)
 
     def _mean(sel, key):
         xs = [r[key] for r in rows if sel(r)]
         return round(sum(xs) / len(xs), 4) if xs else None
 
+    names = ["plain", "expanded", "lsa", "lsa_expanded"]
     summary = {
         "n_items": len(rows),
-        "no_name": {
-            "n": sum(r["no_name"] for r in rows),
-            "recall_at_10_plain": _mean(lambda r: r["no_name"], "recall_plain"),
-            "recall_at_10_expanded": _mean(lambda r: r["no_name"],
-                                           "recall_expanded"),
-        },
-        "named": {
-            "n": sum(not r["no_name"] for r in rows),
-            "recall_at_10_plain": _mean(lambda r: not r["no_name"],
-                                        "recall_plain"),
-            "recall_at_10_expanded": _mean(lambda r: not r["no_name"],
-                                           "recall_expanded"),
-        },
+        "no_name": {"n": sum(r["no_name"] for r in rows),
+                    **{f"recall_at_10_{v}": _mean(lambda r: r["no_name"],
+                                                  f"recall_{v}")
+                       for v in names}},
+        "named": {"n": sum(not r["no_name"] for r in rows),
+                  **{f"recall_at_10_{v}": _mean(lambda r: not r["no_name"],
+                                                f"recall_{v}")
+                     for v in names}},
         "by_qtype": {},
     }
     for qt in sorted({r["qtype"] for r in rows}):
         summary["by_qtype"][qt] = {
             "n": sum(r["qtype"] == qt for r in rows),
-            "plain": _mean(lambda r: r["qtype"] == qt, "recall_plain"),
-            "expanded": _mean(lambda r: r["qtype"] == qt, "recall_expanded"),
+            **{v: _mean(lambda r: r["qtype"] == qt, f"recall_{v}")
+               for v in names},
         }
     report = {"dataset": os.path.basename(args.data), "summary": summary,
               "items": rows}
