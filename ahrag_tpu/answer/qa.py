@@ -238,6 +238,21 @@ def extract_facts(sentences: List[str]) -> Facts:
         raw_subj = _subject_of(s)
         own_subj = (raw_subj is not None
                     and raw_subj.lower() not in _GENERIC_SUBJECTS)
+        # impersonal clause: an expletive/impersonal pronoun in the subject
+        # slot ("one <verb>s ...", "there is/are ...") never COREFERS with the
+        # running discourse topic — general English, closed-class function
+        # words only. Such sentences get NO subject (neither own nor
+        # inherited): attributing them to the previous subject fabricates
+        # facts when evidence assembly interleaves sentences from different
+        # source paragraphs (observed: a city-in-country sentence inheriting
+        # an org subject and clobbering the org's seat slot).
+        impersonal = (not own_subj and re.search(
+            r"\b(?:one\s+[a-z]+s|there\s+(?:is|are|was|were))\b", s))
+        if impersonal:
+            # the sentence still participates in the textual-mention scans
+            # (_order_prior_pass reads the full sentence list) — it only
+            # stops carrying a discourse subject
+            continue
         # topic continuity: "The film stars X ..." inherits the paragraph's
         # subject ("<Title> is a ... film ...") stated in an earlier sentence
         if own_subj:

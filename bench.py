@@ -343,6 +343,17 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
 def main() -> None:
     import jax
 
+    # Corpus storage stays f32 by default; bf16 storage (AHRAG_EMB_DTYPE=
+    # bfloat16, ~2.5x qps at 1M via the halved HBM stream, exact w.r.t. the
+    # bf16-rounded corpus) is OPT-IN for two measured reasons: (1) the ladder's
+    # CPU reference scores the f32 corpus, so bf16 near-ties read as parity
+    # mismatches (1/8 observed at the 2k rung) unless the oracle is made
+    # storage-aware, and (2) the bf16 shapes double the cold remote-compile
+    # count — one cold bf16 attempt burned 582s on the first rung and the
+    # budget gate sacrificed both large rungs. A reliable full f32 ladder
+    # beats a single-rung bf16 headline; reports/topk_r3_tpu.json carries the
+    # bf16 numbers.
+
     # persistent compile cache: the remote-compile latency through the device
     # tunnel (~5-60s/shape) dominates cold wall time; cache across bench runs
     try:
