@@ -269,7 +269,7 @@ class InferenceEngine:
         """Graph entity ids for capitalized spans the question itself names
         (exact or substring match only — no semantic fallback, so the cost is
         O(spans) host lookups and no extra device dispatch)."""
-        from ahrag_tpu.answer.qa import _question_entities
+        from ahrag_tpu.answer.qa import _question_entities, _same_place
         hg = self.env.hg
         out: List[str] = []
         for name in _question_entities(query)[:4]:
@@ -277,6 +277,21 @@ class InferenceEngine:
             if not nid:
                 for hid, d in hg.search_by_name_or_title(name):
                     if d.get("node_type") == "entity":
+                        nid = hid
+                        break
+            if not nid and len(name.split()) == 1:
+                # demonym anchor: a lone capitalized adjective ("Norwegian")
+                # names no graph entity, but the COUNTRY it derives from
+                # usually does — people link to their origin country, so the
+                # country node reaches the described person ("the Norwegian
+                # glassblower") that no question token names. Morphological
+                # stem match only (answer/qa.py::_same_place), no gazetteer.
+                for hid, d in hg.nodes.items():
+                    nm = d.get("name")
+                    if (d.get("node_type") == "entity" and nm
+                            and len(str(nm).split()) == 1
+                            and str(nm).lower() != name.lower()
+                            and _same_place(name, str(nm))):
                         nid = hid
                         break
             if nid and nid not in out:

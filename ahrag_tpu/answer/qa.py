@@ -77,7 +77,10 @@ class Facts:
 
 
 def _norm(s: str) -> str:
-    return re.sub(r"\s+", " ", s.strip()).strip(".,;:!? ")
+    s = re.sub(r"\s+", " ", s.strip()).strip(".,;:!? ")
+    # possessive clitic: a span ending in 's denotes the bare entity —
+    # fact-table keys must not fork on the genitive form
+    return re.sub(r"['’]s$", "", s)
 
 
 # Capitalized sentence-openers that are function words / adverbials, never
@@ -509,6 +512,14 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
         own_idx = set(f.about_idx.get(S, []))
         idxs = [i for i in range(len(sentences))
                 if sl in lowers[i] or i in own_idx]
+        # lead-credit prior: the sentence where the title is directly
+        # followed by its classifying appositive ("<Title>, a <descriptor>")
+        # is the work's OWN lead sentence — its persons outrank persons from
+        # other mention sentences. Document order alone is not trustworthy:
+        # evidence assembly interleaves blocks from many source paragraphs,
+        # so a co-star's sentence can precede the credit sentence. Keyed on
+        # the extracted appositive structure, not on relation vocabulary.
+        idxs.sort(key=lambda i: (sl + ", a" not in lowers[i]))
         ment = [sentences[i] for i in idxs]
         spans: List[str] = []
         for s in ment:
@@ -613,9 +624,15 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
         # noun or another topic), not the containing region
         initial = {sp for sp in spans
                    if any(m.startswith(sp) for m in ment)}
+        # demonym ADJECTIVES can't be containers, but a country NAME that is
+        # also somebody's origin country is exactly the container sought — it
+        # co-occurs in this city's own mention sentence (excluding all of
+        # `adjectives` here starved city->country for any country that also
+        # appears as a person's origin)
         regions = [sp for sp in spans
                    if not _looks_like_person(sp) and not _org_shaped(sp)
-                   and not _film_shaped(sp) and sp not in adjectives
+                   and not _film_shaped(sp)
+                   and sp not in set(f.nationality.values())
                    and sp not in role_persons and sp not in who_persons
                    and sp not in initial]
         if len(regions) == 1 and S not in f.city_in:
@@ -694,7 +711,7 @@ def _org_of_founder(person: str, facts: Facts) -> Optional[str]:
 # relation cue lexicons (paraphrase vocabulary -> fact table family)
 _CREATOR_CUES = ("helm", "direct", "made", "behind", "filmmaker", "made the",
                  "founded", "establish", "created", "creator", "founder",
-                 "set up", "started")
+                 "set up", "started", "brought", "begun")
 _STAR_CUES = ("star", "actor", "actress", "performer", "appears in", "cast",
               "plays in", "features", "role")
 _ATTR_PATTERNS: List[Tuple[str, str]] = [
@@ -722,7 +739,8 @@ def _question_entities(query: str) -> List[str]:
         span = _norm(m.group(0))
         head = span.split()[0]
         if head in ("Who", "What", "Which", "Where", "When", "How", "Why", "In",
-                    "Are", "Do", "Does", "Did", "Is", "Was", "Were", "On", "At"):
+                    "Are", "Do", "Does", "Did", "Is", "Was", "Were", "On", "At",
+                    "Of"):
             parts = span.split()
             span = " ".join(parts[1:])
         if span and len(span.split("_")) >= 1 and span[0].isupper():
@@ -827,15 +845,69 @@ def _film_by_description(query_l: str, facts: Facts) -> Optional[str]:
     return None
 
 
+def _entity_year(facts: Facts, ent: str) -> Optional[str]:
+    """The entity's characteristic year: release for films, birth for people,
+    founding for orgs — the tables are type-disjoint so the chain is safe."""
+    return (_lookup(facts.released, ent) or _lookup(facts.birth_year, ent)
+            or _lookup(facts.founded_year, ent))
+
+
+def _film_roles(facts: Facts, query_l: str, ents: List[str]
+                ) -> Tuple[Optional[str], Optional[str], Optional[str]]:
+    """(film, director, lead) resolved from a film named in the question (or
+    described by attributes) — the three-entity bridge questions' anchor."""
+    film = next((e for e in ents
+                 if e in facts.directed_by or e in facts.stars
+                 or e in facts.released), None)
+    if film is None:
+        film = _film_by_description(query_l, facts)
+    if film is None:
+        return None, None, None
+    director = facts.directed_by.get(film)
+    stars = facts.stars.get(film) or []
+    return film, director, (stars[0] if stars else None)
+
+
 def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
     """Answer ``query`` from the evidence fact KB, or None when unresolvable."""
     facts = extract_facts(sentences)
     query_l = query.lower()
     ents = _question_entities(query)
 
+    # --- "A or B" comparative selection --------------------------------------
+    # "Which reached audiences first, A or B?" / "Of A and B, who is older?"
+    # Structural: both alternatives are NAMED, the compared quantity is each
+    # entity's characteristic year, and the comparative direction comes from
+    # closed-class cues. Ties cannot occur (the generator skips them) but
+    # resolve to None for honesty.
+    if len(ents) >= 2 and re.search(r"\bor\b|\bof\b.*\band\b", query_l):
+        later = bool(re.search(r"\blater\b|\byounger\b|\bmore recent\b|"
+                               r"\blast\b", query_l))
+        earlier = bool(re.search(r"\bfirst\b|\bearlier\b|\bolder\b|"
+                                 r"\bsooner\b", query_l))
+        if later or earlier:
+            ya, yb = _entity_year(facts, ents[0]), _entity_year(facts, ents[1])
+            if ya and yb and ya != yb:
+                pick_first = (int(ya) < int(yb)) if earlier else (int(ya) > int(yb))
+                return ents[0] if pick_first else ents[1]
+            return None
+
+    # --- temporal arithmetic: age at a film's opening ------------------------
+    # "How old was the lead performer of F when it first reached theaters?"
+    if re.search(r"\bhow old\b|\bwhat age\b", query_l):
+        film, director, lead = _film_roles(facts, query_l, ents)
+        person = (director if re.search(r"filmmaker|director|behind|made",
+                                        query_l) and director else lead)
+        if film and person:
+            fy = _lookup(facts.released, film)
+            by = _lookup(facts.birth_year, person)
+            if fy and by and int(fy) >= int(by):
+                return str(int(fy) - int(by))
+        return None
+
     # --- comparison yes/no ---------------------------------------------------
     if re.match(r"^(are|do|does|did|is|was|were)\b", query_l) and (
-            "same" in query_l and len(ents) >= 2):
+            "same" in query_l or "share" in query_l) and len(ents) >= 2:
         table = None
         if re.search(r"citizenship|nationality|country", query_l):
             table = facts.nationality
@@ -856,6 +928,22 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
                     return "yes" if _same_place(a, b) else "no"
             if a is not None and b is not None:
                 return "yes" if a.lower() == b.lower() else "no"
+        return None
+
+    # --- role-pair yes/no: the film's own people compared --------------------
+    # "Do the filmmaker and the lead performer of <film> share a citizenship?"
+    # — only the FILM is named; both compared people resolve through its role
+    # slots (three-entity bridge).
+    if re.match(r"^(are|do|does|did|is|was|were)\b", query_l) and (
+            "same" in query_l or "share" in query_l):
+        film, director, lead = _film_roles(facts, query_l, ents)
+        if film and director and lead:
+            a = (_lookup(facts.nationality, director)
+                 or _lookup(facts.country, director))
+            b = (_lookup(facts.nationality, lead)
+                 or _lookup(facts.country, lead))
+            if a is not None and b is not None:
+                return "yes" if _same_place(a, b) else "no"
         return None
 
     # --- attribute questions -------------------------------------------------
@@ -964,9 +1052,24 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
     ents = _question_entities(query)
     need: List[str] = []
 
+    # "A or B" comparative: both alternatives need their characteristic year
+    if len(ents) >= 2 and re.search(r"\bor\b|\bof\b.*\band\b", query_l) and \
+            re.search(r"\bfirst\b|\bearlier\b|\bolder\b|\bsooner\b|\blater\b|"
+                      r"\byounger\b|\bmore recent\b|\blast\b", query_l):
+        return [e for e in ents[:2] if _entity_year(facts, e) is None]
+
+    # age arithmetic: the film's person needs a birth year on record
+    if re.search(r"\bhow old\b|\bwhat age\b", query_l):
+        film, director, lead = _film_roles(facts, query_l, ents)
+        person = (director if re.search(r"filmmaker|director|behind|made",
+                                        query_l) and director else lead)
+        if film and person and _lookup(facts.birth_year, person) is None:
+            return [person]
+        return []
+
     # comparison: both compared entities need the compared attribute
     if re.match(r"^(are|do|does|did|is|was|were)\b", query_l) and (
-            "same" in query_l and len(ents) >= 2):
+            ("same" in query_l or "share" in query_l) and len(ents) >= 2):
         if re.search(r"citizenship|nationality|country", query_l):
             table = facts.nationality
         elif re.search(r"profession|occupation|line of work", query_l):
@@ -975,8 +1078,33 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
             table = facts.birth_city
         return [e for e in ents[:2] if _lookup(table, e) is None]
 
+    # role-pair yes/no: the film's own people need nationality facts
+    if re.match(r"^(are|do|does|did|is|was|were)\b", query_l) and (
+            "same" in query_l or "share" in query_l):
+        film, director, lead = _film_roles(facts, query_l, ents)
+        if film:
+            return [p for p in (director, lead) if p is not None
+                    and _lookup(facts.nationality, p) is None
+                    and _lookup(facts.country, p) is None]
+        return []
+
     subject = _resolve_subject(query_l, ents, facts)
     if subject is None:
+        # attribute-description subject ("the <Demonym> <profession>") that no
+        # evidence person satisfies: anchor the follow-up hop on the COUNTRY
+        # the demonym adjective names. People link to their origin country in
+        # the graph, so the country node reaches the described person even
+        # though no question token names them. Candidate countries come from
+        # the evidence itself (no gazetteer).
+        known_places = (set(facts.city_in.values()) | set(facts.country.values())
+                        | {k for k in facts.about if len(k.split()) == 1})
+        for ent in ents:
+            if len(ent.split()) != 1:
+                continue
+            for place in sorted(known_places):
+                if place and place.lower() != ent.lower() and \
+                        _same_place(ent, place):
+                    return [place]
         return []
     person_tables = (facts.nationality, facts.profession, facts.birth_city,
                      facts.birth_year)

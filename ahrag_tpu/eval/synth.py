@@ -456,6 +456,86 @@ def _q_star_by_film_desc(w, rng):
     return q, [f["star"]["name"]], [f["title"]], avoid
 
 
+# ---------------------------------------------------------------------------
+# v3-only families: the corpus stays the v2 renderers (no new markers, the
+# disjointness audit is unchanged) — the QUESTIONS get harder. Comparison
+# across paragraphs, temporal arithmetic, and 3-entity bridges: regimes the
+# structural fact chain does not get for free, so the eval keeps headroom
+# after v2 saturated (dev F1 100 with the audit green).
+# ---------------------------------------------------------------------------
+
+def _q_film_earlier(w, rng):
+    """Comparison: which of two named films reached audiences first."""
+    a, b = rng.sample(w["films"], 2)
+    if a["year"] == b["year"]:
+        return None
+    q = rng.choice([
+        f"Which reached audiences first, {a['title']} or {b['title']}?",
+        f"Of {a['title']} and {b['title']}, which came out earlier?",
+    ])
+    winner = a if a["year"] < b["year"] else b
+    return q, [winner["title"]], [a["title"], b["title"]], []
+
+
+def _q_born_earlier(w, rng):
+    """Comparison over birth years of two named people."""
+    a, b = rng.sample(w["people"], 2)
+    if a["birth_year"] == b["birth_year"]:
+        return None
+    q = rng.choice([
+        f"Who came into the world earlier, {a['name']} or {b['name']}?",
+        f"Of {a['name']} and {b['name']}, who is older?",
+    ])
+    winner = a if a["birth_year"] < b["birth_year"] else b
+    return q, [winner["name"]], [a["name"], b["name"]], []
+
+
+def _q_age_at_release(w, rng):
+    """Temporal arithmetic across a bridge: star's age when the film opened.
+    Gold = film paragraph (year, star) + star paragraph (birth year)."""
+    cands = [f for f in w["films"]
+             if f["year"] - f["star"]["birth_year"] >= 10]
+    if not cands:
+        return None
+    f = rng.choice(cands)
+    age = f["year"] - f["star"]["birth_year"]
+    q = rng.choice([
+        f"How old was the lead performer of {f['title']} when it first "
+        f"reached theaters?",
+        f"What age had the person carrying the lead of {f['title']} attained "
+        f"in its opening year?",
+    ])
+    return q, [str(age)], [f["title"], f["star"]["name"]], []
+
+
+def _q_director_star_same_country(w, rng):
+    """Three-entity bridge comparison: filmmaker vs lead citizenship."""
+    f = rng.choice(w["films"])
+    q = rng.choice([
+        f"Do the filmmaker and the lead performer of {f['title']} share a "
+        f"citizenship?",
+        f"Are the person behind {f['title']} and its lead from the same "
+        f"country?",
+    ])
+    ans = ("yes" if f["director"]["nationality"] == f["star"]["nationality"]
+           else "no")
+    return (q, [ans],
+            [f["title"], f["director"]["name"], f["star"]["name"]], [])
+
+
+def _q_org_founder_birth_city(w, rng):
+    """Bridge: org -> founder -> birth city (parallels director_birth_city)."""
+    o = rng.choice(w["orgs"])
+    p = o["founder"]
+    q = rng.choice([
+        f"In which city did the creator of {o['name']} spend their early "
+        f"years?",
+        f"What is the home city of the person who brought {o['name']} into "
+        f"being?",
+    ])
+    return q, [p["birth_city"]], [o["name"], p["name"]], []
+
+
 NO_NAME_FAMILIES = ("film_by_attrs", "org_by_founder_desc",
                     "person_year_by_desc", "star_by_film_desc")
 
@@ -476,6 +556,14 @@ V2_QUESTION_FAMILIES = QUESTION_FAMILIES + [
     ("org_by_founder_desc", _q_org_by_founder_desc),
     ("person_year_by_desc", _q_person_year_by_desc),
     ("star_by_film_desc", _q_star_by_film_desc),
+]
+
+V3_QUESTION_FAMILIES = V2_QUESTION_FAMILIES + [
+    ("film_earlier", _q_film_earlier),
+    ("born_earlier", _q_born_earlier),
+    ("age_at_release", _q_age_at_release),
+    ("director_star_same_country", _q_director_star_same_country),
+    ("org_founder_birth_city", _q_org_founder_birth_city),
 ]
 
 
@@ -509,8 +597,10 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
                  split: str = "test",
                  version: str = "v1") -> List[Dict[str, Any]]:
     rng = random.Random(seed)
-    world = make_world(rng, version=version)
-    families = V2_QUESTION_FAMILIES if version == "v2" else QUESTION_FAMILIES
+    # v3 reuses the v2 corpus renderers — only the question families widen
+    world = make_world(rng, version="v2" if version == "v3" else version)
+    families = {"v1": QUESTION_FAMILIES, "v2": V2_QUESTION_FAMILIES,
+                "v3": V3_QUESTION_FAMILIES}[version]
     items: List[Dict[str, Any]] = []
     fam_idx = 0
     while len(items) < n_items:
@@ -543,6 +633,7 @@ SPLIT_SEEDS = {"train": 11, "dev": 22, "test": 33}
 # v2 uses distinct world seeds so v2 entities/attributes differ from v1's
 # (heuristics tuned on v1 train/dev meet unseen entity-attribute bindings too)
 SPLIT_SEEDS_V2 = {"train": 111, "dev": 222, "test": 333}
+SPLIT_SEEDS_V3 = {"train": 1111, "dev": 2222, "test": 3333}
 
 
 def main() -> None:
@@ -551,10 +642,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--seed", type=int, default=None,
                     help="override the split seed (default: frozen per split)")
-    ap.add_argument("--version", choices=["v1", "v2"], default="v1")
+    ap.add_argument("--version", choices=["v1", "v2", "v3"], default="v1")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
-    seeds = SPLIT_SEEDS_V2 if args.version == "v2" else SPLIT_SEEDS
+    seeds = {"v1": SPLIT_SEEDS, "v2": SPLIT_SEEDS_V2,
+             "v3": SPLIT_SEEDS_V3}[args.version]
     seed = args.seed if args.seed is not None else seeds[args.split]
     items = make_dataset(seed, args.n, split=args.split, version=args.version)
     with open(args.out, "w", encoding="utf-8") as f:

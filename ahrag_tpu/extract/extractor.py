@@ -59,6 +59,14 @@ _HDR_RE = re.compile(r"===\s*([^=\n]+?)\s*===")
 _SENT_PRONOUN = re.compile(r"(^\s*|(?<=[.!?。])\s+)(?:He|She)\b")
 _SENT_PRONOUN_IT = re.compile(r"(^\s*|(?<=[.!?。])\s+)(?:He|She|It|They)\b")
 _PROPER_NAME_RE = re.compile(r"^[A-Z][\w.'-]*(?: [A-Z][\w.'-]*)*$")
+# generic English organization head nouns: a section title ending in one is an
+# organization, not a person (determiner-less org names are otherwise
+# person-shaped — "Riverbend Guild" vs "Katya Cervantes")
+_ORG_NOUNS = {"Institute", "Collective", "Foundation", "Consortium", "Guild",
+              "Society", "Laboratory", "Observatory", "Company", "Corporation",
+              "Group", "Association", "Agency", "Bureau", "Council", "Union",
+              "League", "Trust", "Commission", "Committee", "University",
+              "College", "Museum", "Library", "Orchestra", "Studios"}
 
 
 def resolve_section_pronouns(text: str) -> str:
@@ -106,6 +114,24 @@ def resolve_section_pronouns(text: str) -> str:
                 part = re.sub(
                     rf"(^\s*|(?<=[.!?。])\s+)The {generic}\b",
                     lambda mm: mm.group(1) + subj, part)
+            # possessive anaphora: in a WORK section (determiner-led title), a
+            # sentence-internal "its" denotes the section subject. Resolving
+            # writes the title INTO fact sentences that otherwise never name
+            # it ("X fronts the ensemble, and its narrative is anchored in
+            # C") — downstream, entity summaries are built from sentences
+            # that MENTION the entity, so without this the star<->work
+            # pairing survives only through paragraph adjacency, which
+            # evidence assembly destroys. Person sections are excluded (a
+            # person's "its" refers to some mid-section object); org sections
+            # too — org facts chain through the seat/founder patterns, and
+            # rewriting "maintains its seat" measurably corrupted the org
+            # mention-order prior on interleaved evidence.
+            if subj.split()[0] in ("The", "A", "An"):
+                pieces = re.split(r"(?<=[.!?。])\s+", part)
+                for pi, piece in enumerate(pieces):
+                    if subj not in piece:
+                        pieces[pi] = re.sub(r"\bits\b", subj + "'s", piece)
+                part = " ".join(pieces)
         out.append(part)
     return "".join(out)
 # single capitalized words that are sentence-starters, not entities
@@ -115,7 +141,11 @@ _CAP_STOPWORDS = {"The", "He", "She", "It", "In", "On", "At", "A", "An", "This",
                   "Among", "Between", "Across", "Upon", "Within", "Near",
                   "Beyond", "Amid", "Throughout", "Toward", "Towards",
                   "Despite", "Although", "Though", "Since", "Until",
-                  "However", "Meanwhile", "Moreover", "Today", "There", "Here"}
+                  "However", "Meanwhile", "Moreover", "Today", "There", "Here",
+                  "To", "Of", "Off", "Over", "Under", "Out", "Into", "Onto",
+                  "Above", "Below", "Along", "Behind", "Beside", "Beneath",
+                  "Against", "Via", "Per", "As", "By", "If", "So", "Yet",
+                  "Not", "No", "Now", "Then", "Thus", "Also", "Once", "Soon"}
 _PARTIAL_RE = re.compile(
     r"\{\s*\"hyperedge\"[\s\S]*?\}\s*(?=,\s*\{\s*\"hyperedge\"|\s*\]\s*\}|$)")
 
@@ -358,8 +388,21 @@ class HypergraphExtractor:
                            and words[0] not in ("The", "A", "An")):
                         words = words[1:]
                     m = " ".join(words)
-                    if " " not in m and m in _CAP_STOPWORDS:
-                        continue  # lone sentence-starter, not an entity
+                    if " " not in m and (
+                            m in _CAP_STOPWORDS
+                            # participial adjunct opener: "Hailing from …",
+                            # "Turning to …" — an -ing word heading the
+                            # sentence with a preposition right after is a
+                            # verb form, not a name (toponyms like Beijing
+                            # head sentences with a finite verb instead)
+                            or (m.endswith("ing") and re.match(
+                                rf"{re.escape(m)}\s+(?:from|to|in|at|on|with|"
+                                rf"into|through|toward|towards|across|over|"
+                                rf"under|out|upon|by)\b", sent))
+                            # adverbial opener: "Curiously, …"
+                            or (m.endswith("ly")
+                                and sent.startswith(m + ","))):
+                        continue  # sentence-opener function word, not an entity
                     if m not in seen:
                         seen.add(m)
                         names.append(m)
