@@ -23,6 +23,10 @@ gate:
 gate-v2:
 	$(PYCPU) ahrag_tpu.cli.eval_gate --dataset local --data samples/synth_v2_dev.jsonl --limit 100 --f1-min 90 --faith-min 0.9 --out reports/eval_gate_v2_dev_r3.json
 
+# v3 gate: comparison/arithmetic/3-entity-bridge families included
+gate-v3:
+	$(PYCPU) ahrag_tpu.cli.eval_gate --dataset local --data samples/synth_v3_dev.jsonl --limit 120 --f1-min 90 --faith-min 0.85 --out reports/eval_gate_v3_dev_r3.json
+
 trajectories:
 	$(PY) -m ahrag_tpu.cli.collect_trajectories --data samples/mini_questions.jsonl --limit 5
 

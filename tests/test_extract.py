@@ -105,3 +105,32 @@ def test_max_8_extractions(fake_llm):
     fake_llm["responses"].append(f'{{"extractions": [{items}]}}')
     out = HypergraphExtractor().extract("text")
     assert len(out) == 8
+
+
+def test_junk_sentence_openers_not_entities():
+    """Participial/prepositional sentence openers must not become entity
+    nodes — they dilute retrieval slots on every per-question KG."""
+    ex = HypergraphExtractor()
+    text = ("=== Vera Quiroga ===\n"
+            "Hailing from Brazil, Vera Quiroga took up the craft of "
+            "astronomer. To this day, Vera Quiroga practices as a "
+            "astronomer.")
+    out = ex.fallback_extract(text)
+    names = {e.name for h in out for e in h.entities}
+    assert "Hailing" not in names and "To" not in names
+    assert "Vera Quiroga" in names
+    assert "Brazil" in names
+
+
+def test_work_section_possessive_anaphora_resolution():
+    from ahrag_tpu.extract.extractor import resolve_section_pronouns
+    text = ("=== The Emerald Causeway ===\n"
+            "Priya Weiss called the shots on The Emerald Causeway, a noir "
+            "feature that arrived in cinemas in 1975. Katya Ibanez fronts "
+            "the ensemble, and its narrative is anchored in Halifax.")
+    resolved = resolve_section_pronouns(text)
+    assert "The Emerald Causeway's narrative" in resolved
+    # person sections keep their 'its' untouched
+    ptext = ("=== Priya Weiss ===\n"
+             "Priya Weiss admired the city and its markets.")
+    assert "its markets" in resolve_section_pronouns(ptext)

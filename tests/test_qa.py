@@ -111,3 +111,82 @@ def test_reordered_evidence_who_clause_personhood():
     assert answer_from_facts(
         "In which city does Harbor Collective have its base of operations?",
         sents) == "Porto Alegre"
+
+
+# ---------------------------------------------------------------------------
+# v3 intents: comparatives, temporal arithmetic, role-pair bridges
+# ---------------------------------------------------------------------------
+
+V3_SENTS = [
+    "The Crimson Archive opened to audiences in 1971 as a work of noir cinema.",
+    "On The Crimson Archive, the camera answered to Rosa Weiss; Luca Kovacs "
+    "carries the leading role, and Bergen frames the scenery.",
+    "The Hollow Lantern opened to audiences in 1984 as a work of war cinema.",
+    "On The Hollow Lantern, the camera answered to Greta Ibanez; Yusuf Barros "
+    "carries the leading role, and Lyon frames the scenery.",
+    "Rosa Weiss, a Polish sculptor, entered the world at Krakow in 1940.",
+    "Luca Kovacs, a Polish astronomer, entered the world at Gdansk in 1951.",
+    "Yusuf Barros, a Brazilian architect, entered the world at Recife in 1960.",
+]
+
+
+def test_film_comparative_earlier_and_later():
+    q = "Which reached audiences first, The Crimson Archive or The Hollow Lantern?"
+    assert answer_from_facts(q, V3_SENTS) == "The Crimson Archive"
+    q2 = "Which came out later, The Crimson Archive or The Hollow Lantern?"
+    assert answer_from_facts(q2, V3_SENTS) == "The Hollow Lantern"
+
+
+def test_person_comparative_older():
+    q = "Of Rosa Weiss and Luca Kovacs, who is older?"
+    assert answer_from_facts(q, V3_SENTS) == "Rosa Weiss"
+
+
+def test_comparative_missing_year_reports_need():
+    from ahrag_tpu.answer.qa import missing_entities
+    q = "Of Rosa Weiss and Ingrid Novak, who is older?"
+    assert answer_from_facts(q, V3_SENTS) is None
+    assert missing_entities(q, V3_SENTS) == ["Ingrid Novak"]
+
+
+def test_age_at_release_arithmetic():
+    q = "How old was the lead performer of The Hollow Lantern when it first " \
+        "reached theaters?"
+    assert answer_from_facts(q, V3_SENTS) == "24"  # 1984 - 1960
+
+
+def test_role_pair_same_country():
+    q = "Do the filmmaker and the lead performer of The Crimson Archive " \
+        "share a citizenship?"
+    assert answer_from_facts(q, V3_SENTS) == "yes"   # both Polish
+    q2 = "Are the person behind The Hollow Lantern and its lead from the " \
+         "same country?"
+    # Greta Ibanez has no nationality fact in evidence -> honest None, and
+    # the missing entity is reported for the follow-up hop
+    from ahrag_tpu.answer.qa import missing_entities
+    assert answer_from_facts(q2, V3_SENTS) is None
+    assert missing_entities(q2, V3_SENTS) == ["Greta Ibanez"]
+
+
+def test_possessive_clitic_key_normalization():
+    sents = [
+        "Nadia Fontaine's early years passed in Bergen, where Nadia Fontaine "
+        "came into the world in 1944.",
+    ]
+    f = extract_facts(sents)
+    assert f.birth_year.get("Nadia Fontaine") == "1944"
+
+
+def test_lead_credit_prior_beats_interleaved_costar():
+    """Evidence interleaving can put another film's star sentence (rewritten
+    to name this film via possessive anaphora) BEFORE the credit sentence;
+    the classifying-appositive sentence must still win the director slot."""
+    sents = [
+        "Katya Novak fronts the ensemble, and The Burning Tides's narrative "
+        "is anchored in Sendai.",
+        "Ulrich Weiss called the shots on The Burning Tides, a war feature "
+        "that arrived in cinemas in 1966.",
+    ]
+    f = extract_facts(sents)
+    assert f.directed_by["The Burning Tides"] == "Ulrich Weiss"
+    assert f.stars["The Burning Tides"] == ["Katya Novak"]
