@@ -42,13 +42,28 @@ def _load(path):
         return [json.loads(l) for l in f if l.strip()]
 
 
-def _index_world(items, train_expansion, fit_lsa=False):
-    """One graph over every unique paragraph appearing in the split."""
+def _index_world(items, train_expansion, fit_lsa=False, extra_worlds=0):
+    """One graph over every unique paragraph appearing in the split.
+
+    ``extra_worlds`` > 0 additionally pools paragraphs from that many
+    freshly-generated synthetic worlds (seeds 10_000+i) as distractors —
+    the split's own paragraphs are inserted FIRST so name collisions drop
+    the foreign twin, never the gold. This pushes the corpus past the
+    encoder dim so the LSA fit exercises the randomized-SVD path (the
+    production regime for real corpora), and recall@10 is measured against
+    thousands of candidates instead of ~85."""
+    import random
+
+    from ahrag_tpu.eval.synth import make_world
     from ahrag_tpu.graph import HierarchicalGraph
     paragraphs = {}
     for item in items:
         ctx = item["context"]
         for title, sents in zip(ctx["title"], ctx["sentences"]):
+            paragraphs.setdefault(title, " ".join(sents))
+    for i in range(extra_worlds):
+        w = make_world(random.Random(10_000 + i), version="v2")
+        for title, sents in w["paragraphs"].items():
             paragraphs.setdefault(title, " ".join(sents))
     hg = HierarchicalGraph(encoder_name="hashed")
     for title, text in paragraphs.items():
@@ -69,6 +84,8 @@ def main() -> None:
     ap.add_argument("--data", default=os.path.join(REPO, "samples",
                                                    "synth_v2_test.jsonl"))
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--worlds", type=int, default=0,
+                    help="extra distractor worlds pooled into the corpus")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -76,12 +93,14 @@ def main() -> None:
     if args.limit:
         items = items[: args.limit]
 
+    xw = args.worlds
     variants = {
-        "plain": _index_world(items, train_expansion=False),
-        "expanded": _index_world(items, train_expansion=True),
-        "lsa": _index_world(items, train_expansion=False, fit_lsa=True),
+        "plain": _index_world(items, train_expansion=False, extra_worlds=xw),
+        "expanded": _index_world(items, train_expansion=True, extra_worlds=xw),
+        "lsa": _index_world(items, train_expansion=False, fit_lsa=True,
+                            extra_worlds=xw),
         "lsa_expanded": _index_world(items, train_expansion=True,
-                                     fit_lsa=True),
+                                     fit_lsa=True, extra_worlds=xw),
     }
     rows = []
     for item in items:
@@ -114,6 +133,9 @@ def main() -> None:
             **{v: _mean(lambda r: r["qtype"] == qt, f"recall_{v}")
                for v in names},
         }
+    summary["n_corpus_paragraphs"] = int(
+        next(iter(variants.values())).stats()["nodes"].get("entity", 0))
+    summary["extra_worlds"] = xw
     report = {"dataset": os.path.basename(args.data), "summary": summary,
               "items": rows}
     print(json.dumps(summary, indent=2))
