@@ -279,13 +279,16 @@ class InferenceEngine:
                     if d.get("node_type") == "entity":
                         nid = hid
                         break
-            if not nid and len(name.split()) == 1:
+            if (not nid and len(name.split()) == 1
+                    and hg.number_of_nodes() <= 65536):
                 # demonym anchor: a lone capitalized adjective ("Norwegian")
                 # names no graph entity, but the COUNTRY it derives from
                 # usually does — people link to their origin country, so the
                 # country node reaches the described person ("the Norwegian
                 # glassblower") that no question token names. Morphological
                 # stem match only (answer/qa.py::_same_place), no gazetteer.
+                # Gated to mid-size graphs: this is an O(N) host scan, and on
+                # corpus-scale graphs the anchor's value goes to the search.
                 for hid, d in hg.nodes.items():
                     nm = d.get("name")
                     if (d.get("node_type") == "entity" and nm

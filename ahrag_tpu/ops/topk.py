@@ -216,7 +216,7 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # >= 256 whose [B, N] f32 score buffer fits comfortably (<= 4 GB);
         # smaller batches amortize the corpus stream worse than the binned
         # kernel and keep the streaming path below.
-        vals, idx = _full_highest_topk(q, emb, mask, k)
+        vals, idx = _full_highest_topk(q, emb, mask, k, flush_eps=flush_eps)
         return vals, idx, jnp.ones((q.shape[0],), bool)
     if on_tpu and n % 1024 == 0 and n >= 4096:
         # streaming bin-max kernel: one corpus pass, no [B, N] materialization,
