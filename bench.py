@@ -382,8 +382,18 @@ def main() -> None:
     # into skipping the large rungs. init_s is recorded for honesty.
     import jax.numpy as jnp
     t_init = time.perf_counter()
-    probe = jnp.ones((8, 8), jnp.float32)
-    np.asarray(jnp.dot(probe, probe))
+    device_error = None
+    try:
+        probe = jnp.ones((8, 8), jnp.float32)
+        np.asarray(jnp.dot(probe, probe))
+    except RuntimeError as e:  # remote backend rejected init (observed:
+        # 'Unable to initialize backend axon: UNAVAILABLE' after a 50-min
+        # queue) — fall back to CPU and say so in the artifact rather than
+        # dying with no JSON at all
+        device_error = f"{type(e).__name__}: {e}"
+        jax.config.update("jax_platforms", "cpu")
+        probe = jnp.ones((8, 8), jnp.float32)
+        np.asarray(jnp.dot(probe, probe))
     init_s = time.perf_counter() - t_init
 
     t_start = time.perf_counter()
@@ -424,6 +434,7 @@ def main() -> None:
         "detail": {
             "backend": jax.default_backend(),
             "device_init_s": round(init_s, 1),
+            **({"device_error": device_error} if device_error else {}),
             "headline_rung_nodes": head["n_nodes"],
             "ladder": ladder,
         },
