@@ -131,6 +131,14 @@ def _clean_sentences(context_text: str) -> List[str]:
 
     out: List[str] = []
     for block_owner, text in blocks:
+        if out and out[-1] != "":
+            # block-boundary sentinel: consecutive sentences in the flattened
+            # list can come from DIFFERENT evidence blocks (different source
+            # paragraphs) — topic-continuity inheritance across the seam
+            # fabricates facts (a subject-less location sentence from one org
+            # inheriting another org's subject). extract_facts resets its
+            # running subject on the empty string.
+            out.append("")
         # section headers switch the governing subject within the block
         subject = _subject_name(block_owner)
         parts = _HEADER_RE.split(text)  # [text, header, text, header, text...]
@@ -142,6 +150,20 @@ def _clean_sentences(context_text: str) -> List[str]:
                 s = s.strip()
                 if not s:
                     continue
+                # summary bodies concatenate MEMBER snippets under lowercase
+                # slash-joined topic-title prefixes. The prefix is a
+                # member-boundary seam: the sentences after it come from a
+                # DIFFERENT source paragraph than the ones before, so the
+                # running subject must reset or a subject-less snippet
+                # inherits the wrong owner (observed: one org's location
+                # sentence attributed to another org).
+                tm = re.match(r"^[;,]?\s*([a-z][\w'-]*(?: / [a-z][\w'-]*)+)"
+                              r"\s*:\s*(.*)$", s)
+                if tm:
+                    out.append("")
+                    s = tm.group(2).strip()
+                    if not s:
+                        continue
                 # only resolve into COMPLETE sentences — substituting into a
                 # brief truncated mid-clause ("He directed ..., which starred")
                 # fabricates facts about the subject

@@ -238,6 +238,11 @@ def extract_facts(sentences: List[str]) -> Facts:
     f = Facts()
     last_subject: Optional[str] = None
     for si, s in enumerate(sentences):
+        if not s.strip():
+            # block-boundary sentinel (answer/extractive.py::_clean_sentences):
+            # topic continuity must not cross evidence-block seams
+            last_subject = None
+            continue
         raw_subj = _subject_of(s)
         own_subj = (raw_subj is not None
                     and raw_subj.lower() not in _GENERIC_SUBJECTS)
@@ -419,7 +424,9 @@ def extract_facts(sentences: List[str]) -> Facts:
             if person is None:
                 continue
             f.birth_year.setdefault(person, year)
-            pc = re.search(r"(?:at|in|to)\s+([A-Z][\w'.-]*"
+            # \b before the preposition: without it 'in' matches inside
+            # 'Quentin' and the surname becomes the "city"
+            pc = re.search(r"\b(?:at|in|to)\s+([A-Z][\w'.-]*"
                            r"(?: [A-Z][\w'.-]*)*)[^.]{0,60}?\bin\s+"
                            + year, s)
             if pc and _norm(pc.group(1)) != person:

@@ -323,11 +323,26 @@ class HypergraphExtractor:
         if candidate in TYPE_ALIASES:
             return TYPE_ALIASES[candidate]
         text = f"{name} {(description or '')}".lower()
+        name_s = name.strip()
+        # structural name-shape priors (English, no relation vocabulary):
+        # a determiner-led multiword TitleCase name ("The Thundering Tides")
+        # is a WORK, never a person/event — keyword cues like " war" or a
+        # year in its description otherwise misroute it (observed: films
+        # typed event/person, which starves the picker's work routing); a
+        # determiner-less name ending in an organization head noun
+        # ("Juniper Observatory") is an organization.
+        det_led = bool(re.match(r"^(?:The|A|An)\s+[A-Z]", name_s))
+        if not det_led and " " in name_s and name_s.split()[-1] in _ORG_NOUNS:
+            return "organization"
         for canonical, kws in _TYPE_KEYWORDS:
+            if det_led and canonical in ("person", "event"):
+                continue
             if any(k in text for k in kws):
                 return canonical
-        if re.fullmatch(r"\d{4}", name.strip()):
+        if re.fullmatch(r"\d{4}", name_s):
             return "date"
+        if det_led and " " in name_s:
+            return "work"
         if "person" in context_lower or name.istitle():
             return "person"
         return "concept"

@@ -250,7 +250,7 @@ class RetrievalService:
                     counts = enc._count_matrix(padded)
                     rows, cols = np.nonzero(counts)
                     vals = counts[rows, cols]
-                assoc = getattr(self.hg, "_assoc", None)
+                assoc = self.hg.query_assoc()
                 if assoc is not None and hasattr(enc, "expand_coo"):
                     # query-side co-occurrence expansion — must match
                     # hg.encode_query exactly or fused and host paths diverge
