@@ -186,6 +186,13 @@ class InferenceEngine:
                     used_actions.append(info_hop)
                     hop_ids.append(nid)
                     progressed = True
+                elif nid and nid not in hop_ids:
+                    # already selected, yet the fact layer still needs it:
+                    # its decisive sentence was budget-trimmed out of the
+                    # context — rebuild with the node as a PRIORITY id so its
+                    # full text survives the skeleton/detail allocation
+                    hop_ids.append(nid)
+                    progressed = True
             if not progressed:
                 break
             evidence = self.collect_evidence(max_summaries=3, max_entities=5,

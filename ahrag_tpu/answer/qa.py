@@ -1095,6 +1095,19 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
                     and _lookup(facts.country, p) is None]
         return []
 
+    # description-resolved film whose asked ROLE fact is missing: the film's
+    # attribute sentence made it into evidence but its credit sentence did
+    # not (budget-trimmed) — fetch the film's own node for the full paragraph
+    star_q = any(c in query_l for c in _STAR_CUES)
+    creator_q = any(c in query_l for c in _CREATOR_CUES)
+    if star_q or creator_q:
+        film = _film_by_description(query_l, facts)
+        if film is not None:
+            if star_q and not facts.stars.get(film):
+                return [film]
+            if creator_q and film not in facts.directed_by:
+                return [film]
+
     subject = _resolve_subject(query_l, ents, facts)
     if subject is None:
         # attribute-description subject ("the <Demonym> <profession>") that no
