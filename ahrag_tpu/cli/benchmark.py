@@ -166,8 +166,11 @@ def evaluate_item(item: Dict[str, Any], sys_name: str, ans: Dict[str, Any],
     scores = unified["scores"]
     diagnosis = unified["details"]["diagnosis"]
     from ahrag_tpu.eval.retrieval import recall_at_k
-    retrieval_recall = recall_at_k(ans.get("retrieved_nodes", []),
-                                   item.get("gold_titles") or [], hg, k=10)
+    # gold-less items (v4 "unanswerable" family) have no retrieval target:
+    # recall is undefined there, not zero — None rows are skipped by aggregate
+    retrieval_recall = (recall_at_k(ans.get("retrieved_nodes", []),
+                                    item.get("gold_titles") or [], hg, k=10)
+                        if item.get("gold_titles") else None)
     return {
         "retrieval_recall_at_10": retrieval_recall,
         "id": item.get("id"), "system": sys_name, "qtype": item.get("qtype"),
@@ -197,7 +200,8 @@ def aggregate(results: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
     for system, rows in sorted(by_system.items()):
         entry: Dict[str, Any] = {"system": system, "n": len(rows)}
         for m in metrics:
-            entry[m] = sum(r.get(m, 0.0) for r in rows) / max(1, len(rows))
+            vals = [r[m] for r in rows if r.get(m) is not None]
+            entry[m] = sum(vals) / max(1, len(vals))
         issues: Dict[str, int] = {}
         for r in rows:
             issues[r["primary_issue"]] = issues.get(r["primary_issue"], 0) + 1
@@ -288,8 +292,11 @@ def run_benchmark(dataset: str, system: str = "both", limit: int = 10,
                                           if x["system"] == sys_n])), 2),
                 "recall_at_10": round(
                     sum(x["retrieval_recall_at_10"] for x in rows
-                        if x["system"] == sys_n)
-                    / max(1, len([x for x in rows if x["system"] == sys_n])), 3),
+                        if x["system"] == sys_n
+                        and x["retrieval_recall_at_10"] is not None)
+                    / max(1, len([x for x in rows if x["system"] == sys_n
+                                  and x["retrieval_recall_at_10"] is not None])),
+                    3),
             } for sys_n in {x["system"] for x in rows}}
             for qt, rows in sorted(by_qtype.items())}
     print(to_markdown(agg, dataset))

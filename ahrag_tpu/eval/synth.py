@@ -536,8 +536,126 @@ def _q_org_founder_birth_city(w, rng):
     return q, [p["birth_city"]], [o["name"], p["name"]], []
 
 
+# ---------------------------------------------------------------------------
+# v4-only families: the corpus stays the v2 renderers (no new markers, the
+# disjointness audit is unchanged) — the questions demand AGGREGATION over a
+# variable number of gold paragraphs (counting, superlatives), description-only
+# intersections (two no-name entity constraints joined through one film),
+# 3-hop chains, and ABSTENTION (the asked entity exists nowhere in the corpus;
+# the only correct behavior is to say so — squad_v2's no-answer axis, which
+# nothing in v1-v3 exercised). v3 saturated honestly (dev 100.0, held-out test
+# 98.3 with the audit green); v4 keeps the eval ahead of the system.
+# ---------------------------------------------------------------------------
+
+def _films_by_director(w) -> Dict[str, list]:
+    by: Dict[str, list] = {}
+    for f in w["films"]:
+        by.setdefault(f["director"]["name"], []).append(f)
+    return by
+
+
+def _q_films_count(w, rng):
+    """Aggregation: count a director's films. Golds = the FULL filmography —
+    retrieval must cover a variable number of paragraphs and the answerer must
+    enumerate, not extract."""
+    by = _films_by_director(w)
+    cands = sorted(d for d, fs in by.items() if len(fs) >= 2)
+    if not cands:
+        return None
+    d = rng.choice(cands)
+    fs = by[d]
+    q = rng.choice([
+        f"How many features does {d} have to their credit?",
+        f"What is the total count of movies from {d}?",
+    ])
+    return q, [str(len(fs))], [f["title"] for f in fs], []
+
+
+def _q_earliest_film(w, rng):
+    """Superlative over a filmography: which of the director's films opened
+    first. Requires all their film paragraphs plus a cross-paragraph compare."""
+    by = _films_by_director(w)
+    cands = [(d, fs) for d, fs in sorted(by.items())
+             if len(fs) >= 2 and len({f["year"] for f in fs}) == len(fs)]
+    if not cands:
+        return None
+    d, fs = cands[rng.randrange(len(cands))]
+    first = min(fs, key=lambda f: f["year"])
+    q = rng.choice([
+        f"Of the features credited to {d}, which opened first?",
+        f"Which of {d}'s movies reached audiences earliest?",
+    ])
+    return q, [first["title"]], [f["title"] for f in fs], []
+
+
+def _q_film_by_people_desc(w, rng):
+    """Description-only intersection: no entity names at all — the film is
+    identified by joining a described filmmaker with a described lead."""
+    uniq = {p["name"] for p in _unique_people_by_desc(w)}
+    pair_count: Dict[tuple, int] = {}
+    for f in w["films"]:
+        key = (f["director"]["name"], f["star"]["name"])
+        pair_count[key] = pair_count.get(key, 0) + 1
+    cands = [f for f in w["films"]
+             if f["director"]["name"] in uniq and f["star"]["name"] in uniq
+             and pair_count[(f["director"]["name"], f["star"]["name"])] == 1]
+    if not cands:
+        return None
+    f = cands[rng.randrange(len(cands))]
+    d, s = f["director"], f["star"]
+    q = rng.choice([
+        f"Which feature joined the {d['nationality']} {d['profession']} behind "
+        f"the camera with the {s['nationality']} {s['profession']} out front?",
+        f"What movie has the {d['nationality']} {d['profession']} at the helm "
+        f"and the {s['nationality']} {s['profession']} in the lead?",
+    ])
+    return q, [f["title"]], [f["title"], d["name"], s["name"]], []
+
+
+def _q_org_founder_film_star_prof(w, rng):
+    """3-hop chain: org -> founder (who directs exactly one film) -> that
+    film's lead -> the lead's profession."""
+    by = _films_by_director(w)
+    cands = [(o, by[o["founder"]["name"]][0]) for o in w["orgs"]
+             if len(by.get(o["founder"]["name"], [])) == 1]
+    if not cands:
+        return None
+    o, f = cands[rng.randrange(len(cands))]
+    s = f["star"]
+    q = rng.choice([
+        f"What line of work does the lead of the feature made by the person "
+        f"who brought {o['name']} into being pursue?",
+        f"What is the occupation of the performer fronting the movie from "
+        f"the creator of {o['name']}?",
+    ])
+    return q, [s["profession"]], [o["name"], f["title"], s["name"]], []
+
+
+def _q_unanswerable(w, rng):
+    """Abstention: the asked entity exists NOWHERE in the corpus (an unused
+    title/name drawn from the same surface vocabulary, so partial lexical
+    matches abound). Gold answer is the literal token "unanswerable"; gold
+    paragraphs are empty (the harness skips retrieval recall for these)."""
+    used_titles = set(w["paragraphs"])
+    unused_t = [t for t in (f"The {a} {n}" for a in TITLE_ADJ
+                            for n in TITLE_NOUN) if t not in used_titles]
+    used_names = {p["name"] for p in w["people"]}
+    unused_n = [x for x in (f"{a} {b}" for a in FIRST for b in LAST)
+                if x not in used_names]
+    if rng.random() < 0.5 and unused_t:
+        t = unused_t[rng.randrange(len(unused_t))]
+        q = rng.choice([f"Who helmed {t}?",
+                        f"When did {t} first reach theaters?"])
+    else:
+        name = unused_n[rng.randrange(len(unused_n))]
+        q = rng.choice([f"How does {name} earn a living?",
+                        f"In which city did {name} grow up?"])
+    return q, ["unanswerable"], [], []
+
+
 NO_NAME_FAMILIES = ("film_by_attrs", "org_by_founder_desc",
-                    "person_year_by_desc", "star_by_film_desc")
+                    "person_year_by_desc", "star_by_film_desc",
+                    "film_by_people_desc")
 
 QUESTION_FAMILIES = [
     ("director_of_film", _q_director_of_film),
@@ -566,14 +684,27 @@ V3_QUESTION_FAMILIES = V2_QUESTION_FAMILIES + [
     ("org_founder_birth_city", _q_org_founder_birth_city),
 ]
 
+V4_QUESTION_FAMILIES = V3_QUESTION_FAMILIES + [
+    ("films_count", _q_films_count),
+    ("earliest_film", _q_earliest_film),
+    ("film_by_people_desc", _q_film_by_people_desc),
+    ("org_founder_film_star_prof", _q_org_founder_film_star_prof),
+    ("unanswerable", _q_unanswerable),
+]
+
 
 def _pick_distractors(w, gold_titles: List[str], avoid: List[str],
-                      rng: random.Random, n: int) -> List[str]:
+                      rng: random.Random, n: int,
+                      question: str = "") -> List[str]:
     """Adversarial distractors: prefer paragraphs confusable with the golds
-    (same profession/genre/country/surname), then fill uniformly."""
+    (same profession/genre/country/surname), then fill uniformly. For
+    gold-less (unanswerable) items the QUESTION text drives the confusability
+    score instead — paragraphs sharing the phantom entity's surface tokens."""
     kinds, paras = w["kinds"], w["paragraphs"]
     banned = set(gold_titles) | set(avoid)
     gold_text = " ".join(" ".join(paras[t]) for t in gold_titles).lower()
+    if not gold_titles:
+        gold_text = question.lower()
     gold_surnames = {t.split()[-1] for t in gold_titles if kinds[t] == "person"}
     scored = []
     for t in paras:
@@ -597,10 +728,15 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
                  split: str = "test",
                  version: str = "v1") -> List[Dict[str, Any]]:
     rng = random.Random(seed)
-    # v3 reuses the v2 corpus renderers — only the question families widen
-    world = make_world(rng, version="v2" if version == "v3" else version)
+    # v3/v4 reuse the v2 corpus renderers — only the question families widen.
+    # v4 worlds carry more films/orgs so multi-film directors (the counting
+    # and superlative families) and founder-director chains are plentiful.
+    if version == "v4":
+        world = make_world(rng, n_films=26, n_orgs=14, version="v2")
+    else:
+        world = make_world(rng, version="v2" if version == "v3" else version)
     families = {"v1": QUESTION_FAMILIES, "v2": V2_QUESTION_FAMILIES,
-                "v3": V3_QUESTION_FAMILIES}[version]
+                "v3": V3_QUESTION_FAMILIES, "v4": V4_QUESTION_FAMILIES}[version]
     items: List[Dict[str, Any]] = []
     fam_idx = 0
     while len(items) < n_items:
@@ -612,9 +748,10 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
         q, answers, gold_titles, avoid = out
         if any(it["question"] == q for it in items):
             continue  # template+entity collision: resample
+        n_dis = n_distractors + (2 if not gold_titles else 0)
         titles = list(gold_titles) + _pick_distractors(world, gold_titles,
-                                                       avoid, rng,
-                                                       n_distractors)
+                                                       avoid, rng, n_dis,
+                                                       question=q)
         rng.shuffle(titles)
         items.append({
             "id": f"synth-{version}-{split}-{len(items):04d}" if version != "v1"
@@ -634,6 +771,7 @@ SPLIT_SEEDS = {"train": 11, "dev": 22, "test": 33}
 # (heuristics tuned on v1 train/dev meet unseen entity-attribute bindings too)
 SPLIT_SEEDS_V2 = {"train": 111, "dev": 222, "test": 333}
 SPLIT_SEEDS_V3 = {"train": 1111, "dev": 2222, "test": 3333}
+SPLIT_SEEDS_V4 = {"train": 11111, "dev": 22222, "test": 33333}
 
 
 def main() -> None:
@@ -642,11 +780,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--seed", type=int, default=None,
                     help="override the split seed (default: frozen per split)")
-    ap.add_argument("--version", choices=["v1", "v2", "v3"], default="v1")
+    ap.add_argument("--version", choices=["v1", "v2", "v3", "v4"],
+                    default="v1")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     seeds = {"v1": SPLIT_SEEDS, "v2": SPLIT_SEEDS_V2,
-             "v3": SPLIT_SEEDS_V3}[args.version]
+             "v3": SPLIT_SEEDS_V3, "v4": SPLIT_SEEDS_V4}[args.version]
     seed = args.seed if args.seed is not None else seeds[args.split]
     items = make_dataset(seed, args.n, split=args.split, version=args.version)
     with open(args.out, "w", encoding="utf-8") as f:

@@ -183,11 +183,12 @@ def build_graph_tensors(
         # usually be reached inside a jit trace, where the Pallas calibration
         # cannot run — a warm lru cache is what makes traced callers get the
         # kernel-calibrated eps instead of the XLA-dot fallback band
-        from ahrag_tpu.ops.topk import binmax_eps
+        from ahrag_tpu.ops.topk import F32_COARSE_PRECISION, binmax_eps
         is_bf16 = store_dtype == jnp.bfloat16
         try:
             binmax_eps("tpu", d, 2048 if n_pad % 2048 == 0 else 1024,
-                       "default" if is_bf16 else "highest", is_bf16, False)
+                       "default" if is_bf16 else F32_COARSE_PRECISION,
+                       is_bf16, False)
         except Exception:  # pragma: no cover - calibration must never block
             pass           # index builds (falls back to the XLA band)
     return GraphTensors(

@@ -31,6 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Coarse-stage matmul precision for f32-stored corpora on the binned TPU path.
+# "highest" is f32 6-pass on v5e (measured ~5.8x the single-pass bf16 wall);
+# "high" is bf16x3 (3-pass), whose error band should be the same ~1e-6 order
+# at roughly half the MXU cost. Default stays "highest" until the kernel-true
+# calibration + cert-rate + oracle-parity A/B on the real chip validates
+# "high" (tools/exp_high_precision.py -> reports/topk_high_precision_r3.json).
+# Env override for A/B: AHRAG_COARSE_PRECISION=high|highest.
+import os as _os
+F32_COARSE_PRECISION = _os.environ.get("AHRAG_COARSE_PRECISION", "highest")
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -250,7 +260,8 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
             outs.append(binned_refined_topk(
                 q[s:s + chunk], emb, mask, k,
                 margin=max(margin, wide), tile_n=tile_n,
-                coarse_precision="default" if is_bf16 else "highest",
+                coarse_precision=("default" if is_bf16
+                                  else F32_COARSE_PRECISION),
                 select="approx"))
         if len(outs) == 1:
             return outs[0]
@@ -503,7 +514,8 @@ def dense_binmax_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray,
     assert N % tile_n == 0 and tile_n % 128 == 0, (N, tile_n)
     num_tiles = N // tile_n
     mask_f = jnp.asarray(mask, jnp.float32)
-    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}.get(precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
