@@ -27,6 +27,10 @@ gate-v2:
 gate-v3:
 	$(PYCPU) ahrag_tpu.cli.eval_gate --dataset local --data samples/synth_v3_dev.jsonl --limit 120 --f1-min 90 --faith-min 0.85 --out reports/eval_gate_v3_dev_r3.json
 
+# v4 gate: aggregation/superlative/join/3-hop/unanswerable families included
+gate-v4:
+	$(PYCPU) ahrag_tpu.cli.eval_gate --dataset local --data samples/synth_v4_dev.jsonl --limit 138 --f1-min 90 --faith-min 0.85 --out reports/eval_gate_v4_dev_r3.json
+
 trajectories:
 	$(PY) -m ahrag_tpu.cli.collect_trajectories --data samples/mini_questions.jsonl --limit 5
 

@@ -170,33 +170,59 @@ class InferenceEngine:
         # When the fact layer resolves an intermediate entity whose own
         # paragraph was never retrieved ("the lead actor of X" has a name but
         # no nationality fact), anchor follow-up retrieval on that entity, fold
-        # it into the selection, and rebuild the context. Two hops cover every
-        # bridge shape in the eval families; the loop exits as soon as the
+        # it into the selection, and rebuild the context. Aggregation intents
+        # (v4: counting/superlatives over a filmography, description joins,
+        # creator chains) instead expand the target's related/participation
+        # edges and commit the co-participant nodes — the complete credit set
+        # that no single attribute hop can enumerate. Three hops cover every
+        # chain shape in the eval families; the loop exits as soon as the
         # question becomes answerable (or no hint remains).
         hop_ids: List[str] = []
-        for _hop in range(2):
-            hints = self._follow_up_targets(query, context)
-            if not hints:
-                break
+        rel_done: set = set()
+        for _hop in range(3):
             progressed = False
-            for name in hints[:3]:
+            for name in self._credit_expansion_targets(query, context,
+                                                       rel_done)[:2]:
+                rel_done.add(name.lower())
                 nid = self._locate_entity(name)
-                if nid and nid not in self.env.selection_set:
-                    _, info_hop = self.env.commit_selection([nid])
-                    used_actions.append(info_hop)
-                    hop_ids.append(nid)
-                    progressed = True
-                elif nid and nid not in hop_ids:
-                    # already selected, yet the fact layer still needs it:
-                    # its decisive sentence was budget-trimmed out of the
-                    # context — rebuild with the node as a PRIORITY id so its
-                    # full text survives the skeleton/detail allocation
-                    hop_ids.append(nid)
+                if not nid:
+                    continue
+                obs_rel, info_rel = self.env.expand_related([nid], limit=16)
+                used_actions.append(info_rel)
+                co = [x.get("node_id") for x in (obs_rel.get("selection") or [])
+                      if x.get("node_type") == "entity" and x.get("node_id")
+                      and x.get("node_id") != nid]
+                # credit (work-typed) co-participants first: they are the
+                # enumeration target; people/places fill remaining slots
+                co.sort(key=lambda i: 0 if (self.env.hg.nodes.get(i, {})
+                                            .get("entity_type") == "work")
+                        else 1)
+                if co:
+                    _, info_c = self.env.commit_selection(co[:8])
+                    used_actions.append(info_c)
+                    hop_ids.extend(i for i in co[:8] if i not in hop_ids)
                     progressed = True
             if not progressed:
+                hints = self._follow_up_targets(query, context)
+                for name in hints[:3]:
+                    nid = self._locate_entity(name)
+                    if nid and nid not in self.env.selection_set:
+                        _, info_hop = self.env.commit_selection([nid])
+                        used_actions.append(info_hop)
+                        hop_ids.append(nid)
+                        progressed = True
+                    elif nid and nid not in hop_ids:
+                        # already selected, yet the fact layer still needs it:
+                        # its decisive sentence was budget-trimmed out of the
+                        # context — rebuild with the node as a PRIORITY id so
+                        # its full text survives the skeleton/detail allocation
+                        hop_ids.append(nid)
+                        progressed = True
+            if not progressed:
                 break
-            evidence = self.collect_evidence(max_summaries=3, max_entities=5,
-                                             priority_ids=hop_ids)
+            evidence = self.collect_evidence(
+                max_summaries=3, max_entities=max(5, len(hop_ids) + 2),
+                priority_ids=hop_ids)
             context = ContextProcessor().build_context(evidence, self.env.hg,
                                                        token_budget, ctx_cfg)
 
@@ -263,6 +289,20 @@ class InferenceEngine:
         return out
 
     # ----------------------------------------------------- follow-up hops
+    def _credit_expansion_targets(self, query: str, context: Dict[str, Any],
+                                  done: set) -> List[str]:
+        """Entities whose co-participant neighborhood the current question
+        still needs (answer/qa.py::related_expansion_targets), minus the ones
+        already expanded this episode."""
+        from ahrag_tpu.answer.extractive import _clean_sentences
+        from ahrag_tpu.answer.qa import related_expansion_targets
+        try:
+            sents = _clean_sentences(context.get("context_text", ""))
+            return [n for n in related_expansion_targets(query, sents)
+                    if n.lower() not in done]
+        except Exception:
+            return []
+
     def _follow_up_targets(self, query: str, context: Dict[str, Any]) -> List[str]:
         from ahrag_tpu.answer.extractive import _clean_sentences
         from ahrag_tpu.answer.qa import missing_entities

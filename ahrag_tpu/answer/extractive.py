@@ -226,11 +226,16 @@ def extract_answer(query: str, context_text: str,
     back to span scoring. ``allow_span_scoring=False`` stops after the fact
     chain — used for comparison questions, where a scored name span can never
     be the (yes/no) answer."""
-    from ahrag_tpu.answer.qa import answer_from_facts
+    from ahrag_tpu.answer.qa import answer_from_facts, unanswerable
     sentences = _clean_sentences(context_text)
     fact_answer = answer_from_facts(query, sentences)
     if fact_answer:
         return fact_answer
+    # abstention precedes span scoring: when every named entity is absent
+    # from the evidence, any scored span is a distractor artifact — saying so
+    # beats a confident wrong answer (squad_v2 no-answer behavior)
+    if unanswerable(query, sentences):
+        return "unanswerable"
     if not allow_span_scoring:
         return None
     qtype, focus = _question_type(query)

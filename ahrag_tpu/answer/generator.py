@@ -112,6 +112,14 @@ class AnswerGenerator:
         from ahrag_tpu.answer.extractive import extract_answer
         span = extract_answer(query, context.get("context_text", ""),
                               allow_span_scoring=not is_comparison)
+        if span == "unanswerable":
+            # abstention (answer/qa.py::unanswerable): the asked entity is
+            # absent from the evidence — cite nothing, claim nothing
+            return {"answer": "unanswerable",
+                    "rationale": "No retrieved evidence mentions the asked "
+                                 "entity; the question cannot be answered "
+                                 "from this corpus.",
+                    "citations": []}
         if span:
             return {"answer": span[:200],
                     "rationale": f"Extracted from evidence matching the "

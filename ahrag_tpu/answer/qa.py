@@ -663,12 +663,7 @@ def _demonym_root(s: str) -> str:
     return t
 
 
-def _same_place(a: str, b: str) -> bool:
-    """Country-name <-> demonym equivalence by shared morphological stem."""
-    al, bl = a.lower().strip(), b.lower().strip()
-    if al == bl:
-        return True
-    ra, rb = _demonym_root(al), _demonym_root(bl)
+def _prefix_close(ra: str, rb: str) -> bool:
     n = min(len(ra), len(rb))
     k = 0
     while k < n and ra[k] == rb[k]:
@@ -676,9 +671,33 @@ def _same_place(a: str, b: str) -> bool:
     return k >= 3 and k >= n - 2
 
 
-def _person_by_description(query_l: str, facts: Facts) -> Optional[str]:
-    """'the <Nationality> <profession>' with no name -> the unique person whose
-    stored attributes match the describing words; None when ambiguous."""
+def _same_place(a: str, b: str) -> bool:
+    """Country-name <-> demonym equivalence by shared morphological stem.
+
+    Two passes: suffix-stripped stems (Norwegian/Norway -> norweg/norway),
+    then consonant skeletons for the vowel-alternating irregulars
+    (French/France -> frnch/frnc) — English demonym irregularity is mostly
+    vowel mutation, so comparing consonants recovers those pairs without a
+    gazetteer."""
+    al, bl = a.lower().strip(), b.lower().strip()
+    if al == bl:
+        return True
+    if _prefix_close(_demonym_root(al), _demonym_root(bl)):
+        return True
+    # the skeleton pass demands the shorter skeleton be a FULL prefix of the
+    # longer (frnc < frnch yes; frnc vs frnt no) — near-prefix here matched
+    # unrelated words sharing three consonants
+    ca = re.sub(r"[aeiou]", "", _demonym_root(al))
+    cb = re.sub(r"[aeiou]", "", _demonym_root(bl))
+    n = min(len(ca), len(cb))
+    return n >= 3 and ca[:n] == cb[:n]
+
+
+def _people_by_descriptions(query_l: str, facts: Facts) -> List[str]:
+    """ALL people whose stored attributes the question's describing words
+    cover (full profession words + a place adjective each) — the resolver
+    behind both the single-description subject ('the <Nationality>
+    <profession>') and the two-description film join."""
     qtoks = set(re.findall(r"[a-z]+", query_l))
     hits = []
     for person in set(facts.profession) | set(facts.nationality) | set(
@@ -700,7 +719,41 @@ def _person_by_description(query_l: str, facts: Facts) -> Optional[str]:
         if not any(h.lower() in u.lower() or u.lower() in h.lower()
                    for u in uniq):
             uniq.append(h)
+    return uniq
+
+
+def _person_by_description(query_l: str, facts: Facts) -> Optional[str]:
+    """'the <Nationality> <profession>' with no name -> the unique person whose
+    stored attributes match the describing words; None when ambiguous."""
+    uniq = _people_by_descriptions(query_l, facts)
     return uniq[0] if len(uniq) == 1 else None
+
+
+def _joining_films(facts: Facts, people: List[str]) -> List[str]:
+    """Films whose maker AND first-billed lead both come from ``people`` (two
+    distinct members) — the two-description join's candidate set."""
+    if len(people) < 2:
+        return []
+    want = {p.lower() for p in people}
+    out = []
+    for film, who in facts.directed_by.items():
+        leads = facts.stars.get(film) or []
+        if (leads and who.lower() in want and leads[0].lower() in want
+                and who.lower() != leads[0].lower()):
+            out.append(film)
+    return sorted(set(out))
+
+
+def _films_of(facts: Facts, person: str) -> List[str]:
+    """Films whose maker credit resolves to ``person`` (case-insensitive,
+    containment both ways like ``_lookup``), sorted for determinism."""
+    pl = person.lower().strip()
+    out = set()
+    for film, who in facts.directed_by.items():
+        wl = who.lower()
+        if wl == pl or wl in pl or pl in wl:
+            out.add(film)
+    return sorted(out)
 
 
 def _org_of_founder(person: str, facts: Facts) -> Optional[str]:
@@ -744,12 +797,17 @@ def _question_entities(query: str) -> List[str]:
     ents = []
     for m in _TITLE_RE.finditer(query):
         span = _norm(m.group(0))
-        head = span.split()[0]
-        if head in ("Who", "What", "Which", "Where", "When", "How", "Why", "In",
-                    "Are", "Do", "Does", "Did", "Is", "Was", "Were", "On", "At",
-                    "Of"):
-            parts = span.split()
-            span = " ".join(parts[1:])
+        parts = span.split()
+        # strip the interrogative head plus any lowercase connector it
+        # dragged along ("Which of Nadia Eriksson" -> "Nadia Eriksson")
+        if parts and parts[0] in (
+                "Who", "What", "Which", "Where", "When", "How", "Why", "In",
+                "Are", "Do", "Does", "Did", "Is", "Was", "Were", "On", "At",
+                "Of"):
+            parts = parts[1:]
+            while parts and not parts[0][0].isupper():
+                parts = parts[1:]
+        span = " ".join(parts)
         if span and len(span.split("_")) >= 1 and span[0].isupper():
             ents.append(span)
     return [e for e in ents if e]
@@ -881,6 +939,49 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
     query_l = query.lower()
     ents = _question_entities(query)
 
+    # --- filmography aggregation: counting and superlatives ------------------
+    # "How many features does P have to their credit?" / "Of the features
+    # credited to P, which opened first?" — the asked quantity is a property
+    # of the SET of films crediting P, so the chain enumerates the maker
+    # table instead of extracting any single span. Only evidence films can be
+    # enumerated; completeness is the retrieval layer's job (the engine's
+    # co-participant expansion, related_expansion_targets).
+    person_subj = next((e for e in ents if _looks_like_person(e)), None)
+    if person_subj:
+        film_q = (any(w in query_l for w in _FILM_WORDS)
+                  or "credited" in query_l)
+        if film_q and re.search(r"\bhow many\b|\btotal\b|\bnumber of\b",
+                                query_l):
+            films = _films_of(facts, person_subj)
+            return str(len(films)) if films else None
+        if (film_q and len(ents) == 1
+                and re.search(r"\bfirst\b|\bearliest\b|\blatest\b|"
+                              r"\bmost recent\b", query_l)):
+            films = _films_of(facts, person_subj)
+            dated = [(int(y), f0) for f0 in films
+                     for y in [_lookup(facts.released, f0)] if y]
+            if len(dated) >= 2 and len(dated) == len(films):
+                dated.sort()
+                pick_last = bool(re.search(r"\blatest\b|\bmost recent\b",
+                                           query_l))
+                return dated[-1][1] if pick_last else dated[0][1]
+            return None
+
+    # --- description-only film join ------------------------------------------
+    # "Which feature joined the <desc-A> behind the camera with the <desc-B>
+    # out front?" — no entity names anywhere: resolve every uniquely-described
+    # person, then the one film whose credit pair is exactly that set (the
+    # orientation is the film's own; a two-description question with a unique
+    # joining film needs no role parsing).
+    if (re.match(r"^(which|what)\b", query_l)
+            and any(w in query_l for w in _FILM_WORDS)
+            and not any(_looks_like_person(e) or _org_shaped(e)
+                        or _film_shaped(e) for e in ents)):
+        people = _people_by_descriptions(query_l, facts)
+        joined = _joining_films(facts, people)
+        if len(joined) == 1:
+            return joined[0]
+
     # --- "A or B" comparative selection --------------------------------------
     # "Which reached audiences first, A or B?" / "Of A and B, who is older?"
     # Structural: both alternatives are NAMED, the compared quantity is each
@@ -969,6 +1070,28 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
             if re.search(pat, query_l):
                 attribute = attr
                 break
+
+    # --- creator-chain profession: org -> founder -> film -> lead ------------
+    # "What line of work does the lead of the feature made by the person who
+    # brought <org> into being pursue?" — the asked person is the LEAD of the
+    # film the org's creator made. Must pre-empt the generic profession
+    # routing: _resolve_subject stops at the founder, whose own profession is
+    # in evidence whenever their paragraph was sampled as a distractor.
+    if attribute == "profession" and re.search(r"\blead\b|performer|fronting",
+                                               query_l):
+        org = next((e for e in ents
+                    if _lookup(facts.founded_by, e) is not None), None)
+        if org:
+            founder = _lookup(facts.founded_by, org)
+            films = _films_of(facts, founder)
+            if len(films) == 1:
+                leads = (facts.stars.get(films[0])
+                         or _lookup_list(facts.stars, films[0]) or [])
+                if leads:
+                    prof = _lookup(facts.profession, leads[0])
+                    if prof:
+                        return prof
+            return None
 
     subject = _resolve_subject(query_l, ents, facts)
 
@@ -1095,6 +1218,62 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
                     and _lookup(facts.country, p) is None]
         return []
 
+    # filmography superlative with an undated film: its credit sentence made
+    # it into evidence but the date sentence was budget-trimmed — rebuild
+    # with the film's node as a priority id
+    person_subj = next((e for e in ents if _looks_like_person(e)), None)
+    if (person_subj and len(ents) == 1
+            and (any(w in query_l for w in _FILM_WORDS)
+                 or "credited" in query_l)
+            and re.search(r"\bfirst\b|\bearliest\b|\blatest\b|\bmost recent\b",
+                          query_l)):
+        films = _films_of(facts, person_subj)
+        undated = [f0 for f0 in films if _lookup(facts.released, f0) is None]
+        if undated:
+            return undated[:3]
+
+    # creator-chain profession: walk the chain to its first broken link —
+    # the film whose lead-credit sentence never made it into evidence, or the
+    # lead whose own (profession) paragraph was never retrieved
+    if re.search(r"occupation|line of work|profession", query_l) and \
+            re.search(r"\blead\b|performer|fronting", query_l):
+        org = next((e for e in ents
+                    if _lookup(facts.founded_by, e) is not None), None)
+        if org:
+            founder = _lookup(facts.founded_by, org)
+            films = _films_of(facts, founder) if founder else []
+            if len(films) == 1:
+                leads = (facts.stars.get(films[0])
+                         or _lookup_list(facts.stars, films[0]) or [])
+                if not leads:
+                    return [films[0]]
+                if _lookup(facts.profession, leads[0]) is None:
+                    return [leads[0]]
+
+    # two-description film join with only ONE side resolved: every film
+    # crediting the resolved person proposes the other credit's person as the
+    # remaining description's candidate — fetch their paragraphs to test it
+    if (re.match(r"^(which|what)\b", query_l)
+            and any(w in query_l for w in _FILM_WORDS)
+            and not any(_looks_like_person(e) or _org_shaped(e)
+                        or _film_shaped(e) for e in ents)):
+        people = _people_by_descriptions(query_l, facts)
+        if len(people) == 1:
+            p = people[0].lower()
+            proposed: List[str] = []
+            for film, who in facts.directed_by.items():
+                leads = facts.stars.get(film) or []
+                if who.lower() == p and leads:
+                    proposed.append(leads[0])
+                elif leads and leads[0].lower() == p:
+                    proposed.append(who)
+            cands = [n for n in dict.fromkeys(proposed)
+                     if facts.profession.get(n) is None
+                     or (facts.nationality.get(n) is None
+                         and facts.country.get(n) is None)]
+            if cands:
+                return cands[:3]
+
     # description-resolved film whose asked ROLE fact is missing: the film's
     # attribute sentence made it into evidence but its credit sentence did
     # not (budget-trimmed) — fetch the film's own node for the full paragraph
@@ -1109,13 +1288,51 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
                 return [film]
 
     subject = _resolve_subject(query_l, ents, facts)
+    # _resolve_subject's last resort echoes ents[0] back; an echoed subject
+    # that no fact table knows is not a resolution — treat as unresolved so
+    # the description-candidate hops below can fire
+    if subject in ents:
+        known_tables: List[Dict[str, str]] = [
+            facts.directed_by, facts.founded_by, facts.hq, facts.founded_year,
+            facts.nationality, facts.country, facts.profession,
+            facts.birth_city, facts.birth_year, facts.released, facts.setting,
+            facts.film_attrs, facts.city_in]
+        if not (any(_lookup(t, subject) is not None for t in known_tables)
+                or _lookup_list(facts.stars, subject)):
+            subject = None
     if subject is None:
         # attribute-description subject ("the <Demonym> <profession>") that no
-        # evidence person satisfies: anchor the follow-up hop on the COUNTRY
-        # the demonym adjective names. People link to their origin country in
-        # the graph, so the country node reaches the described person even
-        # though no question token names them. Candidate countries come from
-        # the evidence itself (no gazetteer).
+        # evidence person FULLY satisfies: people who partially match — the
+        # demonym fits their known place attribute but their profession never
+        # made it into the evidence (budget-trimmed paragraph), or the
+        # profession words match but their place attribute is unknown — are
+        # candidates whose full paragraphs decide the description. Fetch them
+        # before falling back to the country anchor.
+        partial: List[str] = []
+        qtoks = set(re.findall(r"[a-z]+", query_l))
+        demonyms = [e for e in ents if len(e.split()) == 1]
+        for person in sorted(set(facts.nationality) | set(facts.country)):
+            nat = facts.nationality.get(person) or facts.country.get(person)
+            if (nat and _looks_like_person(person)
+                    and facts.profession.get(person) is None
+                    and any(_same_place(nat, d) for d in demonyms)):
+                partial.append(person)
+        for person in sorted(facts.profession):
+            words = [w for w in re.findall(r"[a-z]+",
+                                           facts.profession[person].lower())
+                     if len(w) > 2]
+            if (words and all(w in qtoks for w in words)
+                    and _looks_like_person(person)
+                    and facts.nationality.get(person) is None
+                    and facts.country.get(person) is None):
+                partial.append(person)
+        if partial:
+            return list(dict.fromkeys(partial))[:3]
+        # otherwise anchor the follow-up hop on the COUNTRY the demonym
+        # adjective names. People link to their origin country in the graph,
+        # so the country node reaches the described person even though no
+        # question token names them. Candidate countries come from the
+        # evidence itself (no gazetteer).
         known_places = (set(facts.city_in.values()) | set(facts.country.values())
                         | {k for k in facts.about if len(k.split()) == 1})
         for ent in ents:
@@ -1159,6 +1376,76 @@ def missing_entities(query: str, sentences: List[str]) -> List[str]:
     return list(dict.fromkeys(need))
 
 
+def related_expansion_targets(query: str, sentences: List[str]) -> List[str]:
+    """Entities whose co-participant (credit) neighborhood retrieval must
+    cover before the question becomes answerable.
+
+    The agentic hook behind the v4 aggregation families (agent/inference.py):
+    a counting/superlative question needs EVERY film node adjacent to the
+    person — no single attribute hop can enumerate them — and a creator chain
+    or two-description join needs the film node that links already-resolved
+    people. The engine expands these entities' related/participation edges
+    and commits the co-participant nodes. Empty when no aggregation intent
+    applies (the cheap hops in ``missing_entities`` stay the default)."""
+    facts = extract_facts(sentences)
+    query_l = query.lower()
+    ents = _question_entities(query)
+    out: List[str] = []
+
+    person_subj = next((e for e in ents if _looks_like_person(e)), None)
+    film_q = any(w in query_l for w in _FILM_WORDS) or "credited" in query_l
+    if person_subj and film_q and re.search(
+            r"\bhow many\b|\btotal\b|\bnumber of\b|\bfirst\b|\bearliest\b|"
+            r"\blatest\b|\bmost recent\b", query_l):
+        out.append(person_subj)
+
+    if re.search(r"occupation|line of work|profession", query_l) and \
+            re.search(r"\blead\b|performer|fronting", query_l):
+        org = next((e for e in ents
+                    if _lookup(facts.founded_by, e) is not None), None)
+        if org:
+            founder = _lookup(facts.founded_by, org)
+            if founder and len(_films_of(facts, founder)) != 1:
+                out.append(founder)
+
+    if (re.match(r"^(which|what)\b", query_l)
+            and any(w in query_l for w in _FILM_WORDS)
+            and not any(_looks_like_person(e) or _org_shaped(e)
+                        or _film_shaped(e) for e in ents)):
+        people = _people_by_descriptions(query_l, facts)
+        if len(people) >= 2 and not _joining_films(facts, people):
+            out.extend(people)
+
+    return list(dict.fromkeys(out))
+
+
+def unanswerable(query: str, sentences: List[str]) -> bool:
+    """True when the question names entities and NONE of them is mentioned
+    anywhere in the evidence, and no descriptive subject resolves either —
+    the asked entity does not exist in the corpus, so the only correct
+    behavior is to abstain (squad_v2's no-answer axis).
+
+    Deliberately conservative: a single mention of any named span keeps the
+    question in play (the fact chain or a follow-up hop may still answer it),
+    so a phantom entity sharing surface tokens with real ones ("The Emerald
+    Quarry" vs "The Emerald Harbor") abstains only because the full span
+    matches nothing."""
+    ents = _question_entities(query)
+    if not ents:
+        return False
+    text = " ".join(sentences).lower()
+    for e in ents:
+        if e.lower() in text:
+            return False
+    facts = extract_facts(sentences)
+    subject = _resolve_subject(query.lower(), ents, facts)
+    # _resolve_subject's last resort echoes ents[0] back — an echoed subject
+    # with no facts in any table is not a resolution
+    if subject and subject not in ents:
+        return False
+    return True
+
+
 def answer_subjects(query: str, sentences: List[str]) -> List[str]:
     """Entities whose facts the QA chain reads to answer ``query``.
 
@@ -1178,6 +1465,42 @@ def answer_subjects(query: str, sentences: List[str]) -> List[str]:
             "same" in query_l and len(ents) >= 2):
         return ents[:2]
     subs: List[str] = []
+
+    # filmography aggregation reads every enumerated film's paragraph
+    person_subj = next((e for e in ents if _looks_like_person(e)), None)
+    if person_subj and (any(w in query_l for w in _FILM_WORDS)
+                        or "credited" in query_l) and re.search(
+            r"\bhow many\b|\btotal\b|\bnumber of\b|\bfirst\b|\bearliest\b|"
+            r"\blatest\b|\bmost recent\b", query_l):
+        subs.extend(_films_of(facts, person_subj))
+
+    # two-description join reads the joining film and both people
+    if (re.match(r"^(which|what)\b", query_l)
+            and any(w in query_l for w in _FILM_WORDS)
+            and not any(_looks_like_person(e) or _org_shaped(e)
+                        or _film_shaped(e) for e in ents)):
+        people = _people_by_descriptions(query_l, facts)
+        joined = _joining_films(facts, people)
+        if len(joined) == 1:
+            film0 = joined[0]
+            subs.append(film0)
+            subs.append(facts.directed_by[film0])
+            subs.extend((facts.stars.get(film0) or [])[:1])
+
+    # creator-chain profession reads the film and the lead
+    if re.search(r"occupation|line of work|profession", query_l) and \
+            re.search(r"\blead\b|performer|fronting", query_l):
+        org = next((e for e in ents
+                    if _lookup(facts.founded_by, e) is not None), None)
+        if org:
+            founder = _lookup(facts.founded_by, org)
+            films = _films_of(facts, founder) if founder else []
+            if len(films) == 1:
+                subs.append(films[0])
+                leads = (facts.stars.get(films[0])
+                         or _lookup_list(facts.stars, films[0]) or [])
+                subs.extend(leads[:1])
+
     subject = _resolve_subject(query_l, ents, facts)
     if subject:
         subs.append(subject)

@@ -48,6 +48,17 @@ def _content_tokens(text: str) -> List[str]:
             if w not in _STOP and len(w) > 2]
 
 
+# abstention answers make no claims: vacuously grounded (faithfulness) and a
+# direct response to the question (relevancy). Whether abstaining was CORRECT
+# is F1/EM's axis (the v4 unanswerable family scores it), not the judge's —
+# grounding-scoring the token "unanswerable" would double-punish a correct
+# refusal and reward hallucinating a span instead.
+_ABSTAIN_RE = re.compile(
+    r"^(unanswerable|unknown|no answer|i do not know|"
+    r"not (?:found|stated|in the (?:corpus|evidence|context)))[.!]?$",
+    re.IGNORECASE)
+
+
 def _evidence_text(answer_obj: Dict[str, Any]) -> str:
     parts = []
     ctx = answer_obj.get("context") or {}
@@ -63,6 +74,8 @@ def judge_faithfulness(answer_obj: Dict[str, Any]) -> float:
     ans = (answer_obj.get("answer") or "").strip()
     if not ans:
         return 0.0
+    if _ABSTAIN_RE.match(ans):
+        return 1.0
     ev_lower = _evidence_text(answer_obj).lower()
 
     # grounding: answer content tokens covered by the evidence
@@ -102,6 +115,8 @@ def judge_answer_relevancy(question: str, answer_obj: Dict[str, Any]) -> float:
     ans = (answer_obj.get("answer") or "").strip()
     if not ans:
         return 0.0
+    if _ABSTAIN_RE.match(ans):
+        return 1.0
     ans_toks = ans.split()
 
     # expected answer type from the question shape
