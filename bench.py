@@ -394,6 +394,12 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         probe = jnp.ones((8, 8), jnp.float32)
         np.asarray(jnp.dot(probe, probe))
+        # CPU fallback: the corpus-scale rungs are TPU-sized (a 1M-row flat
+        # matmul rung ran 411 s/batch on this host — observed on an
+        # UNAVAILABLE-backend day) and would blow any external timeout while
+        # proving nothing about the device path. Shrink to CPU-sized rungs so
+        # the run still emits a complete, honest JSON quickly.
+        rungs = [n for n in rungs if n <= 8192] or [2000]
     init_s = time.perf_counter() - t_init
 
     t_start = time.perf_counter()
