@@ -766,6 +766,53 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
     return items
 
 
+def make_shared_dataset(seed: int, n_items: int, split: str = "test",
+                        version: str = "v4", n_people: int = 400,
+                        n_films: int = 180, n_orgs: int = 80
+                        ) -> Tuple[Dict[str, Any], List[Dict[str, Any]]]:
+    """ONE corpus-scale world plus context-free questions against it — the
+    fullwiki-style configuration (shared KB, no per-question paragraphs; the
+    whole corpus is the distractor set). Families keep their world-level
+    uniqueness checks, so questions stay unambiguous even though every
+    paragraph is present; ``avoid`` lists are unnecessary here because the
+    attribute-description families pin (genre, year) pairs that are unique
+    world-wide by construction. Returns (world, items); items carry no
+    "context" key, which routes the benchmark harness to the shared graph."""
+    rng = random.Random(seed)
+    world = make_world(rng, n_people=n_people, n_films=n_films,
+                       n_orgs=n_orgs, version="v2")
+    families = {"v1": QUESTION_FAMILIES, "v2": V2_QUESTION_FAMILIES,
+                "v3": V3_QUESTION_FAMILIES, "v4": V4_QUESTION_FAMILIES}[version]
+    items: List[Dict[str, Any]] = []
+    fam_idx = 0
+    guard = 0
+    while len(items) < n_items and guard < 60 * n_items:
+        guard += 1
+        qtype, fn = families[fam_idx % len(families)]
+        fam_idx += 1
+        out = fn(world, rng)
+        if out is None:
+            continue
+        q, answers, gold_titles, _avoid = out
+        if any(it["question"] == q for it in items):
+            continue
+        items.append({
+            "id": f"synth-{version}-shared-{split}-{len(items):04d}",
+            "question": q, "answers": answers,
+            "gold_titles": gold_titles, "qtype": qtype,
+        })
+    return world, items
+
+
+def write_shared_world(world: Dict[str, Any], corpus_path: str) -> int:
+    """Corpus file in the '=== title ===' section layout the ingest CLI
+    chunks on (cli/benchmark.py::context_to_corpus)."""
+    with open(corpus_path, "w", encoding="utf-8") as f:
+        for title, sents in world["paragraphs"].items():
+            f.write(f"\n\n=== {title} ===\n" + " ".join(sents))
+    return len(world["paragraphs"])
+
+
 SPLIT_SEEDS = {"train": 11, "dev": 22, "test": 33}
 # v2 uses distinct world seeds so v2 entities/attributes differ from v1's
 # (heuristics tuned on v1 train/dev meet unseen entity-attribute bindings too)
@@ -783,11 +830,22 @@ def main() -> None:
     ap.add_argument("--version", choices=["v1", "v2", "v3", "v4"],
                     default="v1")
     ap.add_argument("--out", required=True)
+    ap.add_argument("--shared-corpus", default=None,
+                    help="also write a corpus-scale shared world to this "
+                         "path and emit context-free items (fullwiki-style)")
     args = ap.parse_args()
     seeds = {"v1": SPLIT_SEEDS, "v2": SPLIT_SEEDS_V2,
              "v3": SPLIT_SEEDS_V3, "v4": SPLIT_SEEDS_V4}[args.version]
     seed = args.seed if args.seed is not None else seeds[args.split]
-    items = make_dataset(seed, args.n, split=args.split, version=args.version)
+    if args.shared_corpus:
+        world, items = make_shared_dataset(seed + 500000, args.n,
+                                           split=args.split,
+                                           version=args.version)
+        n_paras = write_shared_world(world, args.shared_corpus)
+        print(f"wrote {n_paras} paragraphs to {args.shared_corpus}")
+    else:
+        items = make_dataset(seed, args.n, split=args.split,
+                             version=args.version)
     with open(args.out, "w", encoding="utf-8") as f:
         for it in items:
             f.write(json.dumps(it, ensure_ascii=False) + "\n")
