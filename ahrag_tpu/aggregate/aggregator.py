@@ -102,7 +102,10 @@ class SemanticAggregator:
                          softmax_tau: float = 0.1, seed: int = 42,
                          merge_threshold: Optional[float] = 0.6,
                          outlier_sigma="auto",
+                         outlier_abs: Optional[float] = 0.3,
                          min_outlier_cluster: int = 8,
+                         min_noise_cluster: int = 5,
+                         min_noise_corpus: int = 50,
                          oversplit: int = 1,
                          density_alpha: Optional[float] = None) -> Dict[str, Any]:
         """Device k-means + soft parent assignment; preserves the topics.json contract.
@@ -135,6 +138,25 @@ class SemanticAggregator:
           how merge is skipped, so pinned-k callers keep every entity parented
           and ``n_topics`` keeps meaning "requested k" (ADVICE r2). Pass an
           explicit float to force the cut either way.
+
+          The z-score is *relative* and blind to two noise shapes the cut
+          also covers when active — both only at corpus scale
+          (``n >= min_noise_corpus``; on toy corpora a low self-cosine or a
+          small cluster is the norm, not a density signal):
+
+          * ``outlier_abs``: an entity whose cosine to its own centroid is
+            near zero is lexically adrift from every topic even when its
+            host cluster is too diffuse for the z-statistic to fire
+            (measured member floor ~0.37 on labeled corpora, noise median
+            ~0.27 under the cgram-weighted encoder). Gated to clusters of
+            >= ``min_outlier_cluster`` members like the z-cut.
+          * ``min_noise_cluster``: HDBSCAN's ``min_cluster_size`` semantic —
+            lexically-adrift entities that happen to SHARE their drift
+            (mixed-vocabulary junk) conglomerate into small clusters where
+            every per-entity statistic looks healthy; clusters with fewer
+            members dissolve into noise wholesale. Applied only when some
+            cluster reached ``min_outlier_cluster`` (the corpus has real
+            density to contrast against).
         """
         if self.entity_embeddings is None or not self.entity_names:
             raise RuntimeError("Embeddings not available. Run embed_l0_entities first.")
@@ -161,16 +183,24 @@ class SemanticAggregator:
                 density_alpha=(density_alpha or 6.0))
         k_eff = cents.shape[0]
 
-        # density outlier cut: per-cluster z-score of self-centroid cosine
+        # density outlier cut: per-cluster z-score of self-centroid cosine,
+        # plus the adrift floor and junk-conglomerate dissolution (docstring)
         is_noise = np.zeros(n, dtype=bool)
         if outlier_sigma is not None:
             self_sim = np.einsum("nd,nd->n", self.entity_embeddings, cents[assign])
+            sizes = np.bincount(assign, minlength=k_eff)
+            at_scale = (n >= min_noise_corpus and k_eff > 0
+                        and int(sizes.max()) >= min_outlier_cluster)
             for c in range(k_eff):
                 m = assign == c
-                if m.sum() >= min_outlier_cluster:
+                if sizes[c] >= min_outlier_cluster:
                     mu, sd = float(self_sim[m].mean()), float(self_sim[m].std())
                     if sd > 0:
                         is_noise |= m & (self_sim < mu - outlier_sigma * sd)
+                    if at_scale and outlier_abs is not None:
+                        is_noise |= m & (self_sim < outlier_abs)
+                elif at_scale and sizes[c] < min_noise_cluster:
+                    is_noise |= m
 
         # soft probabilities from centroid cosines
         sims = self.entity_embeddings @ cents.T                   # [N, k_eff]

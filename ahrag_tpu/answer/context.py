@@ -38,7 +38,10 @@ def _layer_weight(level: int | None) -> float:
 _DATE_RE = re.compile(r"\b\d{4}[-/.年]?(?:\d{1,2}[-/.月]?)?(?:\d{1,2}日)?\b")
 _NUM_RE = re.compile(r"\b\d+(?:\.\d+)?%?\b")
 _NEGATIONS = ("不", "未", "无", "否", "not", "no", "never", "without")
-_SENT_SPLIT = re.compile(r"(?<=[。！？.!?])\s+")
+# ';' included: merged node descriptions join their source sentences with
+# '.; ' (graph build), and a splitter keyed on punctuation-then-space alone
+# never fires there — compression then degenerates to prefix truncation
+_SENT_SPLIT = re.compile(r"(?<=[。！？.!?;])\s+")
 
 
 def extract_kept_spans(text: str) -> List[str]:
@@ -82,14 +85,28 @@ class ContextProcessor:
         sp = cut.rfind(" ")
         return cut[:sp] if sp > 0 else cut
 
-    def _compress(self, text: str, target_tokens: int) -> str:
+    def _compress(self, text: str, target_tokens: int,
+                  subject: str | None = None) -> str:
         if target_tokens <= 0 or not text:
             return ""
+        parts = [p for p in _SENT_SPLIT.split(text) if p]
+        if subject:
+            # a node's own-subject sentences carry its defining facts; at
+            # corpus scale a hub node's merged description is dominated by
+            # OTHER entities' mention sentences (a city mentioned by dozens of
+            # biography paragraphs), and order-of-encounter trimming then
+            # drops the one sentence that defines the node itself. Sentences
+            # whose opening names the subject go first; relative order within
+            # each group is preserved.
+            sl = subject.lower()
+            window = len(subject) + 32
+            lead = [i for i, p in enumerate(parts) if sl in p[:window].lower()]
+            lead_set = set(lead)
+            parts = ([parts[i] for i in lead]
+                     + [p for i, p in enumerate(parts) if i not in lead_set])
         acc: List[str] = []
         cur = 0
-        for part in _SENT_SPLIT.split(text):
-            if not part:
-                continue
+        for part in parts:
             pt = self._tok(part)
             if cur + pt > target_tokens:
                 break
@@ -181,7 +198,9 @@ class ContextProcessor:
                 tokens_used += raw_tokens
                 per_node_mode.setdefault(nid, "detail_full")
             else:
-                comp = self._compress(raw, min(remaining, summarizer_max_tokens))
+                comp = self._compress(raw, min(remaining, summarizer_max_tokens),
+                                      subject=(d.get("title") or d.get("name")
+                                               or None))
                 comp_tokens = self._tok(comp)
                 if comp and comp_tokens <= remaining:
                     if enable_kept_spans and kept_spans.get(nid):

@@ -628,9 +628,14 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
                     spans.append(sp)
         # containers sit in predicate position: a span OPENING one of the
         # mention sentences is that sentence's subject (a fronted common
-        # noun or another topic), not the containing region
+        # noun or another topic), not the containing region. Word-boundary
+        # prefix: a sentence fronted by a demonym adjective must not mark the
+        # base place name as sentence-initial (a bare startswith starved
+        # place->container whenever such an opener mentioned the place)
         initial = {sp for sp in spans
-                   if any(m.startswith(sp) for m in ment)}
+                   if any(m.startswith(sp)
+                          and (len(m) == len(sp) or not m[len(sp)].isalnum())
+                          for m in ment)}
         # demonym ADJECTIVES can't be containers, but a country NAME that is
         # also somebody's origin country is exactly the container sought — it
         # co-occurs in this city's own mention sentence (excluding all of

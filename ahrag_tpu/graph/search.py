@@ -91,7 +91,9 @@ class SearchResult(NamedTuple):
 
 
 def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.ndarray,
-                      seed_valid: jnp.ndarray, member_top_m: int):
+                      seed_valid: jnp.ndarray, member_top_m: int,
+                      q_emb: jnp.ndarray | None = None,
+                      flush_eps: float = 0.0):
     """1-hop expansion with decay, in **candidate space**.
 
     Returns (cand_idx [C], cand_sem [C], cand_win [C]) where C =
@@ -101,6 +103,16 @@ def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.nda
     mutually exclusive by seed type). Dedup is an O(C^2) earlier-occurrence test:
     tiny, and it avoids the O(N) scatter buffers entirely (the former
     implementation's dominant cost at large corpora).
+
+    Deviation (documented; oracle mirrors it): when a summary seed has MORE
+    than ``member_top_m`` children and ``q_emb`` is given, the m children most
+    similar to the query are expanded instead of the first m by insertion
+    order — at corpus scale a topic summary holds dozens of members and the
+    reference's first-m rule (tuned on 10-paragraph graphs, where m covers
+    every member) admits arbitrary ones. Identical to the reference whenever
+    len(members) <= m, i.e. on every reference-scale graph. Selected children
+    keep the reference's 0.85x-of-parent score and re-enter the candidate
+    block in insertion order, so dedup priority and tie-breaks are unchanged.
     """
     n_pad = gt.n_pad
     dump = n_pad
@@ -114,7 +126,20 @@ def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.nda
     par_ok = (par >= 0) & is_ent[:, None] & seed_valid[:, None]
     par_sem = jnp.broadcast_to((seed_sim * 0.9)[:, None], par.shape)
 
-    mem = gt.children[safe_seed, :member_top_m]                        # [K, M]
+    mem_all = gt.children[safe_seed]                                   # [K, Kc]
+    if q_emb is not None and mem_all.shape[1] > member_top_m:
+        memsafe = jnp.clip(mem_all, 0, n_pad - 1)
+        ce = gt.emb[memsafe]                                           # [K, Kc, D]
+        msim = jnp.einsum("d,kcd->kc", q_emb.astype(ce.dtype), ce,
+                          preferred_element_type=jnp.float32)
+        if flush_eps:
+            msim = jnp.where(jnp.abs(msim) < flush_eps, 0.0, msim)
+        msim = jnp.where(mem_all >= 0, msim, NEG_INF)
+        _, sel = jax.lax.top_k(msim, member_top_m)   # ties: lowest slot first
+        sel = jnp.sort(sel, axis=1)                  # restore insertion order
+        mem = jnp.take_along_axis(mem_all, sel, axis=1)                # [K, M]
+    else:
+        mem = mem_all[:, :member_top_m]                                # [K, M]
     mem_ok = (mem >= 0) & is_sum[:, None] & seed_valid[:, None]
     mem_sem = jnp.broadcast_to((seed_sim * 0.85)[:, None], mem.shape)
 
@@ -161,12 +186,15 @@ def filter_mask_at(gt: GraphTensors, idx: jnp.ndarray, w: SearchWeights) -> jnp.
 
 
 def _post_seed(gt: GraphTensors, seed_sim: jnp.ndarray, seed_idx: jnp.ndarray,
-               w: SearchWeights, top_k: int, member_top_m: int) -> SearchResult:
+               w: SearchWeights, top_k: int, member_top_m: int,
+               q_emb: jnp.ndarray | None = None) -> SearchResult:
     """Stages 2-4 (candidate space) given the seed top-k."""
     n_pad = gt.n_pad
     seed_valid = seed_sim > NEG_INF / 2
     cand_idx, cand_sem, cand_win = expand_candidates(gt, seed_idx, seed_sim,
-                                                     seed_valid, member_top_m)
+                                                     seed_valid, member_top_m,
+                                                     q_emb=q_emb,
+                                                     flush_eps=SEM_FLUSH_EPS)
     keep = cand_win & filter_mask_at(gt, cand_idx, w)
     score = rerank_scores_at(gt, cand_idx, cand_sem, w)
     masked = jnp.where(keep, score, NEG_INF)
@@ -206,7 +234,8 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     seed_sim, seed_idx = refined_masked_topk(
         q_emb[None, :], gt.emb, gt.indexed & gt.valid, top_k,
         margin=max(16, 3 * top_k), certify=certify, flush_eps=SEM_FLUSH_EPS)
-    return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m)
+    return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m,
+                      q_emb=q_emb)
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "member_top_m"))
@@ -221,5 +250,6 @@ def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
     seed_sim, seed_idx = refined_masked_topk(
         q_embs, gt.emb, gt.indexed & gt.valid, top_k, margin=max(16, 3 * top_k),
         flush_eps=SEM_FLUSH_EPS)
-    return jax.vmap(lambda ss, si: _post_seed(gt, ss, si, w, top_k,
-                                              member_top_m))(seed_sim, seed_idx)
+    return jax.vmap(lambda ss, si, qq: _post_seed(gt, ss, si, w, top_k,
+                                                  member_top_m, q_emb=qq)
+                    )(seed_sim, seed_idx, q_embs)

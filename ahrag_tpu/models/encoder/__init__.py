@@ -10,11 +10,12 @@ from ahrag_tpu.models.encoder.minilm import MiniLMConfig, MiniLMEncoder
 
 
 @lru_cache(maxsize=4)
-def _cached(name: str, dim: int, seed: int, weights: Optional[str]) -> Encoder:
+def _cached(name: str, dim: int, seed: int, weights: Optional[str],
+            cgram_weight: float) -> Encoder:
     if name == "minilm":
         return MiniLMEncoder(MiniLMConfig(hidden=dim) if dim != 384 else None,
                              seed=seed, weights_path=weights)
-    return HashedNGramEncoder(dim=dim, seed=seed)
+    return HashedNGramEncoder(dim=dim, seed=seed, cgram_weight=cgram_weight)
 
 
 def create_encoder(cfg: Dict[str, Any] | None = None, name: str | None = None) -> Encoder:
@@ -29,4 +30,5 @@ def create_encoder(cfg: Dict[str, Any] | None = None, name: str | None = None) -
         int(enc_cfg.get("dim", 384)),
         int(enc_cfg.get("seed", 7)),
         enc_cfg.get("minilm_weights"),
+        float(enc_cfg.get("cgram_weight", 0.3)),
     )

@@ -48,14 +48,21 @@ def _load() -> Optional[ctypes.CDLL]:
                                       ctypes.c_int32,
                                       ctypes.POINTER(ctypes.c_float)]
         try:
-            # newer symbol: a stale .so from before the COO featurizer must
-            # not disable the rest of the library (callers hasattr-guard it)
-            lib.hash_features_coo_batch.restype = ctypes.c_int64
-            lib.hash_features_coo_batch.argtypes = [
+            # weighted featurizer symbols (ABI v2): a stale .so without them
+            # must not silently hash with a different char-gram weight —
+            # callers hasattr-guard and fall back to the Python featurizer
+            lib.ahrag_native_abi_version.restype = ctypes.c_int32
+            lib.ahrag_native_abi_version.argtypes = []
+            lib.hash_features_w.restype = None
+            lib.hash_features_w.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                            ctypes.c_int32, ctypes.c_float,
+                                            ctypes.POINTER(ctypes.c_float)]
+            lib.hash_features_coo_batch_w.restype = ctypes.c_int64
+            lib.hash_features_coo_batch_w.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
-                ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64]
+                ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
         except AttributeError:
             pass
         lib.exact_topk_f32.restype = None
@@ -124,15 +131,18 @@ def token_estimate(text: str) -> int:
     return max(1, len(text) // 4) if text else 0
 
 
-def hash_features_coo(texts: List[str], buckets: int, n_threads: int = 0
+def hash_features_coo(texts: List[str], buckets: int, n_threads: int = 0,
+                      cgram_weight: float = 1.0
                       ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Batched sparse featurization: (rows, cols, vals) COO triplets over
     ``texts`` (doc-major, ascending buckets within a doc), or None if the
-    library is unbuilt. Threaded in C++; skips the dense [n, buckets] counts
-    matrix and the nonzero re-scan entirely (the encode hot path at corpus
-    scale — see hash_features_coo_batch in ahrag_native.cpp)."""
+    library is unbuilt (or predates the weighted ABI). Threaded in C++; skips
+    the dense [n, buckets] counts matrix and the nonzero re-scan entirely (the
+    encode hot path at corpus scale — see hash_features_coo_batch_w in
+    ahrag_native.cpp). Char 3..5-gram occurrences contribute
+    ``cgram_weight`` per hit (words/bigrams 1.0)."""
     lib = _load()
-    if lib is None or not hasattr(lib, "hash_features_coo_batch"):
+    if lib is None or not hasattr(lib, "hash_features_coo_batch_w"):
         return None
     blobs = [(t or "").encode("utf-8") for t in texts]
     offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
@@ -145,9 +155,10 @@ def hash_features_coo(texts: List[str], buckets: int, n_threads: int = 0
         rows = np.empty(cap, dtype=np.int32)
         cols = np.empty(cap, dtype=np.int32)
         vals = np.empty(cap, dtype=np.float32)
-        nnz = int(lib.hash_features_coo_batch(
+        nnz = int(lib.hash_features_coo_batch_w(
             data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            np.int32(len(blobs)), np.int32(buckets), np.int32(n_threads),
+            np.int32(len(blobs)), np.int32(buckets),
+            ctypes.c_float(cgram_weight), np.int32(n_threads),
             _ptr_i32(rows), _ptr_i32(cols), _ptr_f32(vals), np.int64(cap)))
         if nnz >= 0:
             return rows[:nnz], cols[:nnz], vals[:nnz]
@@ -155,16 +166,24 @@ def hash_features_coo(texts: List[str], buckets: int, n_threads: int = 0
     return None
 
 
-def hash_features_counts(texts: List[str], buckets: int) -> Optional[np.ndarray]:
-    """[len(texts), buckets] float32 hashed n-gram counts, or None if unbuilt."""
+def hash_features_counts(texts: List[str], buckets: int,
+                         cgram_weight: float = 1.0) -> Optional[np.ndarray]:
+    """[len(texts), buckets] float32 hashed n-gram counts, or None if unbuilt
+    (weighted counts need the ABI-v2 symbol)."""
     lib = _load()
     if lib is None:
+        return None
+    if cgram_weight != 1.0 and not hasattr(lib, "hash_features_w"):
         return None
     out = np.zeros((len(texts), buckets), dtype=np.float32)
     for i, text in enumerate(texts):
         raw = (text or "").encode("utf-8")
-        lib.hash_features(raw, np.int64(len(raw)), np.int32(buckets),
-                          _ptr_f32(out[i]))
+        if cgram_weight != 1.0:
+            lib.hash_features_w(raw, np.int64(len(raw)), np.int32(buckets),
+                                ctypes.c_float(cgram_weight), _ptr_f32(out[i]))
+        else:
+            lib.hash_features(raw, np.int64(len(raw)), np.int32(buckets),
+                              _ptr_f32(out[i]))
     return out
 
 

@@ -112,10 +112,15 @@ static inline uint64_t fnv1a(const char* s, int64_t len, uint64_t h = 1469598103
 }  // extern "C"
 
 // Feature enumeration shared by the dense and COO entry points; `emit` is
-// called once per feature occurrence with the bucket index.
+// called once per feature occurrence with (bucket index, weight). Word
+// unigrams/bigrams carry weight 1.0; char 3..5-grams carry `cg_weight` —
+// at full weight the ~10x more numerous char-grams swamp word-level
+// discrimination (two same-template docs differing in one rare token score
+// near-identically), while a fractional weight keeps their morphology
+// robustness (models/encoder/hashed.py mirrors this).
 template <class Emit>
 static void for_each_feature(const char* text, int64_t len, int32_t buckets,
-                             Emit emit) {
+                             float cg_weight, Emit emit) {
   // normalize: lowercase, non-[a-z0-9] -> separator; build the compact
   // space-joined word string
   std::vector<char> compact;
@@ -140,31 +145,46 @@ static void for_each_feature(const char* text, int64_t len, int32_t buckets,
   const char* buf = compact.data();
   // word unigrams
   for (auto& w : words)
-    emit(static_cast<int32_t>(fnv1a(buf + w.first, w.second) % buckets));
+    emit(static_cast<int32_t>(fnv1a(buf + w.first, w.second) % buckets), 1.0f);
   // word bigrams: "a_b"
   for (size_t i = 0; i + 1 < words.size(); ++i) {
     uint64_t h = fnv1a(buf + words[i].first, words[i].second);
     h ^= static_cast<unsigned char>('_');
     h *= 1099511628211ULL;
     h = fnv1a(buf + words[i + 1].first, words[i + 1].second, h);
-    emit(static_cast<int32_t>(h % buckets));
+    emit(static_cast<int32_t>(h % buckets), 1.0f);
   }
   // char 3..5-grams over the compact string, prefixed "c<n>:"
+  if (cg_weight == 0.0f) return;  // zero-weight grams must not emit (the COO
+                                  // touched-tracking keys on nonzero counts)
   int64_t clen = static_cast<int64_t>(compact.size());
   for (int n = 3; n <= 5; ++n) {
     char prefix[4] = {'c', static_cast<char>('0' + n), ':', 0};
     for (int64_t i = 0; i + n <= clen; ++i) {
       uint64_t h = fnv1a(prefix, 3);
       h = fnv1a(buf + i, n, h);
-      emit(static_cast<int32_t>(h % buckets));
+      emit(static_cast<int32_t>(h % buckets), cg_weight);
     }
   }
 }
 
 extern "C" {
 
+// ABI version probe: bindings require >= 2 for the weighted featurizer
+// symbols; a stale .so then routes featurization to the Python fallback
+// instead of silently hashing with a different weight.
+int32_t ahrag_native_abi_version() { return 2; }
+
 void hash_features(const char* text, int64_t len, int32_t buckets, float* out) {
-  for_each_feature(text, len, buckets, [&](int32_t b) { out[b] += 1.0f; });
+  for_each_feature(text, len, buckets, 1.0f,
+                   [&](int32_t b, float w) { out[b] += w; });
+}
+
+// Weighted variant: char 3..5-gram occurrences contribute `cg_weight`.
+void hash_features_w(const char* text, int64_t len, int32_t buckets,
+                     float cg_weight, float* out) {
+  for_each_feature(text, len, buckets, cg_weight,
+                   [&](int32_t b, float w) { out[b] += w; });
 }
 
 // Batched SPARSE featurization: documents are `data` sliced by `offsets`
@@ -177,10 +197,11 @@ void hash_features(const char* text, int64_t len, int32_t buckets, float* out) {
 // allocate, fill and re-scan with np.nonzero than the hashing itself (profiled:
 // ~0.9 ms/doc end-to-end dense vs ~0.04 ms/doc here), and the encoder ships
 // COO triplets to the device anyway (models/encoder/hashed.py).
-int64_t hash_features_coo_batch(const char* data, const int64_t* offsets,
-                                int32_t n_docs, int32_t buckets,
-                                int32_t n_threads, int32_t* rows, int32_t* cols,
-                                float* vals, int64_t cap) {
+int64_t hash_features_coo_batch_w(const char* data, const int64_t* offsets,
+                                  int32_t n_docs, int32_t buckets,
+                                  float cg_weight, int32_t n_threads,
+                                  int32_t* rows, int32_t* cols, float* vals,
+                                  int64_t cap) {
   if (n_docs <= 0) return 0;
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   int nt = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
@@ -201,9 +222,9 @@ int64_t hash_features_coo_batch(const char* data, const int64_t* offsets,
       for (int32_t d = lo; d < hi; ++d) {
         touched.clear();
         for_each_feature(data + offsets[d], offsets[d + 1] - offsets[d],
-                         buckets, [&](int32_t b) {
+                         buckets, cg_weight, [&](int32_t b, float w) {
                            if (counts[b] == 0.f) touched.push_back(b);
-                           counts[b] += 1.0f;
+                           counts[b] += w;
                          });
         std::sort(touched.begin(), touched.end());
         for (int32_t b : touched) {

@@ -182,8 +182,20 @@ def cpu_reference_search(arrs: BenchArrays, q_vec, top_k=5, member_top_m=5):
                 if parent not in expanded:
                     expanded[parent] = sem * 0.9
         else:
-            for child in [int(c) for c in arrs.children_ell[i]
-                          if c >= 0][:member_top_m]:
+            children = [int(c) for c in arrs.children_ell[i] if c >= 0]
+            if len(children) > member_top_m:
+                # mirror search.py::expand_candidates' documented deviation:
+                # big-fan summaries expand their m most query-similar
+                # children (|sim|<1e-5 flushed; ties by slot), re-entered in
+                # insertion order
+                def _msim(c):
+                    s = float(arrs.emb[c] @ q_vec)
+                    return 0.0 if abs(s) < 1e-5 else s
+                picked = sorted(range(len(children)),
+                                key=lambda j: (-_msim(children[j]), j)
+                                )[:member_top_m]
+                children = [children[j] for j in sorted(picked)]
+            for child in children:
                 if child not in expanded:
                     expanded[child] = sem * 0.85
     results = []

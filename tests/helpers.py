@@ -93,7 +93,22 @@ def oracle_search(hg: HierarchicalGraph, query: str, top_k: int = 5,
                     expanded[parent] = sims[nid] * 0.9
                     prio[parent] = top_k + i * blk + j
         elif nt == "summary":
-            for j, child in enumerate(hg.get_summary_members(nid)[:member_top_m]):
+            members = hg.get_summary_members(nid)
+            if len(members) > member_top_m:
+                # mirror search.py::expand_candidates' documented deviation:
+                # big-fan summaries expand their m most query-similar children
+                # (ties by insertion slot), re-entered in insertion order
+                def _msim(c: str) -> float:
+                    e = hg._embeddings.get(c)
+                    s = float(np.dot(e, q)) if e is not None else 0.0
+                    return 0.0 if abs(s) < 1e-5 else s
+                picked = sorted(range(len(members)),
+                                key=lambda j: (-_msim(members[j]), j)
+                                )[:member_top_m]
+                members = [members[j] for j in sorted(picked)]
+            else:
+                members = members[:member_top_m]
+            for j, child in enumerate(members):
                 if child not in expanded:
                     expanded[child] = sims[nid] * 0.85
                     prio[child] = top_k + i * blk + 2 + j

@@ -84,7 +84,8 @@ def test_lsa_basis_exact_ranking_small_corpus():
     assert basis is not None and basis.shape == (enc.buckets, enc.dim)
     # exact bucket-space TF-IDF cosine
     C = enc._count_matrix(docs + [q])
-    TF = np.where(C > 0, 1.0 + np.log(np.maximum(C, 1.0)), 0.0) * idf[None, :]
+    # mirrors hashed._tfidf_block incl. the fractional-count ramp (cgram_weight)
+    TF = (np.minimum(C, 1.0) * (1.0 + np.log(np.maximum(C, 1.0)))) * idf[None, :]
     N = TF / np.maximum(np.linalg.norm(TF, axis=1, keepdims=True), 1e-9)
     exact = N[:-1] @ N[-1]
     # projected through the fitted basis
@@ -112,7 +113,7 @@ def test_lsa_basis_large_corpus_beats_gaussian():
     basis = enc.fit_projection(docs)  # 200 > 64 -> randomized path
     assert basis is not None and basis.shape == (4096, 64)
     C = enc._count_matrix(docs)
-    TF = np.where(C > 0, 1.0 + np.log(np.maximum(C, 1.0)), 0.0)
+    TF = np.minimum(C, 1.0) * (1.0 + np.log(np.maximum(C, 1.0)))
     N = TF / np.maximum(np.linalg.norm(TF, axis=1, keepdims=True), 1e-9)
     exact = N @ N.T
     E_lsa = enc.encode(docs, basis=basis)
