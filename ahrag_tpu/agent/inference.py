@@ -123,6 +123,19 @@ class InferenceEngine:
             _, info_commit = self.env.commit_selection(named + initial)
             used_actions.append(info_commit)
 
+        # conjunctive verification over a wider dense candidate pool: on
+        # corpus-scale graphs, description questions ("the <adjective>
+        # <profession>", "the <genre> release of <year>") leave the gold node
+        # at dense rank 8-18 — each term alone is common, only the conjunction
+        # is unique. Verify term coverage on the candidates' own text
+        # (answer/qa.py::constraint_coverage) and commit the satisfying nodes
+        # as priority evidence. Self-gating: questions that name their entity
+        # produce no second rare term, so this is a no-op for them.
+        rescue = self._constraint_rescue(query)
+        if rescue:
+            _, info_rescue = self.env.commit_selection(rescue)
+            used_actions.append(info_rescue)
+
         for _ in range(max(1, steps - 1)):
             decision = self.agent.decide(obs)
             action = decision.get("action")
@@ -150,7 +163,15 @@ class InferenceEngine:
                 obs, info2 = self.env.commit_selection(top_ids)
                 used_actions.append(info2)
 
-        evidence = self.collect_evidence(max_summaries=3, max_entities=5)
+        # named anchors + rescue nodes are priority evidence: the selection
+        # set is otherwise ordered by node id, and on corpus-scale graphs the
+        # entity cap can evict the very node the question names (observed:
+        # a possessive profession question losing its subject to five
+        # lexicographically-earlier co-selected entities)
+        priority = list(dict.fromkeys(named + rescue))
+        evidence = self.collect_evidence(
+            max_summaries=3, max_entities=max(5, len(priority) + 2),
+            priority_ids=priority)
 
         cfg = load_config()
         answer_cfg = cfg.get("answer", {})
@@ -177,7 +198,10 @@ class InferenceEngine:
         # that no single attribute hop can enumerate. Three hops cover every
         # chain shape in the eval families; the loop exits as soon as the
         # question becomes answerable (or no hint remains).
-        hop_ids: List[str] = []
+        # seed with the full priority set: hop rebuilds pass hop_ids as the
+        # priority list, and dropping the named anchors here let the entity
+        # cap evict the question's own subject on the FIRST rebuild
+        hop_ids: List[str] = list(priority)
         rel_done: set = set()
         for _hop in range(3):
             progressed = False
@@ -289,6 +313,43 @@ class InferenceEngine:
         return out
 
     # ----------------------------------------------------- follow-up hops
+    def _constraint_rescue(self, query: str) -> List[str]:
+        """Nodes whose own text covers the question's term conjunction.
+
+        Takes a wider dense candidate pool (top-48) than the anchor and ranks
+        it with answer/qa.py::constraint_coverage; the survivors (at most 3)
+        are committed as priority evidence by the caller. One extra search
+        per question; no-op whenever the question supplies fewer than two
+        content terms or no candidate covers two of them."""
+        from ahrag_tpu.answer.qa import _query_constraint_terms, \
+            constraint_coverage
+        terms = _query_constraint_terms(query)
+        if len(terms) < 2:
+            return []
+        hg = self.env.hg
+        try:
+            res = list(hg.search(query, top_k=96))
+            # second pool biased to the content terms alone: the scaffolding
+            # vocabulary of the full question can push the conjunction's only
+            # satisfier below the dense cut entirely
+            res += hg.search(" ".join(t for t, _ in terms), top_k=96)
+        except Exception:
+            return []
+        cands = []
+        seen_ids: set = set()
+        for r in res:
+            nid = r.get("node_id")
+            if not nid or nid in seen_ids:
+                continue
+            seen_ids.add(nid)
+            d = hg.nodes.get(nid, {})
+            if d.get("node_type") == "entity":
+                cands.append((nid, str(d.get("description") or "")))
+        if not cands:
+            return []
+        ranked = constraint_coverage(query, [text for _, text in cands])
+        return [cands[i][0] for i, _, _ in ranked[:3]]
+
     def _credit_expansion_targets(self, query: str, context: Dict[str, Any],
                                   done: set) -> List[str]:
         """Entities whose co-participant neighborhood the current question

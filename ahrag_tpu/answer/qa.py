@@ -538,9 +538,15 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
                     spans.append(sp)
         persons = [sp for sp in spans if _looks_like_person(sp)
                    and sp not in locative_obliques]
-        # spans with 'who'-clause evidence are definite persons — they take
-        # the person slot ahead of mention order (stable within each class)
-        persons.sort(key=lambda p: p not in who_persons)
+        # 'who'-clause evidence proves personhood for spans nothing else
+        # classifies (a maybe-toponym like 'Porto Alegre' sorts behind a
+        # proven person). Among spans ALREADY known to be persons (typed
+        # tables: nationality/profession appositives), mention order stands —
+        # a who-clause in an unrelated paragraph must not reorder a film's
+        # own credit sequence (observed: a star with a founder who-clause
+        # elsewhere hijacking the director slot).
+        persons.sort(key=lambda p: not (p in who_persons
+                                        or _classified(f, p) == "person"))
         if kind == "film":
             if persons:
                 f.directed_by.setdefault(S, persons[0])
@@ -886,6 +892,17 @@ def _film_by_description(query_l: str, facts: Facts) -> Optional[str]:
     films = {f0 for f0 in films
              if not any(g != f0 and g.lower().startswith(f0.lower() + " ")
                         for g in films)}
+    # descriptor segment of the QUESTION: the noun phrase qualifying the film
+    # word ("the <descriptor> film/movie/..."), so that only genre words can
+    # score — whole-query overlap let generic role vocabulary ("leading",
+    # "role") tie a same-year film of the wrong genre with the right one
+    # the group may not cross another determiner, so the CLOSEST "the" wins
+    # ("the leading role in the noir film" -> "noir", not "leading role in
+    # the noir")
+    dm = re.search(r"\bthe ((?:(?!the\b)[a-z]+ ){1,3})(?:%s)\b"
+                   % "|".join(_FILM_WORDS), query_l)
+    desc_toks = ([w for w in re.findall(r"[a-z]+", dm.group(1))
+                  if len(w) > 2] if dm else None) or None
     hits = []
     for film in films:
         # descriptor evidence: the explicit classification descriptor when one
@@ -901,7 +918,12 @@ def _film_by_description(query_l: str, facts: Facts) -> Optional[str]:
                               "this", "from", "and", "for", "are", "has",
                               "had", "have", "one", "who", "while", "apart")
                  and len(w) > 2]
-        overlap = len({w for w in words if w in query_l})
+        if desc_toks is not None:
+            overlap = len({w for w in words
+                           if any(_stem_close(_match_stem(w), _match_stem(d))
+                                  for d in desc_toks)})
+        else:
+            overlap = len({w for w in words if w in query_l})
         y = facts.released.get(film)
         if year and y and y != year:
             continue
@@ -1420,6 +1442,15 @@ def related_expansion_targets(query: str, sentences: List[str]) -> List[str]:
         people = _people_by_descriptions(query_l, facts)
         if len(people) >= 2 and not _joining_films(facts, people):
             out.extend(people)
+        elif len(people) == 1:
+            # one side resolved: the joining film is one of this person's
+            # credit co-participants, and its own paragraph names the OTHER
+            # credit — expand the resolved person's neighborhood so the
+            # one-sided proposal (missing_entities) can test the remaining
+            # description against real people
+            films = _films_of(facts, people[0])
+            if not any(facts.stars.get(f0) for f0 in films):
+                out.append(people[0])
 
     return list(dict.fromkeys(out))
 
@@ -1518,3 +1549,157 @@ def answer_subjects(query: str, sentences: List[str]) -> List[str]:
     if film:
         subs.append(film)
     return list(dict.fromkeys(subs))
+
+
+# -------------------------------------------------- conjunctive verification
+def _match_stem(t: str) -> str:
+    """Suffix-stripped stem for containment matching (inflection-tolerant)."""
+    for suf in ("ation", "ition", "ing", "ion", "ies", "ed", "es", "ly", "s"):
+        if t.endswith(suf) and len(t) - len(suf) >= 4:
+            return t[: len(t) - len(suf)]
+    return t
+
+
+def _query_constraint_terms(query: str) -> List[Tuple[str, bool]]:
+    """(term, was_capitalized) content terms of a question.
+
+    Structural extraction only: tokens belonging to a MULTIWORD capitalized
+    span are entity names (anchored by _question_entity_ids already) and are
+    excluded; a single capitalized token is kept — it may be a demonym whose
+    country the corpus names instead; lowercase tokens pass a function-word
+    filter; 4-digit numbers always qualify.
+    """
+    from ahrag_tpu.answer.extractive import _STOPWORDS
+    func = _STOPWORDS | {"has", "have", "had", "same", "both", "all", "any",
+                         "whose", "there", "not", "no", "than", "then",
+                         "into", "about"}
+    multi = {w.lower() for e in _question_entities(query)
+             if len(e.split()) >= 2 for w in e.split()}
+    out: List[Tuple[str, bool]] = []
+    seen: set = set()
+    for w in re.findall(r"[A-Za-z][\w'-]*|\d{4}", query):
+        wl = w.lower()
+        if wl in seen or wl in multi:
+            continue
+        if w.isdigit():
+            out.append((w, False))
+            seen.add(wl)
+            continue
+        if wl in func or len(wl) < 3:
+            continue
+        out.append((w, w[0].isupper()))
+        seen.add(wl)
+    return out
+
+
+def _containment_index(text: str) -> Tuple[set, set, set]:
+    words = re.findall(r"[A-Za-z][\w'-]*|\d{4}", text)
+    lowered = {w.lower() for w in words}
+    stems = {_match_stem(w) for w in lowered if len(w) >= 4}
+    caps = {w for w in words if w[:1].isupper()}
+    return lowered, stems, caps
+
+
+def _stem_close(a: str, b: str) -> bool:
+    """Equal stems, or a prefix relation at most two characters deep —
+    inflection variants pass (animat/anim), compounds do not (film/filmmaker),
+    unlike _prefix_close whose bound scales with the SHORTER string."""
+    if a == b:
+        return True
+    if len(a) > len(b):
+        a, b = b, a
+    return len(b) - len(a) <= 2 and b.startswith(a) and len(a) >= 4
+
+
+def _term_in_index(term: str, cap: bool, idx: Tuple[set, set, set]) -> bool:
+    lowered, stems, caps = idx
+    tl = term.lower()
+    if tl in lowered:
+        return True
+    if tl.isdigit():
+        return False  # numbers match exactly or not at all
+    ts = _match_stem(tl)
+    if len(ts) >= 4 and any(_stem_close(ts, s) for s in stems):
+        return True
+    if cap:
+        return any(_same_place(term, c) for c in caps)
+    return False
+
+
+def constraint_coverage(query: str, texts: List[str]
+                        ) -> List[Tuple[int, int, float]]:
+    """Rank candidate texts by rarity-weighted coverage of the question's
+    content terms — the conjunctive verifier behind
+    agent/inference.py::_constraint_rescue.
+
+    Dense cosine scores every term independently, so on a corpus-scale graph
+    a paragraph matching ONE common term can outrank the paragraph matching
+    the full conjunction (a genre-plus-year question: many candidates carry
+    some year, exactly one carries that genre AND that year). This verifies
+    the conjunction on the candidates themselves: a term matches a text via
+    exact word, stem-tolerant prefix (_prefix_close over suffix-stripped
+    stems), or — for capitalized single tokens — country/demonym equivalence
+    (_same_place). Term weight is 1/df over the candidate set, so generic
+    question vocabulary self-discounts without any word list.
+
+    Matching is SENTENCE-WINDOW scoped: the conjunction must co-occur within
+    two adjacent sentences of a candidate, not merely somewhere in its merged
+    description — hub nodes (a city whose description concatenates every
+    resident's sentences) otherwise cover any conjunction by accumulation.
+    df stays document-level for stability.
+
+    Returns (index, n_matched, weight) rows, best first, for candidates
+    whose best window covers at least two term groups.
+    No reference counterpart: the reference's MiniLM+HNSW seed path
+    (hierarchical_graph.py:706-714) is equally conjunction-blind; this
+    deviation uses the candidate set itself as the verifier.
+    """
+    terms = _query_constraint_terms(query)
+    if len(terms) < 2 or not texts:
+        return []
+
+    def windows(text: str) -> List[str]:
+        sents = [s for s in re.split(r"(?<=[.!?])\s+|;\s+", text) if s.strip()]
+        if len(sents) <= 2:
+            return [text]
+        return [" ".join(sents[i:i + 2]) for i in range(len(sents) - 1)]
+
+    win_match: List[List[List[bool]]] = []   # candidate -> window -> term hits
+    for text in texts:
+        rows = []
+        for w in windows(text):
+            ix = _containment_index(w)
+            rows.append([_term_in_index(t, c, ix) for (t, c) in terms])
+        win_match.append(rows)
+    # document-level matches drive df and decorrelation
+    match = [[any(r[j] for r in rows) for j in range(len(terms))]
+             for rows in win_match]
+    # decorrelate: terms whose match columns are IDENTICAL across the pool
+    # are one feature, not several — phrasal pairs travel together in both
+    # question and corpus, and counting each word separately let scaffolding
+    # phrases outvote a single rarer descriptor term
+    cols: Dict[tuple, int] = {}
+    for j in range(len(terms)):
+        cols.setdefault(tuple(row[j] for row in match), j)
+    groups = list(cols.values())
+    df = {j: sum(row[j] for row in match) for j in groups}
+    # no absolute-rarity gate: the candidate pool is DENSE-BIASED (it was
+    # selected by similarity to this query), so every question term can look
+    # common inside it; relative 1/df weighting still ranks the candidate
+    # covering the extra term above the ones covering a subset
+    import math
+    n_pool = len(texts)
+    idf = {j: math.log(n_pool / df[j]) if df[j] else 0.0 for j in groups}
+    out: List[Tuple[int, int, float]] = []
+    for i, rows in enumerate(win_match):
+        best_w, best_n = 0.0, 0
+        for r in rows:
+            hit = [j for j in groups if r[j]]
+            w = sum(idf[j] for j in hit)
+            if (w, len(hit)) > (best_w, best_n):
+                best_w, best_n = w, len(hit)
+        if best_n < 2:
+            continue
+        out.append((i, best_n, best_w))
+    out.sort(key=lambda x: (-x[2], -x[1], x[0]))
+    return out
