@@ -71,6 +71,61 @@ ORG_HEAD = ["Harbor", "Meridian", "Northlight", "Cobalt", "Juniper", "Vantage",
 ORG_TAIL = ["Institute", "Collective", "Foundation", "Consortium",
             "Observatory", "Guild", "Society", "Laboratory"]
 
+# ---------------------------------------------------------------------------
+# XL pool extensions (shared-KB corpus-scale worlds only). The base pools
+# above are FROZEN — tests/test_synth_eval.py pins the committed v1-v4 splits
+# to byte-identical regeneration, and extending a base list would change the
+# shuffle outcome for every existing seed. XL worlds use base + extension.
+# Descriptor-space math: _unique_people_by_desc needs (nationality,
+# profession) singletons, so pairs must scale with n_people — 20 countries x
+# 48 professions = 960 pairs keeps ~350 of 1,200 people uniquely describable.
+# New countries are chosen so qa.py::_same_place resolves their demonyms
+# (suffix-stripped stems or consonant skeletons); no gazetteer exists.
+# ---------------------------------------------------------------------------
+
+FIRST_XL = ["Anouk", "Bela", "Cyrus", "Dalia", "Emeka", "Freya", "Gaspard",
+            "Hana", "Ivo", "Jara", "Kenji", "Leona", "Matteo", "Nils"]
+LAST_XL = ["Aalto", "Bianchi", "Castellanos", "Duarte", "Egorov", "Fischer",
+           "Galvan", "Horvath", "Iwata", "Jimenez", "Keller", "Lombardi",
+           "Mbeki", "Nakamura", "Oliveira", "Pavlov"]
+COUNTRIES_XL = [("Germany", "German"), ("Italy", "Italian"),
+                ("Portugal", "Portuguese"), ("Kenya", "Kenyan"),
+                ("Chile", "Chilean"), ("India", "Indian"),
+                ("Vietnam", "Vietnamese"), ("Austria", "Austrian"),
+                ("Ghana", "Ghanaian"), ("Peru", "Peruvian")]
+CITIES_XL = [("Hamburg", "Germany"), ("Leipzig", "Germany"),
+             ("Turin", "Italy"), ("Bologna", "Italy"),
+             ("Coimbra", "Portugal"), ("Braga", "Portugal"),
+             ("Mombasa", "Kenya"), ("Kisumu", "Kenya"),
+             ("Valparaiso", "Chile"), ("Antofagasta", "Chile"),
+             ("Pune", "India"), ("Mysore", "India"),
+             ("Danang", "Vietnam"), ("Hue", "Vietnam"),
+             ("Graz", "Austria"), ("Linz", "Austria"),
+             ("Kumasi", "Ghana"), ("Tamale", "Ghana"),
+             ("Arequipa", "Peru"), ("Cusco", "Peru")]
+PROFESSIONS_XL = ["horologist", "paleontologist", "oceanographer",
+                  "typographer", "luthier", "falconer", "apiarist",
+                  "milliner", "cellist", "engraver", "choreographer",
+                  "puppeteer", "blacksmith", "meteorologist", "linguist",
+                  "botanist", "historian", "sommelier", "acrobat",
+                  "illustrator", "stonemason", "perfumer", "geologist",
+                  "archivist", "economist", "playwright", "photographer",
+                  "novelist", "violinist", "ceramicist", "entomologist",
+                  "seismologist", "bookbinder", "glaciologist",
+                  "ornithologist", "printmaker"]
+GENRES_XL = ["heist", "espionage", "dystopian", "biographical", "courtroom",
+             "swashbuckling", "psychological", "anthology", "surrealist",
+             "mockumentary"]
+TITLE_ADJ_XL = ["Amber", "Scarlet", "Ashen", "Whispering", "Shattered",
+                "Verdant", "Midnight", "Obsidian", "Copper", "Veiled",
+                "Nameless"]
+TITLE_NOUN_XL = ["Estuary", "Viaduct", "Citadel", "Crossing", "Paddock",
+                 "Aqueduct"]
+ORG_HEAD_XL = ["Bluewater", "Stonegate", "Kestrel", "Larkspur", "Tidewater",
+               "Greenfield"]
+ORG_TAIL_XL = ["Syndicate", "Alliance", "Atelier", "Bureau", "Cooperative",
+               "Union"]
+
 
 # ---------------------------------------------------------------------------
 # v2 surface realizations.
@@ -231,30 +286,46 @@ def _city_paragraph(city: Tuple[str, str]) -> Tuple[str, List[str]]:
 
 
 def make_world(rng: random.Random, n_people: int = 40, n_films: int = 18,
-               n_orgs: int = 12, version: str = "v1") -> Dict[str, Any]:
+               n_orgs: int = 12, version: str = "v1",
+               xl: bool = False) -> Dict[str, Any]:
     """Build a closed world of typed entities with non-ambiguous attributes.
 
     ``version="v2"`` renders every paragraph through one of the three v2
     surface realizations per entity type (sampled per paragraph) — the v1
     renderers are deliberately EXCLUDED from the v2 pool so the v2 corpus is
-    template-disjoint from answer/qa.py (see V2_RELATION_MARKERS)."""
-    names = [f"{f} {l}" for f in FIRST for l in LAST]
+    template-disjoint from answer/qa.py (see V2_RELATION_MARKERS).
+
+    ``xl=True`` appends the *_XL pool extensions (corpus-scale shared worlds:
+    1,600 names / 500 titles / 400 genre-year pairs / 256 org names /
+    960 nationality-profession descriptor pairs). Base-pool worlds are
+    byte-stable across this change for every existing seed."""
+    p_first = FIRST + FIRST_XL if xl else FIRST
+    p_last = LAST + LAST_XL if xl else LAST
+    p_countries = COUNTRIES + COUNTRIES_XL if xl else COUNTRIES
+    p_cities = CITIES + CITIES_XL if xl else CITIES
+    p_prof = PROFESSIONS + PROFESSIONS_XL if xl else PROFESSIONS
+    p_genres = GENRES + GENRES_XL if xl else GENRES
+    p_tadj = TITLE_ADJ + TITLE_ADJ_XL if xl else TITLE_ADJ
+    p_tnoun = TITLE_NOUN + TITLE_NOUN_XL if xl else TITLE_NOUN
+    p_ohead = ORG_HEAD + ORG_HEAD_XL if xl else ORG_HEAD
+    p_otail = ORG_TAIL + ORG_TAIL_XL if xl else ORG_TAIL
+    names = [f"{f} {l}" for f in p_first for l in p_last]
     rng.shuffle(names)
     people = []
     for i in range(n_people):
-        country, nationality = COUNTRIES[rng.randrange(len(COUNTRIES))]
-        cities = [c for c in CITIES if c[1] == country] or CITIES
+        country, nationality = p_countries[rng.randrange(len(p_countries))]
+        cities = [c for c in p_cities if c[1] == country] or p_cities
         people.append({
             "name": names[i], "country": country, "nationality": nationality,
             "birth_city": rng.choice(cities)[0],
             "birth_year": 1930 + rng.randrange(60),
-            "profession": rng.choice(PROFESSIONS),
+            "profession": rng.choice(p_prof),
         })
-    titles = [f"The {a} {n}" for a in TITLE_ADJ for n in TITLE_NOUN]
+    titles = [f"The {a} {n}" for a in p_tadj for n in p_tnoun]
     rng.shuffle(titles)
     # (genre, year) must be unique world-wide so attribute-description
     # questions ("the <genre> film from <year>") are never ambiguous
-    gy = [(g, 1960 + y) for g in GENRES for y in range(0, 60, 3)]
+    gy = [(g, 1960 + y) for g in p_genres for y in range(0, 60, 3)]
     rng.shuffle(gy)
     films = []
     for i in range(n_films):
@@ -262,11 +333,11 @@ def make_world(rng: random.Random, n_people: int = 40, n_films: int = 18,
         genre, year = gy[i]
         films.append({"title": titles[i], "genre": genre, "year": year,
                       "director": director, "star": star,
-                      "city": rng.choice(CITIES)})
-    orgnames = [f"{h} {t}" for h in ORG_HEAD for t in ORG_TAIL]
+                      "city": rng.choice(p_cities)})
+    orgnames = [f"{h} {t}" for h in p_ohead for t in p_otail]
     rng.shuffle(orgnames)
     orgs = [{"name": orgnames[i], "founder": rng.choice(people),
-             "year": 1900 + rng.randrange(110), "city": rng.choice(CITIES)}
+             "year": 1900 + rng.randrange(110), "city": rng.choice(p_cities)}
             for i in range(n_orgs)]
     paragraphs: Dict[str, List[str]] = {}
     kinds: Dict[str, str] = {}
@@ -283,7 +354,7 @@ def make_world(rng: random.Random, n_people: int = 40, n_films: int = 18,
         t, s = (_org_paragraph_v2(o, rng.randrange(3)) if v2
                 else _org_paragraph(o))
         paragraphs[t], kinds[t] = s, "org"
-    for c in CITIES:
+    for c in p_cities:
         t, s = _city_paragraph_v2(c, rng.randrange(3)) if v2 else _city_paragraph(c)
         paragraphs[t], kinds[t] = s, "city"
     return {"people": people, "films": films, "orgs": orgs,
@@ -768,7 +839,8 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
 
 def make_shared_dataset(seed: int, n_items: int, split: str = "test",
                         version: str = "v4", n_people: int = 400,
-                        n_films: int = 180, n_orgs: int = 80
+                        n_films: int = 180, n_orgs: int = 80,
+                        xl: bool = False
                         ) -> Tuple[Dict[str, Any], List[Dict[str, Any]]]:
     """ONE corpus-scale world plus context-free questions against it — the
     fullwiki-style configuration (shared KB, no per-question paragraphs; the
@@ -780,7 +852,7 @@ def make_shared_dataset(seed: int, n_items: int, split: str = "test",
     "context" key, which routes the benchmark harness to the shared graph."""
     rng = random.Random(seed)
     world = make_world(rng, n_people=n_people, n_films=n_films,
-                       n_orgs=n_orgs, version="v2")
+                       n_orgs=n_orgs, version="v2", xl=xl)
     families = {"v1": QUESTION_FAMILIES, "v2": V2_QUESTION_FAMILIES,
                 "v3": V3_QUESTION_FAMILIES, "v4": V4_QUESTION_FAMILIES}[version]
     items: List[Dict[str, Any]] = []
@@ -796,8 +868,9 @@ def make_shared_dataset(seed: int, n_items: int, split: str = "test",
         q, answers, gold_titles, _avoid = out
         if any(it["question"] == q for it in items):
             continue
+        tag = "sharedxl" if xl else "shared"
         items.append({
-            "id": f"synth-{version}-shared-{split}-{len(items):04d}",
+            "id": f"synth-{version}-{tag}-{split}-{len(items):04d}",
             "question": q, "answers": answers,
             "gold_titles": gold_titles, "qtype": qtype,
         })
@@ -833,14 +906,28 @@ def main() -> None:
     ap.add_argument("--shared-corpus", default=None,
                     help="also write a corpus-scale shared world to this "
                          "path and emit context-free items (fullwiki-style)")
+    ap.add_argument("--shared-xl", action="store_true",
+                    help="XL shared world: extended vocabulary pools, "
+                         "1,200 people / 380 films / 220 orgs (~1,850 "
+                         "paragraphs) unless overridden below")
+    ap.add_argument("--shared-people", type=int, default=None)
+    ap.add_argument("--shared-films", type=int, default=None)
+    ap.add_argument("--shared-orgs", type=int, default=None)
     args = ap.parse_args()
     seeds = {"v1": SPLIT_SEEDS, "v2": SPLIT_SEEDS_V2,
              "v3": SPLIT_SEEDS_V3, "v4": SPLIT_SEEDS_V4}[args.version]
     seed = args.seed if args.seed is not None else seeds[args.split]
     if args.shared_corpus:
-        world, items = make_shared_dataset(seed + 500000, args.n,
-                                           split=args.split,
-                                           version=args.version)
+        xl = args.shared_xl
+        sizes = {
+            "n_people": args.shared_people or (1200 if xl else 400),
+            "n_films": args.shared_films or (380 if xl else 180),
+            "n_orgs": args.shared_orgs or (220 if xl else 80),
+        }
+        world, items = make_shared_dataset(seed + (700000 if xl else 500000),
+                                           args.n, split=args.split,
+                                           version=args.version,
+                                           xl=xl, **sizes)
         n_paras = write_shared_world(world, args.shared_corpus)
         print(f"wrote {n_paras} paragraphs to {args.shared_corpus}")
     else:
