@@ -320,19 +320,60 @@ class InferenceEngine:
         it with answer/qa.py::constraint_coverage; the survivors (at most 3)
         are committed as priority evidence by the caller. One extra search
         per question; no-op whenever the question supplies fewer than two
-        content terms or no candidate covers two of them."""
+        content terms or no candidate covers two of them.
+
+        A coordinated question ("the <desc-A> at the helm and the <desc-B> in
+        the lead") is TWO conjunctions bridged by an unnamed answer node: no
+        single paragraph covers both descriptor groups, so whole-question
+        coverage ranks accumulation hubs above either true satisfier. Each
+        coordination clause with two-plus content terms of its own is rescued
+        independently and the per-clause winners are merged in after the
+        whole-question survivors. Clauses whose content terms all belong to
+        multiword capitalized names self-gate (entity comparisons stay on the
+        named-anchor path)."""
+        out = self._rescue_one(query, top_n=3)
+        clauses = [c for c in re.split(r"\band\b|\bwith\b|,\s+", query)
+                   if c and c.strip()]
+        if len(clauses) >= 2:
+            from ahrag_tpu.answer.qa import _query_constraint_terms
+            eligible = [c for c in clauses
+                        if len(_query_constraint_terms(c)) >= 2]
+            if len(eligible) >= 2:
+                for c in eligible:
+                    out += self._rescue_one(c, top_n=2)
+        return list(dict.fromkeys(out))
+
+    def _rescue_one(self, query: str, top_n: int) -> List[str]:
         from ahrag_tpu.answer.qa import _query_constraint_terms, \
-            constraint_coverage
+            _same_place, constraint_coverage
         terms = _query_constraint_terms(query)
         if len(terms) < 2:
             return []
         hg = self.env.hg
+        # demonym->place augmentation for the terms-only pool: the corpus
+        # may state the COUNTRY ("from Nigeria") where the question uses the
+        # ADJECTIVE ("Nigerian") — lexically disjoint for the dense encoder,
+        # so the only satisfier never enters the pool. Resolve capitalized
+        # terms against the corpus's own capitalized vocabulary (_same_place
+        # morphology — no gazetteer) and search with the resolved surface
+        # forms too. The coverage verifier already equates the pair; this
+        # makes the POOL reachable as well.
+        _, caps_vocab = self._coverage_state()
+        aug = [t for t, _ in terms]
+        for t, cap in terms:
+            if cap:
+                aug += [tok for tok in caps_vocab
+                        if tok.lower() != t.lower() and _same_place(t, tok)]
         try:
             res = list(hg.search(query, top_k=96))
-            # second pool biased to the content terms alone: the scaffolding
-            # vocabulary of the full question can push the conjunction's only
-            # satisfier below the dense cut entirely
-            res += hg.search(" ".join(t for t, _ in terms), top_k=96)
+            # second pool biased to the content terms alone and restricted to
+            # ENTITY nodes: the scaffolding vocabulary of the full question
+            # can push the conjunction's only satisfier below the dense cut,
+            # and hyperedge/summary nodes (which repeat the same fact
+            # sentences) otherwise fill most of the 96 slots before the
+            # entity filter below gets to keep anything
+            res += hg.search(" ".join(aug), top_k=96,
+                             type_filter=["entity"])
         except Exception:
             return []
         cands = []
@@ -347,8 +388,40 @@ class InferenceEngine:
                 cands.append((nid, str(d.get("description") or "")))
         if not cands:
             return []
-        ranked = constraint_coverage(query, [text for _, text in cands])
-        return [cands[i][0] for i, _, _ in ranked[:3]]
+        ranked = constraint_coverage(query, [text for _, text in cands],
+                                     idf=self._corpus_idf(query))
+        return [cands[i][0] for i, _, _ in ranked[:top_n]]
+
+    def _coverage_state(self):
+        """(containment indexes, capitalized vocabulary) over every entity
+        description in the graph — term-independent, cached ON the graph
+        object because shared-KB runs reuse one graph across hundreds of
+        questions."""
+        from ahrag_tpu.answer.qa import containment_indexes
+        hg = self.env.hg
+        state = getattr(hg, "_coverage_doc_index", None)
+        if state is None:
+            texts = [str(d.get("description") or "")
+                     for d in hg.nodes.values()
+                     if d.get("node_type") == "entity"]
+            idxs = containment_indexes(texts)
+            caps_vocab = sorted(set().union(*(ix[2] for ix in idxs))
+                                if idxs else set())
+            state = (idxs, caps_vocab)
+            try:
+                hg._coverage_doc_index = state
+            except Exception:
+                pass
+        return state
+
+    def _corpus_idf(self, query: str):
+        """Corpus-GLOBAL term weights for the coverage verifier. The rescue
+        pool is biased toward the query's own terms, so pool-relative df
+        deflates exactly the rare descriptor the ranking hinges on; true
+        document frequency over every entity description restores it."""
+        from ahrag_tpu.answer.qa import corpus_idf
+        idxs, _ = self._coverage_state()
+        return corpus_idf(query, idxs)
 
     def _credit_expansion_targets(self, query: str, context: Dict[str, Any],
                                   done: set) -> List[str]:

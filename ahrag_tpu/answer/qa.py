@@ -40,7 +40,9 @@ _NP_STOP = re.compile(r"\s+(?:who|that|which|and|based|from|known|in|at|with|for
 _FILM_WORDS = ("film", "movie", "picture", "documentary", "feature")
 _ORG_WORDS = ("organization", "organisation", "company", "institute", "foundation",
               "consortium", "guild", "society", "laboratory", "collective",
-              "observatory", "university", "studio", "band", "agency")
+              "observatory", "university", "studio", "band", "agency",
+              "bureau", "union", "syndicate", "alliance", "atelier",
+              "cooperative", "council", "association", "corporation")
 
 
 class Facts:
@@ -107,7 +109,12 @@ _STOP_HEADS = {
 def _strip_stop_heads(span: str) -> str:
     """Drop leading capitalized function words / -ing / -ly adverbials from a
     TitleCase span ('Among the' -> '', 'On The Gilded Causeway' -> title).
-    'The X' survives when followed by more capitalized words (a title shape)."""
+    'The X' survives when followed by more capitalized words (a title shape).
+    The morphological -ing/-ly heuristic applies only when the word HEADS a
+    longer span — an adverbial head precedes the name it modifies, while a
+    lone capitalized -ly/-ing word mid-sentence is a proper noun (Italy,
+    Sicily, Beijing), not an adverb; dropping it severed every
+    city->country containment fact for such countries."""
     words = span.split()
     while words:
         w = words[0]
@@ -116,7 +123,8 @@ def _strip_stop_heads(span: str) -> str:
             if len(words) > 1 and words[1][0:1].isupper():
                 break
             words = words[1:]
-        elif (w in _STOP_HEADS or w.endswith("ing") or w.endswith("ly")):
+        elif w in _STOP_HEADS or (len(words) > 1 and
+                                  (w.endswith("ing") or w.endswith("ly"))):
             words = words[1:]
         else:
             break
@@ -697,7 +705,13 @@ def _same_place(a: str, b: str) -> bool:
         return True
     # the skeleton pass demands the shorter skeleton be a FULL prefix of the
     # longer (frnc < frnch yes; frnc vs frnt no) — near-prefix here matched
-    # unrelated words sharing three consonants
+    # unrelated words sharing three consonants. It also demands a shared
+    # INITIAL LETTER: English vowel-mutating demonym pairs keep their first
+    # letter (French/France, Spanish/Spain); without the guard any word
+    # whose consonant run happens to extend the demonym's matched
+    # (Nigerian/Ingrid -> ngr/ngrd).
+    if al[:1] != bl[:1]:
+        return False
     ca = re.sub(r"[aeiou]", "", _demonym_root(al))
     cb = re.sub(r"[aeiou]", "", _demonym_root(bl))
     n = min(len(ca), len(cb))
@@ -1626,7 +1640,8 @@ def _term_in_index(term: str, cap: bool, idx: Tuple[set, set, set]) -> bool:
     return False
 
 
-def constraint_coverage(query: str, texts: List[str]
+def constraint_coverage(query: str, texts: List[str],
+                        idf: Optional[Dict[str, float]] = None
                         ) -> List[Tuple[int, int, float]]:
     """Rank candidate texts by rarity-weighted coverage of the question's
     content terms — the conjunctive verifier behind
@@ -1640,7 +1655,14 @@ def constraint_coverage(query: str, texts: List[str]
     exact word, stem-tolerant prefix (_prefix_close over suffix-stripped
     stems), or — for capitalized single tokens — country/demonym equivalence
     (_same_place). Term weight is 1/df over the candidate set, so generic
-    question vocabulary self-discounts without any word list.
+    question vocabulary self-discounts without any word list. When the
+    caller supplies ``idf`` (corpus-GLOBAL document frequencies from
+    ``corpus_idf``), it replaces the pool-relative weights: a rescue pool
+    deliberately biased toward the query's own terms makes every query term
+    look common in-pool, deflating exactly the descriptor whose rarity
+    should decide the ranking (observed: a demonym-augmented pool full of
+    one country's residents down-weighting that demonym below the
+    scaffolding stem "year(s)").
 
     Matching is SENTENCE-WINDOW scoped: the conjunction must co-occur within
     two adjacent sentences of a candidate, not merely somewhere in its merged
@@ -1682,24 +1704,61 @@ def constraint_coverage(query: str, texts: List[str]
     for j in range(len(terms)):
         cols.setdefault(tuple(row[j] for row in match), j)
     groups = list(cols.values())
-    df = {j: sum(row[j] for row in match) for j in groups}
-    # no absolute-rarity gate: the candidate pool is DENSE-BIASED (it was
-    # selected by similarity to this query), so every question term can look
-    # common inside it; relative 1/df weighting still ranks the candidate
-    # covering the extra term above the ones covering a subset
     import math
-    n_pool = len(texts)
-    idf = {j: math.log(n_pool / df[j]) if df[j] else 0.0 for j in groups}
+    if idf is not None:
+        # corpus-global weights: a group's weight is its rarest member's —
+        # phrase pairs ('jazz pianist') decorrelate into one group above,
+        # and the rarer member is the phrase's discriminating df
+        members: Dict[int, List[int]] = {}
+        for j in range(len(terms)):
+            members.setdefault(cols[tuple(row[j] for row in match)], []).append(j)
+        w = {j: max(idf.get(terms[k][0].lower(), 0.0) for k in members[j])
+             for j in groups}
+    else:
+        df = {j: sum(row[j] for row in match) for j in groups}
+        # no absolute-rarity gate: the candidate pool is DENSE-BIASED (it was
+        # selected by similarity to this query), so every question term can
+        # look common inside it; relative 1/df weighting still ranks the
+        # candidate covering the extra term above the ones covering a subset
+        n_pool = len(texts)
+        w = {j: math.log(n_pool / df[j]) if df[j] else 0.0 for j in groups}
     out: List[Tuple[int, int, float]] = []
     for i, rows in enumerate(win_match):
         best_w, best_n = 0.0, 0
         for r in rows:
             hit = [j for j in groups if r[j]]
-            w = sum(idf[j] for j in hit)
-            if (w, len(hit)) > (best_w, best_n):
-                best_w, best_n = w, len(hit)
+            hw = sum(w[j] for j in hit)
+            if (hw, len(hit)) > (best_w, best_n):
+                best_w, best_n = hw, len(hit)
         if best_n < 2:
             continue
         out.append((i, best_n, best_w))
     out.sort(key=lambda x: (-x[2], -x[1], x[0]))
+    return out
+
+
+def containment_indexes(texts: List[str]) -> List[Tuple[set, set, set]]:
+    """Prebuilt document-level containment indexes for ``corpus_idf`` —
+    term-independent, so a caller holding a fixed corpus (every entity
+    description in a shared graph) builds them once and reuses them across
+    queries."""
+    return [_containment_index(t) for t in texts]
+
+
+def corpus_idf(query: str, idxs: List[Tuple[set, set, set]]
+               ) -> Dict[str, float]:
+    """Corpus-global idf for the query's content terms over prebuilt
+    ``containment_indexes`` (one per document). Document-level containment
+    matching via the same _term_in_index used by constraint_coverage, so a
+    term's df counts demonym/stem variants too. Terms absent from the corpus
+    get the maximum weight log(N)."""
+    import math
+    terms = _query_constraint_terms(query)
+    if not terms or not idxs:
+        return {}
+    n = len(idxs)
+    out: Dict[str, float] = {}
+    for t, cap in terms:
+        df = sum(1 for ix in idxs if _term_in_index(t, cap, ix))
+        out[t.lower()] = math.log(n / df) if df else math.log(n)
     return out

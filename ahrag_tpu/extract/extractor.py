@@ -66,7 +66,8 @@ _ORG_NOUNS = {"Institute", "Collective", "Foundation", "Consortium", "Guild",
               "Society", "Laboratory", "Observatory", "Company", "Corporation",
               "Group", "Association", "Agency", "Bureau", "Council", "Union",
               "League", "Trust", "Commission", "Committee", "University",
-              "College", "Museum", "Library", "Orchestra", "Studios"}
+              "College", "Museum", "Library", "Orchestra", "Studios",
+              "Syndicate", "Alliance", "Atelier", "Cooperative"}
 
 
 def resolve_section_pronouns(text: str) -> str:
