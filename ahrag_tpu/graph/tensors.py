@@ -186,7 +186,8 @@ def build_graph_tensors(
         from ahrag_tpu.ops.topk import F32_COARSE_PRECISION, binmax_eps
         is_bf16 = store_dtype == jnp.bfloat16
         try:
-            binmax_eps("tpu", d, 2048 if n_pad % 2048 == 0 else 1024,
+            # tile_n must mirror ops.topk.refined_masked_topk_cert's routing
+            binmax_eps("tpu", d, 1024,
                        "default" if is_bf16 else F32_COARSE_PRECISION,
                        is_bf16, False)
         except Exception:  # pragma: no cover - calibration must never block

@@ -215,57 +215,55 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         # A single default-precision pass is then already exact (no 3-pass),
         # and the corpus stream halves (see graph/tensors.py emb_dtype).
         q = q.astype(jnp.bfloat16)
-    if (on_tpu and is_bf16 and n >= 4096 and q.shape[0] >= 256
-            and q.shape[0] * n * 4 <= (4 << 30)):
-        # bf16 STORAGE, large batch: one default-precision MXU pass over the
-        # bf16 operands IS the exact score (products exact in f32
-        # accumulation), so the flat matmul + top_k is certainty by
-        # construction — no coarse stage, no certificate, no fallback branch.
-        # Measured at 1M x 384, B=512: 17.6 ms vs 18.8 ms for the full binned
-        # certified path (and zero cert-failure variance). Gated to batches
-        # >= 256 whose [B, N] f32 score buffer fits comfortably (<= 4 GB);
-        # smaller batches amortize the corpus stream worse than the binned
-        # kernel and keep the streaming path below.
-        vals, idx = _full_highest_topk(q, emb, mask, k, flush_eps=flush_eps)
-        return vals, idx, jnp.ones((q.shape[0],), bool)
     if on_tpu and n % 1024 == 0 and n >= 4096:
         # streaming bin-max kernel: one corpus pass, no [B, N] materialization,
-        # exact coarse coverage (every bin's max upper-bounds its members).
-        # HIGHEST in-kernel matmul costs ~3% extra wall (the kernel is
-        # HBM-bound) and shrinks eps from the bf16 ~4e-3 band to ~1e-6, which
-        # is what keeps the certificate satisfiable on clustered score
-        # distributions (measured cert_rate 0.72 -> 1.0 at 1M rows — with the
-        # bf16 band the fallback fires on EVERY batch of clustered corpora and
-        # throughput collapses 4x); approx bin selection because exact
-        # lax.top_k over 66688 bins costs ~60ms at B=512 (differential-wall
-        # measured; the full exact path ran 70.7 vs 18.9 ms approx) — the
-        # certificate stays sound via the c_out bound (binned_refined_topk).
+        # exact coarse coverage (every bin's max upper-bounds its members),
+        # then HIERARCHICAL exact bin selection — superbin max-reduce + two
+        # small top_k's with a free exact-style out-of-net bound (see
+        # binned_refined_topk select="hier"). Measured at 1.07M x 384, B=512,
+        # bf16 (reports/topk_r4_tpu.json): 5.4 ms = 94.7k qps, cert_rate 1.0,
+        # oracle-exact — vs 16.4-27 ms for the round-3 flat single-pass (the
+        # [B, N] f32 score buffer + lax.top_k over 1M columns was ~13 ms of
+        # non-matmul wall) and 18.9 ms for approx select + its O(B*m*nbins)
+        # c_out pass. For f32 storage the in-kernel matmul runs at HIGHEST
+        # (~3x MXU work, but the kernel is HBM-bound) so eps stays ~1e-6 and
+        # the certificate remains satisfiable on clustered distributions.
         # Batch-chunked: the kernel's VMEM blocks scale with B (scores tile
         # [B, tile_n] plus the HIGHEST 3-pass scratch); 256 is the measured
-        # safe block. Chunking costs extra corpus passes — milliseconds of HBM
-        # stream at these N. Trace-time Python loop: B is static under jit.
+        # safe f32 block, doubled for bf16 (halved VMEM blocks). Chunking
+        # costs extra corpus passes — milliseconds of HBM stream at these N.
+        # Trace-time Python loop: B is static under jit.
         B = q.shape[0]
-        tile_n = 2048 if n % 2048 == 0 else 1024
-        # The wide margin keeps the certificate satisfiable: the bound on
-        # out-of-net rows is the m-th selected bin max, which shrinks as m
-        # grows — at 66688 bins (1M rows) the narrow net certified only 0.93
-        # of batches (effective 48ms with fallbacks) vs ~1.0 wide.
+        tile_n = 1024
+        # Margin policy: the out-of-net bound is the m-th selected bin max,
+        # which TIGHTENS as m grows — f32 keeps the round-3 wide net (its
+        # eps band was the cert-failure driver at 1M). bf16's eps is pure
+        # accumulation noise (~1e-6); the caller's margin certified 1.0 at
+        # every sweep point, and fewer bins gathered = fewer rows re-scored.
         nbins_total = (n // tile_n) * 128
         wide = 8 * k + 2 if nbins_total > 16384 else 3 * k + 2
-        # bf16 storage halves every VMEM block, so the batch chunk doubles
-        # (fewer corpus passes; measured ~8% at 1M, B=512)
+        eff_margin = margin if is_bf16 else max(margin, wide)
         chunk = 512 if is_bf16 else 256
         outs = []
         for s in range(0, B, chunk):
             outs.append(binned_refined_topk(
                 q[s:s + chunk], emb, mask, k,
-                margin=max(margin, wide), tile_n=tile_n,
+                margin=eff_margin, tile_n=tile_n,
                 coarse_precision=("default" if is_bf16
                                   else F32_COARSE_PRECISION),
-                select="approx"))
+                select="hier"))
         if len(outs) == 1:
             return outs[0]
         return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
+    if (on_tpu and is_bf16 and n >= 4096 and q.shape[0] >= 256
+            and q.shape[0] * n * 4 <= (4 << 30)):
+        # bf16 STORAGE at a non-kernel-aligned N (rare: anything not padded by
+        # build_graph_tensors): one default-precision MXU pass over the bf16
+        # operands IS the exact score (products exact in f32 accumulation) —
+        # exact by construction, no certificate needed. Costs the [B, N] f32
+        # score buffer the binned path above avoids.
+        vals, idx = _full_highest_topk(q, emb, mask, k, flush_eps=flush_eps)
+        return vals, idx, jnp.ones((q.shape[0],), bool)
     if on_tpu and n < 4096:
         # small corpus: the full HIGHEST matmul is cheap (3x a tiny matmul
         # beats a two-phase whose bf16-band certificate can fail and pay 4x).
@@ -307,9 +305,16 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
 def _full_highest_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                        k: int, flush_eps: float = 0.0
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Certainly-exact fallback: full matmul at HIGHEST + flat top_k."""
+    """Certainly-exact fallback: full matmul + flat top_k.
+
+    f32 inputs run at HIGHEST (f32 multi-pass — bf16-pass rank flips are the
+    whole reason this fallback exists). bf16 inputs run at default precision:
+    bf16 x bf16 products are exact in f32 accumulation, so a single pass is
+    already exact and HIGHEST would only trigger a ~3x f32-emulation upcast.
+    """
     scores = jnp.dot(q, emb.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=(None if q.dtype == jnp.bfloat16
+                                else jax.lax.Precision.HIGHEST))
     if flush_eps:
         scores = _flush_tiny(scores, flush_eps)
     vals, idx = jax.lax.top_k(jnp.where(mask[None, :], scores, NEG_INF), k)
@@ -653,12 +658,19 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         bm_p = (binmax if nb_pad == nbins else
                 jnp.pad(binmax, ((0, 0), (0, nb_pad - nbins)),
                         constant_values=NEG_INF))
-        smax = bm_p.reshape(B, nb_pad // sb, sb).max(axis=2)     # [B, S]
+        bm3 = bm_p.reshape(B, nb_pad // sb, sb)                  # [B, S, 128]
+        smax = bm3.max(axis=2)                                   # [B, S]
         s_take = min(m, smax.shape[1])
         _, sb_idx = jax.lax.top_k(smax, s_take)                  # [B, s]
+        # gather whole 128-lane superbin ROWS ([B, s, 1] indices -> contiguous
+        # lane slices). The former flattened form ([B, s*128] arbitrary
+        # element indices into [B, nbins]) lowered to a per-element gather —
+        # measured 73 ms at B=512, nbins=66688 vs ~19 ms for the whole approx
+        # path it was meant to beat (reports/topk_hier_r3_tpu.json).
+        sub = jnp.take_along_axis(bm3, sb_idx[:, :, None], axis=1)
+        sub = sub.reshape(B, s_take * sb)                        # [B, s*128]
         bins_of = (sb_idx[:, :, None] * sb
                    + jnp.arange(sb)[None, None, :]).reshape(B, -1)
-        sub = jnp.take_along_axis(bm_p, bins_of, axis=1)         # [B, s*128]
         bm_vals, sub_pos = jax.lax.top_k(sub, m)
         bm_idx = jnp.take_along_axis(bins_of, sub_pos, axis=1)
     elif select == "approx" and m < nbins:
