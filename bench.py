@@ -30,9 +30,21 @@ the headline value is the LARGEST completed rung's qps and detail.ladder holds
 every rung. Rungs are attempted in order while the time budget holds; a rung
 failure is recorded and does not abort the ladder.
 
+Corpus storage dtype is chosen PER RUNG: bfloat16 at >= 65536 nodes (the HBM
+corpus stream is the throughput ceiling there and bf16 x bf16 products are
+exact in f32 accumulation — results are exact w.r.t. the bf16-rounded corpus,
+a storage-precision choice like any vector store's quantization), float32
+below (tiny corpora gain nothing from bf16 and the f32 programs compile
+faster cold). The CPU parity/baseline oracle scores the SAME bf16-rounded
+values (rounded once on the host), so rank parity is checked against the
+storage contract rather than misread near-ties as mismatches (the round-3
+failure mode that kept the driver headline on f32, 2.6x under the
+framework's own best path).
+
 Env knobs: AHRAG_BENCH_LADDER ("2000,131072,1048576"), AHRAG_BENCH_QUERIES
 (2048), AHRAG_BENCH_BUDGET_S (480), AHRAG_BENCH_ENTITIES (legacy: single-rung
-override), AHRAG_EMB_DTYPE (float32|bfloat16 corpus storage).
+override), AHRAG_EMB_DTYPE (float32|bfloat16: force one storage dtype for
+every rung instead of the size-based default).
 """
 from __future__ import annotations
 
@@ -145,13 +157,14 @@ def build_bench_arrays(n_entities: int, n_topics: int, d: int = 384,
                        children, related, n_topics, n_l2)
 
 
-def bench_tensors(arrs: BenchArrays):
+def bench_tensors(arrs: BenchArrays, emb_dtype: str):
     from ahrag_tpu.graph.tensors import build_graph_tensors
 
     n = arrs.n
     empty = np.empty((0, 0), np.int32)
     n_edges = int((arrs.parents_ell >= 0).sum() + (arrs.related_ell >= 0).sum())
     return build_graph_tensors(
+        emb_dtype=emb_dtype,
         embeddings=arrs.emb,
         node_types=arrs.node_type,
         levels=arrs.level,
@@ -246,7 +259,7 @@ def certificate_audit(gt, q_dev, res, n_audit=64, k=5):
             "audit_mismatches": int(mism)}
 
 
-def run_rung(n_entities: int, n_queries: int) -> dict:
+def run_rung(n_entities: int, n_queries: int, emb_dtype: str) -> dict:
     """Build + measure one ladder rung; returns the rung's metric dict."""
     import jax
     import jax.numpy as jnp
@@ -256,7 +269,15 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
     n_topics = max(8, n_entities // 64)
     t_build0 = time.perf_counter()
     arrs = build_bench_arrays(n_entities, n_topics)
-    gt = bench_tensors(arrs)
+    if emb_dtype == "bfloat16":
+        # Round the host copy to the storage precision ONCE: the CPU oracle
+        # and the device then score bitwise-identical operand values (bf16
+        # products are exact in f32 accumulation), so rank parity checks the
+        # storage contract — only ~1e-7 accumulation-order noise remains,
+        # orders of magnitude under this corpus's top-k boundary gaps.
+        import ml_dtypes
+        arrs.emb = arrs.emb.astype(ml_dtypes.bfloat16).astype(np.float32)
+    gt = bench_tensors(arrs, emb_dtype)
     jax.block_until_ready(gt.emb)
     build_s = time.perf_counter() - t_build0
     print(f"[bench] rung {n_entities}: build {build_s:.1f}s", file=sys.stderr,
@@ -270,6 +291,11 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
         arrs.emb[n_entities + q_topics]
         + 0.35 * rng.standard_normal((n_queries, arrs.emb.shape[1]),
                                      dtype=np.float32))
+    if emb_dtype == "bfloat16":
+        # the device path rounds q to bf16 once (ops/topk.py bf16 contract);
+        # pre-round on the host so the oracle scores the same query values
+        import ml_dtypes
+        q_mat = q_mat.astype(ml_dtypes.bfloat16).astype(np.float32)
 
     w = SearchWeights.create()
     q_dev = jnp.asarray(q_mat)
@@ -355,17 +381,6 @@ def run_rung(n_entities: int, n_queries: int) -> dict:
 def main() -> None:
     import jax
 
-    # Corpus storage stays f32 by default; bf16 storage (AHRAG_EMB_DTYPE=
-    # bfloat16, ~2.5x qps at 1M via the halved HBM stream, exact w.r.t. the
-    # bf16-rounded corpus) is OPT-IN for two measured reasons: (1) the ladder's
-    # CPU reference scores the f32 corpus, so bf16 near-ties read as parity
-    # mismatches (1/8 observed at the 2k rung) unless the oracle is made
-    # storage-aware, and (2) the bf16 shapes double the cold remote-compile
-    # count — one cold bf16 attempt burned 582s on the first rung and the
-    # budget gate sacrificed both large rungs. A reliable full f32 ladder
-    # beats a single-rung bf16 headline; reports/topk_r3_tpu.json carries the
-    # bf16 numbers.
-
     # persistent compile cache: the remote-compile latency through the device
     # tunnel (~5-60s/shape) dominates cold wall time; cache across bench runs
     try:
@@ -431,8 +446,16 @@ def main() -> None:
         # queries over a 1M-row corpus is an 8.6 GB buffer — beyond what the
         # search pipeline's working set leaves free on a 16 GB v5e
         rung_queries = n_queries if n_entities <= 262144 else min(n_queries, 512)
+        # storage dtype per rung: bf16 where the corpus stream dominates (the
+        # round-3 failure modes are both addressed — the oracle scores the
+        # bf16-rounded host copy, and the 2k rung stays f32 so the ladder's
+        # cold-compile count doesn't grow where bf16 buys nothing)
+        emb_dtype = os.environ.get(
+            "AHRAG_EMB_DTYPE",
+            "bfloat16" if (n_entities >= 65536 and device_error is None)
+            else "float32")
         try:
-            ladder.append(run_rung(n_entities, rung_queries))
+            ladder.append(run_rung(n_entities, rung_queries, emb_dtype))
         except Exception as e:  # a rung failure must not discard the ladder
             ladder.append({"n_requested": n_entities, "error": f"{type(e).__name__}: {e}"})
 
