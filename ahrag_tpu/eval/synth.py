@@ -250,6 +250,168 @@ def _city_paragraph_v2(city: Tuple[str, str], variant: int) -> Tuple[str, List[s
     return name, sents
 
 
+# ---------------------------------------------------------------------------
+# v5: HELD-OUT relation schema (VERDICT r3 item 2 / "What's missing" #1).
+#
+# Every relation type in v1-v4 (direct/star/found/hq/birth/profession/...) has
+# a hand-written counterpart in answer/qa.py's Facts tables — so F1 there
+# measures "the builder patched every family", not schema generalization. v5
+# introduces SIX relation types the answerer has never seen (award-won,
+# mentored-by, instrument-played, succeeded-as, named-after, married-to),
+# rendered under the same audit discipline (markers provably disjoint from
+# answerer literals, tools/audit_synth_disjoint.py). The protocol is
+# two-numbered: the system is FIRST scored on v5 with qa.py / extractive.py /
+# inference.py frozen at their v4 state (the zero-edit number — the honest
+# generalization measurement), and only then may the answerer be extended,
+# keeping the pre-fix number in the report.
+#
+# Extra facts attach to existing person/org paragraphs as appended sentences,
+# one of >=3 surface realizations each, so retrieval topology (titles,
+# distractor structure) matches v1-v4 exactly; only the relation schema is new.
+# ---------------------------------------------------------------------------
+
+AWARD_HEAD = ["Beacon", "Zenith", "Garnet", "Halcyon", "Polaris", "Quill",
+              "Sapphire", "Tempest", "Wreath", "Cinder", "Lodestar", "Myrtle"]
+AWARD_TAIL = ["Prize", "Medal", "Trophy", "Laurels", "Commendation",
+              "Distinction"]
+INSTRUMENTS = ["cello", "oboe", "marimba", "theremin", "bassoon", "zither",
+               "accordion", "harpsichord", "dulcimer", "clarinet", "viola",
+               "bandoneon"]
+
+V5_RELATION_MARKERS: Dict[str, List[str]] = {
+    "award": ["accepted the", "went to", "take home the"],
+    "mentor": ["under their wing", "at the side of", "early guidance for"],
+    "instrument": ["often heard on", "lifelong companion",
+                   "devoted practice on"],
+    "succeeded": ["picked up the reins from", "into the stewardship of",
+                  "assumed the role"],
+    "named_after": ["as a tribute to", "moniker commemorates",
+                    "carries the name of"],
+    "spouse": ["exchanged vows with", "keeps a household with",
+               "have been wed"],
+}
+
+
+def _award_sentence(n: str, award: str, year: int, variant: int) -> str:
+    if variant == 0:
+        return f"{n} accepted the {award} in {year}."
+    if variant == 1:
+        return f"In {year}, the {award} went to {n}."
+    return f"{year} saw {n} take home the {award}."
+
+
+def _mentor_sentence(n: str, m: str, variant: int) -> str:
+    if variant == 0:
+        return f"{m} took {n} under their wing."
+    if variant == 1:
+        return f"{n} learned the trade at the side of {m}."
+    return f"Early guidance for {n} came from {m}."
+
+
+def _instrument_sentence(n: str, instr: str, variant: int) -> str:
+    if variant == 0:
+        return f"{n} is often heard on the {instr}."
+    if variant == 1:
+        return f"The {instr} has been {n}'s lifelong companion."
+    return f"{n} keeps a devoted practice on the {instr}."
+
+
+def _succeeded_sentence(n: str, s: str, o: str, variant: int) -> str:
+    if variant == 0:
+        return f"At {o}, {n} picked up the reins from {s}."
+    if variant == 1:
+        return f"{n} stepped into the stewardship of {o} after {s}."
+    return f"When {s} left {o}, {n} assumed the role."
+
+
+def _named_after_sentence(o: str, h: str, variant: int) -> str:
+    if variant == 0:
+        return f"{o} carries its title as a tribute to {h}."
+    if variant == 1:
+        return f"The group's moniker commemorates {h}."
+    return f"{o} carries the name of {h} forward."
+
+
+def _spouse_sentence(a: str, b: str, year: int, variant: int) -> str:
+    if variant == 0:
+        return f"{a} exchanged vows with {b} in {year}."
+    if variant == 1:
+        return f"Since {year}, {a} keeps a household with {b}."
+    return f"{a} and {b} have been wed since {year}."
+
+
+def attach_v5_extras(world: Dict[str, Any], rng: random.Random) -> None:
+    """Attach the six held-out relation types to an existing world, in place.
+
+    Facts append one extra sentence to the carrying entity's paragraph (the
+    mentee's, the successor's, the first spouse's, the org's). Uniqueness is
+    enforced where a question family needs it: awards and instruments are
+    world-unique, successions/namesakes are one per org, mentor/spouse
+    assignments are disjoint over people.
+    """
+    people = world["people"]
+    orgs = world["orgs"]
+    paras = world["paragraphs"]
+
+    def _append(title: str, sent: str) -> None:
+        paras[title] = paras[title] + [sent]
+
+    n_slots = max(4, len(people) // 7)
+    pool = people[:]
+    rng.shuffle(pool)
+
+    awards = [f"{h} {t}" for h in AWARD_HEAD for t in AWARD_TAIL]
+    rng.shuffle(awards)
+    world["awards"] = []
+    for i in range(min(n_slots, len(pool))):
+        p = pool.pop()
+        award, year = awards[i], 1975 + rng.randrange(45)
+        world["awards"].append({"person": p, "award": award, "year": year})
+        _append(p["name"], _award_sentence(p["name"], award, year,
+                                           rng.randrange(3)))
+
+    world["mentors"] = []
+    for _ in range(min(n_slots, len(pool) // 2)):
+        mentee, mentor = pool.pop(), pool.pop()
+        world["mentors"].append({"mentee": mentee, "mentor": mentor})
+        _append(mentee["name"], _mentor_sentence(mentee["name"],
+                                                 mentor["name"],
+                                                 rng.randrange(3)))
+
+    instrs = INSTRUMENTS[:]
+    rng.shuffle(instrs)
+    world["instruments"] = []
+    for i in range(min(n_slots, len(pool), len(instrs))):
+        p = pool.pop()
+        world["instruments"].append({"person": p, "instrument": instrs[i]})
+        _append(p["name"], _instrument_sentence(p["name"], instrs[i],
+                                                rng.randrange(3)))
+
+    world["spouses"] = []
+    for _ in range(min(n_slots, len(pool) // 2)):
+        a, b = pool.pop(), pool.pop()
+        year = 1960 + rng.randrange(55)
+        world["spouses"].append({"a": a, "b": b, "year": year})
+        _append(a["name"], _spouse_sentence(a["name"], b["name"], year,
+                                            rng.randrange(3)))
+
+    world["successions"] = []
+    world["namesakes"] = []
+    for j, o in enumerate(orgs):
+        others = [p for p in people if p["name"] != o["founder"]["name"]]
+        if j % 2 == 0 and len(others) >= 2:
+            succ, pred = rng.sample(others, 2)
+            world["successions"].append({"org": o, "successor": succ,
+                                         "predecessor": pred})
+            _append(succ["name"], _succeeded_sentence(
+                succ["name"], pred["name"], o["name"], rng.randrange(3)))
+        elif others:
+            h = rng.choice(others)
+            world["namesakes"].append({"org": o, "honoree": h})
+            _append(o["name"], _named_after_sentence(o["name"], h["name"],
+                                                     rng.randrange(3)))
+
+
 def _person_paragraph(p: Dict[str, Any]) -> Tuple[str, List[str]]:
     sents = [
         f"{p['name']} is a {p['nationality']} {p['profession']} who was born in "
@@ -724,9 +886,173 @@ def _q_unanswerable(w, rng):
     return q, ["unanswerable"], [], []
 
 
+# ---------------------------------------------------------------------------
+# v5-only families: every question targets one of the six HELD-OUT relation
+# types (see attach_v5_extras). No v1-v4 relation is asked, so the v5 score
+# isolates schema generalization: an answerer whose fact tables cover exactly
+# the v1-v4 relations scores ~0 here until it generalizes. Question vocabulary
+# avoids the v5 corpus markers (tutelage/ropes vs wing/guidance; collect vs
+# accepted/went; married vs vows/wed) so lexical overlap gives no free ride.
+# ---------------------------------------------------------------------------
+
+def _q_award_year(w, rng):
+    if not w.get("awards"):
+        return None
+    a = rng.choice(w["awards"])
+    n = a["person"]["name"]
+    q = rng.choice([
+        f"In what year did {n} collect the {a['award']}?",
+        f"When was {n} given the {a['award']}?",
+    ])
+    return q, [str(a["year"])], [n], []
+
+
+def _q_award_holder_prof(w, rng):
+    """No-name bridge: award -> recipient -> profession."""
+    if not w.get("awards"):
+        return None
+    a = rng.choice(w["awards"])
+    p = a["person"]
+    q = rng.choice([
+        f"What does the recipient of the {a['award']} do for a living?",
+        f"Which occupation does the holder of the {a['award']} pursue?",
+    ])
+    return q, [p["profession"]], [p["name"]], []
+
+
+def _q_mentor_of(w, rng):
+    if not w.get("mentors"):
+        return None
+    m = rng.choice(w["mentors"])
+    n = m["mentee"]["name"]
+    q = rng.choice([
+        f"Who showed {n} the ropes?",
+        f"Who oversaw {n}'s first steps in the field?",
+    ])
+    return q, [m["mentor"]["name"]], [n], []
+
+
+def _q_mentor_birth_city(w, rng):
+    """Bridge: mentee -> mentor -> the mentor's home city."""
+    if not w.get("mentors"):
+        return None
+    m = rng.choice(w["mentors"])
+    n = m["mentee"]["name"]
+    q = rng.choice([
+        f"What is the home city of the person who showed {n} the ropes?",
+        f"In which city did the figure who oversaw {n}'s first steps grow up?",
+    ])
+    return (q, [m["mentor"]["birth_city"]],
+            [n, m["mentor"]["name"]], [])
+
+
+def _q_instrument_of(w, rng):
+    if not w.get("instruments"):
+        return None
+    i = rng.choice(w["instruments"])
+    n = i["person"]["name"]
+    q = rng.choice([
+        f"Which instrument does {n} perform on?",
+        f"What instrument is {n} known for?",
+    ])
+    return q, [i["instrument"]], [n], []
+
+
+def _q_person_by_instrument(w, rng):
+    """No-name: instrument (world-unique) -> player -> birth year."""
+    if not w.get("instruments"):
+        return None
+    i = rng.choice(w["instruments"])
+    p = i["person"]
+    q = rng.choice([
+        f"In what year was the performer known for the {i['instrument']} "
+        f"born?",
+        f"Which year saw the birth of the player of the {i['instrument']}?",
+    ])
+    return q, [str(p["birth_year"])], [p["name"]], []
+
+
+def _q_predecessor_of(w, rng):
+    if not w.get("successions"):
+        return None
+    s = rng.choice(w["successions"])
+    n, o = s["successor"]["name"], s["org"]["name"]
+    q = rng.choice([
+        f"Whom did {n} follow at the head of {o}?",
+        f"Who ran {o} before {n} took charge?",
+    ])
+    return q, [s["predecessor"]["name"]], [n], []
+
+
+def _q_successor_of(w, rng):
+    if not w.get("successions"):
+        return None
+    s = rng.choice(w["successions"])
+    p, o = s["predecessor"]["name"], s["org"]["name"]
+    q = rng.choice([
+        f"Who took charge of {o} after {p}?",
+        f"Who came after {p} at the top of {o}?",
+    ])
+    return q, [s["successor"]["name"]], [s["successor"]["name"]], []
+
+
+def _q_namesake_prof(w, rng):
+    """Bridge: org -> honoree in its name -> the honoree's profession."""
+    if not w.get("namesakes"):
+        return None
+    nm = rng.choice(w["namesakes"])
+    o, h = nm["org"]["name"], nm["honoree"]
+    q = rng.choice([
+        f"What occupation does the person honored in the name of {o} pursue?",
+        f"How does the figure {o} is named for earn a living?",
+    ])
+    return q, [h["profession"]], [o, h["name"]], []
+
+
+def _q_spouse_of(w, rng):
+    if not w.get("spouses"):
+        return None
+    sp = rng.choice(w["spouses"])
+    asker, other = ((sp["a"], sp["b"]) if rng.random() < 0.5
+                    else (sp["b"], sp["a"]))
+    q = rng.choice([
+        f"To whom is {asker['name']} married?",
+        f"Who is {asker['name']}'s partner in marriage?",
+    ])
+    return q, [other["name"]], [sp["a"]["name"]], []
+
+
+def _q_spouse_prof(w, rng):
+    """Bridge: person -> spouse -> the spouse's profession."""
+    if not w.get("spouses"):
+        return None
+    sp = rng.choice(w["spouses"])
+    asker, other = ((sp["a"], sp["b"]) if rng.random() < 0.5
+                    else (sp["b"], sp["a"]))
+    q = rng.choice([
+        f"How does the partner of {asker['name']} earn a living?",
+        f"What is the line of work of the person married to "
+        f"{asker['name']}?",
+    ])
+    return q, [other["profession"]], [sp["a"]["name"], other["name"]], []
+
+
+def _q_marriage_year(w, rng):
+    if not w.get("spouses"):
+        return None
+    sp = rng.choice(w["spouses"])
+    a, b = sp["a"]["name"], sp["b"]["name"]
+    q = rng.choice([
+        f"In which year did {a} and {b} marry?",
+        f"What year marks the marriage of {a} and {b}?",
+    ])
+    return q, [str(sp["year"])], [sp["a"]["name"]], []
+
+
 NO_NAME_FAMILIES = ("film_by_attrs", "org_by_founder_desc",
                     "person_year_by_desc", "star_by_film_desc",
-                    "film_by_people_desc")
+                    "film_by_people_desc", "award_holder_prof",
+                    "person_by_instrument")
 
 QUESTION_FAMILIES = [
     ("director_of_film", _q_director_of_film),
@@ -761,6 +1087,23 @@ V4_QUESTION_FAMILIES = V3_QUESTION_FAMILIES + [
     ("film_by_people_desc", _q_film_by_people_desc),
     ("org_founder_film_star_prof", _q_org_founder_film_star_prof),
     ("unanswerable", _q_unanswerable),
+]
+
+# v5 asks ONLY the held-out relations — mixing v1-v4 families back in would
+# dilute the zero-edit generalization measurement the split exists for
+V5_QUESTION_FAMILIES = [
+    ("award_year", _q_award_year),
+    ("award_holder_prof", _q_award_holder_prof),
+    ("mentor_of", _q_mentor_of),
+    ("mentor_birth_city", _q_mentor_birth_city),
+    ("instrument_of", _q_instrument_of),
+    ("person_by_instrument", _q_person_by_instrument),
+    ("predecessor_of", _q_predecessor_of),
+    ("successor_of", _q_successor_of),
+    ("namesake_prof", _q_namesake_prof),
+    ("spouse_of", _q_spouse_of),
+    ("spouse_prof", _q_spouse_prof),
+    ("marriage_year", _q_marriage_year),
 ]
 
 
@@ -804,10 +1147,16 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
     # and superlative families) and founder-director chains are plentiful.
     if version == "v4":
         world = make_world(rng, n_films=26, n_orgs=14, version="v2")
+    elif version == "v5":
+        # v2 corpus renderers + the held-out relation extras appended AFTER
+        # the base world build (base draws unchanged; v1-v4 stay byte-stable)
+        world = make_world(rng, n_orgs=14, version="v2")
+        attach_v5_extras(world, rng)
     else:
         world = make_world(rng, version="v2" if version == "v3" else version)
     families = {"v1": QUESTION_FAMILIES, "v2": V2_QUESTION_FAMILIES,
-                "v3": V3_QUESTION_FAMILIES, "v4": V4_QUESTION_FAMILIES}[version]
+                "v3": V3_QUESTION_FAMILIES, "v4": V4_QUESTION_FAMILIES,
+                "v5": V5_QUESTION_FAMILIES}[version]
     items: List[Dict[str, Any]] = []
     fam_idx = 0
     while len(items) < n_items:
@@ -892,6 +1241,7 @@ SPLIT_SEEDS = {"train": 11, "dev": 22, "test": 33}
 SPLIT_SEEDS_V2 = {"train": 111, "dev": 222, "test": 333}
 SPLIT_SEEDS_V3 = {"train": 1111, "dev": 2222, "test": 3333}
 SPLIT_SEEDS_V4 = {"train": 11111, "dev": 22222, "test": 33333}
+SPLIT_SEEDS_V5 = {"train": 51111, "dev": 52222, "test": 53333}
 
 
 def main() -> None:
@@ -900,7 +1250,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--seed", type=int, default=None,
                     help="override the split seed (default: frozen per split)")
-    ap.add_argument("--version", choices=["v1", "v2", "v3", "v4"],
+    ap.add_argument("--version", choices=["v1", "v2", "v3", "v4", "v5"],
                     default="v1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--shared-corpus", default=None,
@@ -915,7 +1265,8 @@ def main() -> None:
     ap.add_argument("--shared-orgs", type=int, default=None)
     args = ap.parse_args()
     seeds = {"v1": SPLIT_SEEDS, "v2": SPLIT_SEEDS_V2,
-             "v3": SPLIT_SEEDS_V3, "v4": SPLIT_SEEDS_V4}[args.version]
+             "v3": SPLIT_SEEDS_V3, "v4": SPLIT_SEEDS_V4,
+             "v5": SPLIT_SEEDS_V5}[args.version]
     seed = args.seed if args.seed is not None else seeds[args.split]
     if args.shared_corpus:
         xl = args.shared_xl

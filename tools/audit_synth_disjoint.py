@@ -86,10 +86,19 @@ def _source_literal_tokens(path: str) -> set:
 
 
 def _v2_corpus_text() -> str:
+    """Generated v2 + v5 corpus text (v5 worlds are v2 renderers plus the
+    held-out relation extras, so this single corpus serves the liveness check
+    for both marker sets)."""
     import random
     parts = []
     for seed in synth.SPLIT_SEEDS_V2.values():
         world = synth.make_world(random.Random(seed), version="v2")
+        for sents in world["paragraphs"].values():
+            parts.append(" ".join(sents))
+    for seed in synth.SPLIT_SEEDS_V5.values():
+        rng = random.Random(seed)
+        world = synth.make_world(rng, n_orgs=14, version="v2")
+        synth.attach_v5_extras(world, rng)
         for sents in world["paragraphs"].values():
             parts.append(" ".join(sents))
     return "\n".join(parts).lower()
@@ -107,6 +116,8 @@ def run_audit(repo_root: str) -> dict:
 
     markers = [(name, m) for name, ms in synth.V2_RELATION_MARKERS.items()
                for m in ms]
+    markers += [(f"v5:{name}", m)
+                for name, ms in synth.V5_RELATION_MARKERS.items() for m in ms]
 
     # 1) phrase + token disjointness vs the answerer sources
     for name, marker in markers:
