@@ -40,6 +40,15 @@ from ahrag_tpu.ops.topk import NEG_INF, masked_topk, refined_masked_topk
 # otherwise). Mirrored by tests/helpers.py::oracle_search.
 SEM_FLUSH_EPS = 1e-5
 
+# Query-similar member expansion considers at most this many leading children
+# per summary seed. The [B, K, Kc, D] row gather behind the member-similarity
+# einsum is the single most expensive post-seed op at corpus scale (measured
+# 4.5 ms of a 13.7 ms batch at 1.07M nodes, B=512, Kc=64 —
+# reports/search_profile_r4.json); capping the gather halves it while leaving
+# every graph with fan-out <= 32 bit-identical. Mirrored by both oracles
+# (tests/helpers.py::oracle_search, bench.py::cpu_reference_search).
+MEMBER_SIM_CAP = 32
+
 
 class SearchWeights(NamedTuple):
     """Traced rerank parameters (defaults mirror hierarchical_graph.py:37-47)."""
@@ -113,6 +122,8 @@ def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.nda
     len(members) <= m, i.e. on every reference-scale graph. Selected children
     keep the reference's 0.85x-of-parent score and re-enter the candidate
     block in insertion order, so dedup priority and tie-breaks are unchanged.
+    The similarity selection scans the first ``MEMBER_SIM_CAP`` children only
+    (gather-cost cap, see its comment) — identical whenever fan-out <= 32.
     """
     n_pad = gt.n_pad
     dump = n_pad
@@ -127,6 +138,8 @@ def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.nda
     par_sem = jnp.broadcast_to((seed_sim * 0.9)[:, None], par.shape)
 
     mem_all = gt.children[safe_seed]                                   # [K, Kc]
+    if mem_all.shape[1] > MEMBER_SIM_CAP:
+        mem_all = mem_all[:, :MEMBER_SIM_CAP]
     if q_emb is not None and mem_all.shape[1] > member_top_m:
         memsafe = jnp.clip(mem_all, 0, n_pad - 1)
         ce = gt.emb[memsafe]                                           # [K, Kc, D]
@@ -233,7 +246,8 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     # parity, while full-HIGHEST costs 3x the matmul).
     seed_sim, seed_idx = refined_masked_topk(
         q_emb[None, :], gt.emb, gt.indexed & gt.valid, top_k,
-        margin=max(16, 3 * top_k), certify=certify, flush_eps=SEM_FLUSH_EPS)
+        margin=max(12, 2 * top_k + 2), certify=certify,
+        flush_eps=SEM_FLUSH_EPS)
     return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m,
                       q_emb=q_emb)
 
@@ -248,8 +262,8 @@ def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
     ~20x wall-clock at 100k nodes) with two-phase precision refinement; only the
     O(candidates) stages are vmapped."""
     seed_sim, seed_idx = refined_masked_topk(
-        q_embs, gt.emb, gt.indexed & gt.valid, top_k, margin=max(16, 3 * top_k),
-        flush_eps=SEM_FLUSH_EPS)
+        q_embs, gt.emb, gt.indexed & gt.valid, top_k,
+        margin=max(12, 2 * top_k + 2), flush_eps=SEM_FLUSH_EPS)
     return jax.vmap(lambda ss, si, qq: _post_seed(gt, ss, si, w, top_k,
                                                   member_top_m, q_emb=qq)
                     )(seed_sim, seed_idx, q_embs)

@@ -195,11 +195,14 @@ def cpu_reference_search(arrs: BenchArrays, q_vec, top_k=5, member_top_m=5):
                 if parent not in expanded:
                     expanded[parent] = sem * 0.9
         else:
-            children = [int(c) for c in arrs.children_ell[i] if c >= 0]
+            from ahrag_tpu.graph.search import MEMBER_SIM_CAP
+            children = [int(c) for c in arrs.children_ell[i][:MEMBER_SIM_CAP]
+                        if c >= 0]
             if len(children) > member_top_m:
                 # mirror search.py::expand_candidates' documented deviation:
                 # big-fan summaries expand their m most query-similar
-                # children (|sim|<1e-5 flushed; ties by slot), re-entered in
+                # children (|sim|<1e-5 flushed; ties by slot; first
+                # MEMBER_SIM_CAP children scanned), re-entered in
                 # insertion order
                 def _msim(c):
                     s = float(arrs.emb[c] @ q_vec)
@@ -339,13 +342,28 @@ def run_rung(n_entities: int, n_queries: int, emb_dtype: str) -> dict:
     print(f"[bench] rung {n_entities}: cpu baseline {sample}q in "
           f"{sample * cpu_s:.1f}s", file=sys.stderr, flush=True)
 
-    # --- device timing (batched, jitted; warmed up by the parity pass) ---
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = hybrid_search_batch(gt, q_dev, w, top_k=5, member_top_m=5)
-    jax.block_until_ready(out)
-    dev_s = (time.perf_counter() - t0) / reps
+    # --- device timing (batched, jitted; warmed up by the parity pass).
+    # Differential wall (hi-reps minus lo-reps, one final block +
+    # materialization each) cancels the tunnel RTT that a plain
+    # blocked-loop average folds into every batch (~6 ms/batch observed at
+    # reps=5 — a 40% haircut on the 1M rung); inputs VARY per rep (device-
+    # side rolls of the query matrix) so no dispatch can be elided.
+    q_variants = [q_dev] + [jnp.roll(q_dev, 1 + 7 * v, axis=0)
+                            for v in range(3)]
+    jax.block_until_ready(q_variants)
+
+    def _run(reps: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for r in range(reps):
+            out = hybrid_search_batch(gt, q_variants[r % len(q_variants)], w,
+                                      top_k=5, member_top_m=5)
+        jax.block_until_ready(out)
+        np.asarray(out.reranked_idx[:1])
+        return time.perf_counter() - t0
+
+    reps_hi, reps_lo = 14, 2
+    dev_s = (_run(reps_hi) - _run(reps_lo)) / (reps_hi - reps_lo)
     qps_dev = n_queries / dev_s
 
     # analytic cost model of the dominant stage (seed scoring over the corpus):

@@ -93,11 +93,13 @@ def oracle_search(hg: HierarchicalGraph, query: str, top_k: int = 5,
                     expanded[parent] = sims[nid] * 0.9
                     prio[parent] = top_k + i * blk + j
         elif nt == "summary":
-            members = hg.get_summary_members(nid)
+            from ahrag_tpu.graph.search import MEMBER_SIM_CAP
+            members = hg.get_summary_members(nid)[:MEMBER_SIM_CAP]
             if len(members) > member_top_m:
                 # mirror search.py::expand_candidates' documented deviation:
                 # big-fan summaries expand their m most query-similar children
-                # (ties by insertion slot), re-entered in insertion order
+                # (ties by insertion slot; first MEMBER_SIM_CAP children
+                # scanned), re-entered in insertion order
                 def _msim(c: str) -> float:
                     e = hg._embeddings.get(c)
                     s = float(np.dot(e, q)) if e is not None else 0.0
