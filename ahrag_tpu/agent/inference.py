@@ -283,6 +283,10 @@ class InferenceEngine:
             "model": answer_cfg.get("model"),
             "temperature": answer_cfg.get("temperature", 0.1),
             "max_retries": answer_cfg.get("max_retries", 2),
+            # learned span reader (answer/reader.py) — the schema-free
+            # answer stage; off unless a trained checkpoint is configured
+            "reader_ckpt": answer_cfg.get("reader_ckpt"),
+            "reader_min_conf": answer_cfg.get("reader_min_conf", 0.25),
         }
         answer = AnswerGenerator().generate(query, context, gen_cfg)
         summary = self.env.end_episode()

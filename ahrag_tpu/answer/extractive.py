@@ -218,11 +218,14 @@ def _agent_signal(span_l: str, s_lower: str, verbs: List[str]) -> float:
 
 
 def extract_answer(query: str, context_text: str,
-                   allow_span_scoring: bool = True) -> Optional[str]:
+                   allow_span_scoring: bool = True,
+                   reader=None) -> Optional[str]:
     """Best typed answer span from the evidence, or None when nothing scores.
 
     Tries the typed fact-KB chain first (answer/qa.py — handles paraphrased
-    relation vocabulary and one-hop bridge questions structurally), then falls
+    relation vocabulary and one-hop bridge questions structurally), then the
+    learned span reader when one is supplied (answer/reader.py — the
+    schema-free path for relations the fact tables don't know), then falls
     back to span scoring. ``allow_span_scoring=False`` stops after the fact
     chain — used for comparison questions, where a scored name span can never
     be the (yes/no) answer."""
@@ -238,6 +241,10 @@ def extract_answer(query: str, context_text: str,
         return "unanswerable"
     if not allow_span_scoring:
         return None
+    if reader is not None:
+        ans, conf = reader.answer(query, sentences)
+        if ans and conf >= reader.min_conf:
+            return ans
     qtype, focus = _question_type(query)
     keywords = _keywords(query)
     if not keywords:

@@ -97,11 +97,12 @@ class AnswerGenerator:
                         return self._finalize(obj, allowed)
                 except Exception:
                     continue
-        return self._fallback(query, context, allowed)
+        return self._fallback(query, context, allowed, cfg)
 
     # -------------------------------------------------------------- fallback
     def _fallback(self, query: str, context: Dict[str, Any],
-                  allowed: List[str]) -> Dict[str, Any]:
+                  allowed: List[str],
+                  cfg: Dict[str, Any] | None = None) -> Dict[str, Any]:
         query_l = query.lower()
         is_comparison = any(k in query_l for k in _COMPARISON_KWS)
         # typed extractive answer first: exact spans beat snippet synthesis.
@@ -110,8 +111,16 @@ class AnswerGenerator:
         # routed every comparison to _synthesize's hardcoded nationality list,
         # which silently failed on any nationality outside its 7 entries.
         from ahrag_tpu.answer.extractive import extract_answer
+        # learned reader (answer/reader.py): the schema-free middle stage —
+        # opt-in via answer.reader_ckpt, silently off when no checkpoint
+        reader = None
+        if cfg and cfg.get("reader_ckpt"):
+            from ahrag_tpu.answer.reader import get_reader
+            reader = get_reader(str(cfg["reader_ckpt"]),
+                                float(cfg.get("reader_min_conf", 0.25)))
         span = extract_answer(query, context.get("context_text", ""),
-                              allow_span_scoring=not is_comparison)
+                              allow_span_scoring=not is_comparison,
+                              reader=reader)
         if span == "unanswerable":
             # abstention (answer/qa.py::unanswerable): the asked entity is
             # absent from the evidence — cite nothing, claim nothing

@@ -71,6 +71,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "summarizer_max_tokens": 256,
         "enable_kept_spans": True,
         "enable_cache": True,
+        # learned span reader (answer/reader.py): path to a trained
+        # SpanReader .msgpack; None = stage off (fact chain + span scoring)
+        "reader_ckpt": None,
+        "reader_min_conf": 0.25,
     },
     "evaluation": {
         "seed": 42,
@@ -117,6 +121,8 @@ _ENV_OVERRIDES = {
     "REDACT": ("logging.redact", lambda v: v.lower() in {"1", "true", "yes"}),
     "AHRAG_LLM_ENABLED": ("llm.enabled", lambda v: v.lower() in {"1", "true", "yes"}),
     "AHRAG_ENCODER": ("encoder.name", str),
+    "AHRAG_READER_CKPT": ("answer.reader_ckpt", str),
+    "AHRAG_READER_MIN_CONF": ("answer.reader_min_conf", float),
 }
 
 

@@ -36,7 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ahrag_tpu.eval import synth
 
-ANSWER_SOURCES = ["ahrag_tpu/answer/qa.py", "ahrag_tpu/answer/extractive.py"]
+ANSWER_SOURCES = ["ahrag_tpu/answer/qa.py", "ahrag_tpu/answer/extractive.py",
+                  # the reader's meta-training generator: its word pools
+                  # leaking a marker would train the "zero-shot" model on
+                  # the very surfaces v5 holds out
+                  "ahrag_tpu/models/reader/data.py"]
 
 # v1 corpus relation phrases (eval/synth.py v1 renderers) that must not appear
 # in v2 paragraphs — v2 text carrying v1 phrasing would silently re-enable the
