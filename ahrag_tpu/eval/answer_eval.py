@@ -139,7 +139,10 @@ class AnswerEvaluator:
             elif action.get("action") in {"expand_parents", "expand_children",
                                           "expand_related"}:
                 nodes.extend(action.get("inputs", []))
-        return list(set(nodes))
+        # order-preserving dedup: list(set(...)) iterates in salted-hash
+        # order, so downstream rank-sensitive metrics (recall@10) and the
+        # per-item artifact diffs churned run-to-run (ADVICE r3 item 2)
+        return list(dict.fromkeys(nodes))
 
     def _contextual_relevancy(self, retrieved: List[str], question: str,
                               evidence: Dict) -> float:

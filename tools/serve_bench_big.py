@@ -61,7 +61,8 @@ class _LazyNodes(dict):
             return default
 
 
-def build_service(n_nodes: int):
+def build_service(n_nodes: int, max_batch: int = 512,
+                  max_wait_ms: float = 3.0):
     import jax
 
     import bench
@@ -70,7 +71,10 @@ def build_service(n_nodes: int):
 
     n_topics = max(8, n_nodes // 64)
     arrs = bench.build_bench_arrays(n_nodes, n_topics)
-    gt = bench.bench_tensors(arrs)
+    # bf16 storage at corpus scale — the serving path inherits the bench
+    # ladder's storage contract (see bench.py module docstring)
+    emb_dtype = "bfloat16" if n_nodes >= 65536 else "float32"
+    gt = bench.bench_tensors(arrs, emb_dtype)
     jax.block_until_ready(gt.emb)
 
     hg = HierarchicalGraph(encoder_name="hashed")
@@ -81,7 +85,8 @@ def build_service(n_nodes: int):
     hg._embeddings = {"n0": arrs.emb[0]}   # non-empty: skip (re)index
     hg.dirty = False
     hg.vector_index["indexed_nodes"] = arrs.n
-    return RetrievalService(hg=hg, max_batch=64, max_wait_s=0.002)
+    return RetrievalService(hg=hg, max_batch=max_batch,
+                            max_wait_s=max_wait_ms / 1e3)
 
 
 def run_load(service, n_requests: int, threads: int):
@@ -125,6 +130,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=1048576)
     ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--max-batch", type=int, default=512)
+    ap.add_argument("--max-wait-ms", type=float, default=3.0)
+    ap.add_argument("--threads", default="1,32,256",
+                    help="comma-separated closed-loop caller counts")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -138,16 +147,23 @@ def main() -> None:
         pass
 
     t0 = time.perf_counter()
-    service = build_service(args.nodes)
+    service = build_service(args.nodes, max_batch=args.max_batch,
+                            max_wait_ms=args.max_wait_ms)
     build_s = time.perf_counter() - t0
     print(f"service up: {args.nodes} nodes in {build_s:.1f}s", flush=True)
 
+    thread_counts = [int(x) for x in args.threads.split(",")]
     # warm every batch bucket the sweep can hit (compiles labeled separately
-    # in server_timers as search_batch_warmup)
-    for size in (1, 4, 16, 64):
+    # in server_timers as search_batch_warmup): the coalesced batch size is
+    # bounded by min(threads, max_batch), and stragglers land in any smaller
+    # bucket.
+    top = min(max(thread_counts), args.max_batch)
+    buckets = {service._bucket(x) for x in (1, 4, 16, 64, 256, top)
+               if x <= max(top, 64)}
+    for size in sorted(buckets):
         service.search_many(["warm"] * size)
     sweeps = []
-    for threads in (1, 8, 32):
+    for threads in thread_counts:
         r = run_load(service, args.requests, threads)
         print(json.dumps(r), flush=True)
         sweeps.append(r)
