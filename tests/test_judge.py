@@ -168,3 +168,37 @@ def test_nominal_case_stays_edge_case():
     }
     out = _evaluate(obj)
     assert out["details"]["diagnosis"]["primary_issue"] == "edge_case"
+
+
+def test_fault_injection_precision_failure_routes_to_retriever():
+    """Grounded-but-wrong: the answer is a type-plausible span quoted from
+    evidence that has NOTHING to do with the question -> faithfulness and
+    answer_relevancy both saturate (the round-3 blind spot that hid every
+    such failure in edge_case), but contextual precision collapses: no used
+    evidence item shares content with the question or the answer -> the
+    calibrated precision branch routes it to 'retriever'."""
+    obj = {
+        "query": "Who directed Ed Wood?",
+        "answer": "Marcus Webb",   # quoted from the off-target evidence
+        "gold_answers": ["Tim Burton"],
+        "citations": ["sum:9"],
+        "evidence": {"summaries": [
+            {"node_id": "sum:9", "title": "pottery",
+             "summary": "ceramic bowls fired in a mountain kiln"},
+            {"node_id": "sum:8", "title": "geology",
+             "summary": "granite weathers slowly along the ridge"}],
+            "entities": []},
+        "context": {"context_text": "Marcus Webb fired ceramic bowls in a "
+                                    "mountain kiln.",
+                    "used_nodes": ["sum:9", "sum:8"],
+                    "stats": {"tokens_used": 14}},
+        "retrieved_nodes": ["sum:9", "sum:8"],
+        "session_data": _base_session(),
+    }
+    out = _evaluate(obj)
+    assert out["scores"]["faithfulness"] > 0.7          # grounded
+    assert out["scores"]["answer_relevancy"] > 0.7      # right type
+    assert out["scores"]["contextual_precision"] < 0.25
+    d = out["details"]["diagnosis"]
+    assert d["primary_issue"] == "retriever"
+    assert "precision" in d["reason"]
