@@ -31,14 +31,22 @@ from ahrag_tpu.utils.profiling import LatencyRecorder, Timers
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "top_k", "member_top_m"))
-def _encode_and_search(rows, cols, vals, proj, idf, gt, w, *, n_rows: int,
+def _encode_and_search(coo_packed, proj, idf, gt, w, *, n_rows: int,
                        top_k: int, member_top_m: int):
     """Sparse query features -> embeddings -> hybrid search, one device program.
 
     One dispatch per serving batch instead of two (encode, then search): when the
     device sits behind a network tunnel each dispatch costs a round trip, and
     even locally this saves the embedding HBM round trip between the two calls.
+
+    ``coo_packed`` is ONE [nnz, 3] f32 array carrying (row, col, val) — a
+    single host->device transfer instead of three (each upload through the
+    tunnel pays a round trip; row/col indices are exact in f32 far beyond any
+    batch or bucket size here).
     """
+    rows = coo_packed[:, 0].astype(jnp.int32)
+    cols = coo_packed[:, 1].astype(jnp.int32)
+    vals = coo_packed[:, 2]
     q = _project_normalize_sparse(rows, cols, vals, proj, idf, n_rows)
     res = hybrid_search_batch(gt, q, w, top_k=top_k, member_top_m=member_top_m)
     # pack the four result planes into ONE [B, k, 4] f32 array: a single D2H
@@ -54,11 +62,21 @@ class MicroBatcher:
     ``submit(item)`` blocks until the batch containing it is processed; batches
     flush when ``max_batch`` items collect or ``max_wait_s`` elapses after the
     first pending item.
+
+    Two-stage pipelining (``finalize`` given): ``process(batch)`` should only
+    BUILD AND DISPATCH device work (returning a token), and ``finalize(token)``
+    blocks for and assembles the results. The worker then starts coalescing
+    and dispatching the next batch while a finalizer thread waits out the
+    previous batch's device round trip — with a tunneled device the result
+    transfer is a full RTT, so overlapping it with the next dispatch nearly
+    doubles sustained throughput (measured 1.6k -> 3k+ qps at 1M nodes).
     """
 
     def __init__(self, process: Callable[[List[Any]], List[Any]],
-                 max_batch: int = 64, max_wait_s: float = 0.002) -> None:
+                 max_batch: int = 64, max_wait_s: float = 0.002,
+                 finalize: Optional[Callable[[Any], List[Any]]] = None) -> None:
         self._process = process
+        self._finalize = finalize
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self._lock = threading.Condition()
@@ -76,8 +94,29 @@ class MicroBatcher:
         self.n_batches = 0
         self.n_items = 0
         self.max_batch_seen = 0
+        # finalize pipeline: bounded handoff of (gen, batch, token); depth 2
+        # keeps at most one batch in flight on the device while the next one
+        # coalesces/dispatches (deeper queues only add latency, not qps)
+        self._fin_q: List[tuple] = []
+        self._fin_cv = threading.Condition()
+        self._finalizer: Optional[threading.Thread] = None
+        if finalize is not None:
+            self._finalizer = threading.Thread(target=self._run_finalize,
+                                               daemon=True)
+            self._finalizer.start()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _publish(self, gen: int, batch_len: int, payload: tuple) -> None:
+        with self._lock:
+            if self._inflight is not None and self._inflight[0] == gen:
+                self._inflight = None
+            readers = batch_len - self._abandoned.pop(gen, 0)
+            if readers > 0 and gen not in self._results:
+                # (close() may already have error-published this gen after
+                # a drain timeout; its submitters are gone — drop ours)
+                self._results[gen] = [payload, readers]
+            self._lock.notify_all()
 
     def _run(self) -> None:
         while True:
@@ -85,7 +124,7 @@ class MicroBatcher:
                 while not self._pending and not self._closed:
                     self._lock.wait()
                 if self._closed and not self._pending:
-                    return
+                    break
                 deadline = time.monotonic() + self.max_wait_s
                 while (len(self._pending) < self.max_batch
                        and time.monotonic() < deadline):
@@ -98,26 +137,57 @@ class MicroBatcher:
                 self.n_batches += 1
                 self.n_items += len(batch)
                 self.max_batch_seen = max(self.max_batch_seen, len(batch))
+            if self._finalize is None:
+                try:
+                    results = self._process(batch)
+                    if len(results) != len(batch):
+                        raise RuntimeError(
+                            f"process returned {len(results)} results for "
+                            f"{len(batch)} items")
+                    payload = ("ok", results)
+                except Exception as exc:
+                    # Publish the failure to this batch's submitters and keep
+                    # the worker alive: a single malformed request must not
+                    # wedge every future submit() forever.
+                    payload = ("err", exc)
+                self._publish(gen, len(batch), payload)
+                continue
+            # pipelined: dispatch here, block-and-assemble in the finalizer
             try:
-                results = self._process(batch)
-                if len(results) != len(batch):
+                token = self._process(batch)
+            except Exception as exc:
+                self._publish(gen, len(batch), ("err", exc))
+                continue
+            with self._fin_cv:
+                while len(self._fin_q) >= 2:      # bounded in-flight depth
+                    self._fin_cv.wait()
+                self._fin_q.append((gen, len(batch), token))
+                self._fin_cv.notify_all()
+        if self._finalizer is not None:
+            with self._fin_cv:
+                self._fin_q.append(None)          # drain sentinel
+                self._fin_cv.notify_all()
+
+    def _run_finalize(self) -> None:
+        while True:
+            with self._fin_cv:
+                while not self._fin_q:
+                    self._fin_cv.wait()
+                entry = self._fin_q.pop(0)
+                self._fin_cv.notify_all()
+            if entry is None:
+                return
+            gen, batch_len, token = entry
+            try:
+                results = self._finalize(token)
+                if len(results) != batch_len:
                     raise RuntimeError(
-                        f"process returned {len(results)} results for "
-                        f"{len(batch)} items")
+                        f"finalize returned {len(results)} results for "
+                        f"{batch_len} items")
                 payload = ("ok", results)
             except Exception as exc:
-                # Publish the failure to this batch's submitters and keep the
-                # worker alive: a single malformed request must not wedge every
-                # future submit() forever.
                 payload = ("err", exc)
-            with self._lock:
-                self._inflight = None
-                readers = len(batch) - self._abandoned.pop(gen, 0)
-                if readers > 0 and gen not in self._results:
-                    # (close() may already have error-published this gen after
-                    # a drain timeout; its submitters are gone — drop ours)
-                    self._results[gen] = [payload, readers]
-                self._lock.notify_all()
+            self._publish(gen, batch_len, payload)
 
     def submit(self, item: Any, timeout_s: Optional[float] = None) -> Any:
         """Block until the batch containing ``item`` is processed.
@@ -174,6 +244,18 @@ class MicroBatcher:
             self._closed = True
             self._lock.notify_all()
         self._worker.join(timeout=drain_timeout_s)
+        if self._finalizer is not None and not self._worker.is_alive():
+            self._finalizer.join(timeout=drain_timeout_s)
+        if self._finalizer is not None and self._finalizer.is_alive():
+            # wedged finalize: release every batch still queued for results
+            exc = RuntimeError(
+                f"batcher drain exceeded {drain_timeout_s}s; finalizer busy")
+            with self._fin_cv:
+                leftover = [e for e in self._fin_q if e is not None]
+                self._fin_q = []
+                self._fin_cv.notify_all()
+            for gen, batch_len, _tok in leftover:
+                self._publish(gen, batch_len, ("err", exc))
         if self._worker.is_alive():
             exc = RuntimeError(
                 f"batcher drain exceeded {drain_timeout_s}s; worker still busy")
@@ -214,8 +296,35 @@ class RetrievalService:
         self.latency = LatencyRecorder()
         self.request_timeout_s = request_timeout_s
         self._warm_buckets: set = set()  # batch shapes already compiled
-        self._batcher = MicroBatcher(self._process_batch, max_batch=max_batch,
-                                     max_wait_s=max_wait_s)
+        # Per-batch constants staged on device ONCE. The former per-batch
+        # jnp.asarray of idf/weights/projection cost one tunnel round trip
+        # EACH every batch — measured 133 ms/batch at 1M nodes against a
+        # ~15 ms device program (reports/serving_1m_tpu_r4.json, first run).
+        # Serving holds search weights/params fixed for the service lifetime.
+        self._w_cached = self.hg._resolve_weights()
+        self._member_top_m = int(self.hg.search_params.get("member_top_m", 5))
+        enc = self.hg._encoder()
+        if hasattr(enc, "buckets"):
+            idf = getattr(self.hg, "_idf", None)
+            idf = (np.ones(enc.buckets, np.float32) if idf is None
+                   else np.asarray(idf, np.float32))
+            self._idf_dev = jax.device_put(jnp.asarray(idf))
+            lsa = getattr(self.hg, "_lsa", None)
+            self._proj_dev = (enc._proj if lsa is None
+                              else jax.device_put(jnp.asarray(
+                                  np.asarray(lsa, np.float32))))
+            jax.block_until_ready(self._idf_dev)
+        # hashed encoder path pipelines: dispatch in the worker, block for
+        # results in a finalizer thread (see MicroBatcher two-stage docs)
+        if hasattr(enc, "buckets"):
+            self._batcher = MicroBatcher(self._dispatch_batch,
+                                         max_batch=max_batch,
+                                         max_wait_s=max_wait_s,
+                                         finalize=self._finalize_batch)
+        else:
+            self._batcher = MicroBatcher(self._process_batch,
+                                         max_batch=max_batch,
+                                         max_wait_s=max_wait_s)
         self._default_top_k = 5
 
     # -- batched search ------------------------------------------------------
@@ -228,7 +337,11 @@ class RetrievalService:
                 return b
         return ((n + 255) // 256) * 256
 
-    def _process_batch(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
+    def _dispatch_batch(self, queries: List[str]):
+        """Stage 1 (hashed encoder): featurize on host, ONE packed upload,
+        dispatch the fused encode+search program; returns the in-flight device
+        array as the pipeline token. The jit dispatch returns without waiting
+        for execution, so the worker immediately coalesces the next batch."""
         n = len(queries)
         bucket = self._bucket(n)
         # first call at a batch shape pays the XLA compile — label it so p99/max
@@ -238,59 +351,73 @@ class RetrievalService:
                  else "search_batch_warmup")
         with self.timers.timed(timer):
             padded = queries + [""] * (bucket - n)
-            w = self.hg._resolve_weights()
-            member_top_m = int(self.hg.search_params.get("member_top_m", 5))
             enc = self.hg._encoder()
-            if hasattr(enc, "_count_matrix"):
-                # hashed encoder: hash on host, encode+search in ONE dispatch
-                coo = enc._coo_block(padded) if hasattr(enc, "_coo_block") else None
-                if coo is not None:  # threaded C++ sparse featurizer
-                    rows, cols, vals = coo
-                else:
-                    counts = enc._count_matrix(padded)
-                    rows, cols = np.nonzero(counts)
-                    vals = counts[rows, cols]
-                assoc = self.hg.query_assoc()
-                if assoc is not None and hasattr(enc, "expand_coo"):
-                    # query-side co-occurrence expansion — must match
-                    # hg.encode_query exactly or fused and host paths diverge
-                    rows, cols, vals = enc.expand_coo(
-                        np.asarray(rows), np.asarray(cols),
-                        np.asarray(vals, np.float32), assoc)
-                cap = len(padded) * 256
-                if len(rows) > cap:
-                    cap = 1 << (len(rows) - 1).bit_length()
-                pad = cap - len(rows)
-                rows = np.concatenate([rows, np.full(pad, len(padded))]).astype(np.int32)
-                cols = np.concatenate([cols, np.zeros(pad)]).astype(np.int32)
-                vals = np.concatenate([vals, np.zeros(pad)]).astype(np.float32)
-                idf = getattr(self.hg, "_idf", None)
-                idf = (np.ones(enc.buckets, np.float32) if idf is None
-                       else np.asarray(idf, np.float32))
-                lsa = getattr(self.hg, "_lsa", None)  # corpus-fitted basis —
-                # must match hg.encode_query or fused/host paths diverge
-                proj = enc._proj if lsa is None else jnp.asarray(
-                    np.asarray(lsa, np.float32))
-                packed = np.asarray(_encode_and_search(
-                    jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
-                    proj, jnp.asarray(idf), self.gt, w,
-                    n_rows=len(padded), top_k=self._default_top_k,
-                    member_top_m=member_top_m))
-                idx = packed[..., 0].astype(np.int64)
-                score, sem = packed[..., 1], packed[..., 2]
-                ok = packed[..., 3] > 0.5
+            coo = enc._coo_block(padded) if hasattr(enc, "_coo_block") else None
+            if coo is not None:  # threaded C++ sparse featurizer
+                rows, cols, vals = coo
             else:
-                q = jnp.asarray(self.hg.encode_query(padded))
-                res = hybrid_search_batch(self.gt, q, w,
-                                          top_k=self._default_top_k,
-                                          member_top_m=member_top_m)
-                idx = np.asarray(res.reranked_idx)
-                score = np.asarray(res.reranked_score)
-                sem = np.asarray(res.reranked_sem)
-                ok = np.asarray(res.reranked_valid)
+                counts = enc._count_matrix(padded)
+                rows, cols = np.nonzero(counts)
+                vals = counts[rows, cols]
+            assoc = self.hg.query_assoc()
+            if assoc is not None and hasattr(enc, "expand_coo"):
+                # query-side co-occurrence expansion — must match
+                # hg.encode_query exactly or fused and host paths diverge
+                rows, cols, vals = enc.expand_coo(
+                    np.asarray(rows), np.asarray(cols),
+                    np.asarray(vals, np.float32), assoc)
+            cap = len(padded) * 256
+            if len(rows) > cap:
+                cap = 1 << (len(rows) - 1).bit_length()
+            packed_coo = np.zeros((cap, 3), np.float32)  # one packed upload
+            nnz = len(rows)
+            packed_coo[:nnz, 0] = rows
+            packed_coo[:nnz, 1] = cols
+            packed_coo[:nnz, 2] = vals
+            packed_coo[nnz:, 0] = len(padded)            # dump row
+            dev = _encode_and_search(
+                jnp.asarray(packed_coo), self._proj_dev, self._idf_dev,
+                self.gt, self._w_cached,
+                n_rows=len(padded), top_k=self._default_top_k,
+                member_top_m=self._member_top_m)
+        self._warm_buckets.add(bucket)
+        return (n, dev)
+
+    def _finalize_batch(self, token) -> List[List[Dict[str, Any]]]:
+        """Stage 2: block for the device result (a full tunnel round trip —
+        overlapped with the next batch's dispatch) and assemble entries."""
+        n, dev = token
+        with self.timers.timed("search_finalize"):
+            packed = np.asarray(dev)
+        idx = packed[..., 0].astype(np.int64)
+        score, sem = packed[..., 1], packed[..., 2]
+        ok = packed[..., 3] > 0.5
+        out = []
+        for b in range(n):
+            out.append([self.hg._result_entry(int(i), float(s), float(m))
+                        for i, s, m, o in zip(idx[b], score[b], sem[b], ok[b])
+                        if o])
+        return out
+
+    def _process_batch(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
+        """Single-stage path (non-hashed encoders: host encode, two dispatches)."""
+        n = len(queries)
+        bucket = self._bucket(n)
+        timer = ("search_batch" if bucket in self._warm_buckets
+                 else "search_batch_warmup")
+        with self.timers.timed(timer):
+            padded = queries + [""] * (bucket - n)
+            q = jnp.asarray(self.hg.encode_query(padded))
+            res = hybrid_search_batch(self.gt, q, self._w_cached,
+                                      top_k=self._default_top_k,
+                                      member_top_m=self._member_top_m)
+            idx = np.asarray(res.reranked_idx)
+            score = np.asarray(res.reranked_score)
+            sem = np.asarray(res.reranked_sem)
+            ok = np.asarray(res.reranked_valid)
         self._warm_buckets.add(bucket)
         out = []
-        for b in range(len(queries)):
+        for b in range(n):
             out.append([self.hg._result_entry(int(i), float(s), float(m))
                         for i, s, m, o in zip(idx[b], score[b], sem[b], ok[b]) if o])
         return out
@@ -303,6 +430,9 @@ class RetrievalService:
             return self._batcher.submit(query, timeout_s=self.request_timeout_s)
 
     def search_many(self, queries: List[str]) -> List[List[Dict[str, Any]]]:
+        enc = self.hg._encoder()
+        if hasattr(enc, "buckets"):
+            return self._finalize_batch(self._dispatch_batch(queries))
         return self._process_batch(queries)
 
     def beam(self, query: str, beam_width: int = 8, depth: int = 3,
