@@ -14,13 +14,29 @@ and therefore the only things the model can learn — are structural:
 - the answer's surface type agrees with the question word (who -> name,
   when/what year -> year, which <noun> -> lowercase noun, ...);
 - the answer is never a token the question already contains;
-- appended facts are rarer/later than a paragraph's boilerplate.
+- appended facts are rarer/later than a paragraph's boilerplate, while
+  biographical basics (role, origin, birth year) live IN the repeated
+  boilerplate shape.
 
-This mirrors how the reference's LLM answers unseen schemas (it reads;
-it does not look relations up) — learned here from first principles, on
-device. Word pools are disjoint from eval/synth.py's v5 relation
-markers; tools/audit_synth_disjoint.py enforces that (this file is in
-its scan set), so v5 stays a true zero-shot schema for the reader.
+Two vocabularies are deliberately treated differently:
+
+- RELATION surfaces (what links subject to object) are randomized per
+  instance — held-out relations (eval/synth.py v5) stay zero-shot, and
+  tools/audit_synth_disjoint.py scans this file to prove no v5 corpus
+  marker leaks in.
+- QUESTION-INTENT vocabulary (occupation / profession / home city /
+  year words) is general English an evidence reader must simply know —
+  the capability an LLM gets from pretraining. Intent words are sampled
+  from broad synonym pools; none of the v5 question templates appears
+  verbatim.
+
+The round-4 first cut trained on one narrow boilerplate and failed to
+transfer (reports/v5_reader_train_r4.json): real-English biography
+sentences were out of distribution, occupation-intent questions were
+untrained, and span ends drifted on unfamiliar names. This generator
+diversifies all three (6 boilerplate shapes, role/birth question
+families incl. 2-hop, 1-3-word names, title-fragment sentences mimicking
+answer/extractive.py::_clean_sentences block starts).
 """
 from __future__ import annotations
 
@@ -46,17 +62,51 @@ _NOUNS = ["ledger", "charter", "mural", "archive", "pavilion", "treatise",
           "prospectus", "inventory", "blueprint"]
 _ADJS = ["celebrated", "reclusive", "prolific", "itinerant", "seasoned",
          "versatile", "meticulous", "renowned", "spirited", "studious"]
-_ROLES = ["archivist", "cartographer", "botanist", "glassblower", "engraver",
-          "luthier", "falconer", "apiarist", "milliner", "chandler",
-          "cooper", "farrier", "saddler", "thatcher", "vintner"]
+_ROLE_HEADS = ["archivist", "cartographer", "botanist", "glassblower",
+               "engraver", "luthier", "falconer", "apiarist", "milliner",
+               "chandler", "cooper", "farrier", "saddler", "thatcher",
+               "vintner", "surveyor", "illustrator", "restorer", "binder",
+               "printer", "geologist", "astronomer", "historian", "curator"]
+_ROLE_MODS = ["harbor", "alpine", "coastal", "forest", "garden", "royal",
+              "polar", "desert", "island", "river", "highland", "valley"]
 _OBJ_NOUNS = ["quillwork", "fresco", "tapestry", "sundial", "orrery",
               "astrolabe", "lithograph", "woodcut", "etching", "mosaic",
               "filigree", "marquetry", "cloisonne", "scrimshaw", "repousse",
               "intaglio"]
 _ORG_SUFFIX = ["Circle", "Union", "Syndicate", "Assembly", "League",
                "Bureau", "Consortium", "Cooperative", "Guild", "Society"]
+_ORG_KINDS = ["research body", "trade association", "charitable trust",
+              "survey studio", "learned society", "cooperative venture"]
 _Q_CATS = ["technique", "specialty", "discipline", "pursuit",
            "medium", "artform", "vocation"]
+
+# question-intent synonym pools (general English, see module docstring)
+_ROLE_Q = ["What occupation does {p} hold?",
+           "What is {p}'s profession?",
+           "What trade does {p} ply?",
+           "What does {p} do professionally?",
+           "Which profession is {p} known for?",
+           "What line of work occupies {p}?",
+           "How does {p} make a living?",
+           "What is the occupation of {p}?"]
+_ROLE_Q_HOP = ["What occupation does the person who {rel} {p} hold?",
+               "What is the profession of the figure who {rel} {p}?",
+               "How does the person who {rel} {p} make a living?",
+               "What does the one who {rel} {p} do professionally?"]
+_CITY_Q = ["What is the home city of {p}?",
+           "Near which city did {p} come of age?",
+           "Which city does {p} come from?",
+           "Where did {p} grow up?",
+           "What is {p}'s native city?"]
+_CITY_Q_HOP = ["What is the home city of the person who {rel} {p}?",
+               "Where did the figure who {rel} {p} grow up?",
+               "Which city does the one who {rel} {p} come from?"]
+_BYEAR_Q = ["In what year was {p} born?",
+            "Which year saw the birth of {p}?",
+            "When was {p} born?"]
+_REL_Q = ["collaborated with", "worked with", "was involved with",
+          "dealt with", "was connected to", "crossed paths with",
+          "had dealings with"]
 
 
 def _pseudo_word(rng: random.Random, syls: int = 2) -> str:
@@ -65,8 +115,11 @@ def _pseudo_word(rng: random.Random, syls: int = 2) -> str:
 
 
 def _person(rng: random.Random) -> str:
-    return (_pseudo_word(rng).capitalize() + " "
-            + _pseudo_word(rng, 2 + rng.randrange(2)).capitalize())
+    n_parts = 1 + rng.randrange(3)          # 1-3 word names (span-end drill)
+    parts = [_pseudo_word(rng, 1 + rng.randrange(2)).capitalize()
+             for _ in range(n_parts)]
+    return " ".join(parts) if n_parts > 1 else (
+        parts[0] + " " + _pseudo_word(rng, 2).capitalize())
 
 
 def _org(rng: random.Random) -> str:
@@ -81,11 +134,45 @@ def _year(rng: random.Random) -> str:
     return str(1900 + rng.randrange(120))
 
 
+def _demonym(rng: random.Random) -> str:
+    return _pseudo_word(rng, 2).capitalize() + rng.choice(["ian", "ese", "ic"])
+
+
+def _role(rng: random.Random) -> str:
+    head = rng.choice(_ROLE_HEADS)
+    if rng.random() < 0.4:                   # 1-2 word roles
+        return rng.choice(_ROLE_MODS) + " " + head
+    return head
+
+
 class Instance(NamedTuple):
     question: str
     sentences: List[str]        # with "" paragraph seams
     answer: str
     gold_sentence: int          # index into the non-"" sentence sequence
+
+
+# --------------------------------------------------- boilerplate shapes
+
+def _boiler(rng: random.Random, shape: int, p: str, info: Dict[str, str]
+            ) -> str:
+    adj, role = info["adj"], info["role"]
+    city, year = info["city"], info["year"]
+    if shape == 0:
+        return f"{p} is a {adj} {role} who settled near {city} in {year}."
+    if shape == 1:
+        return (f"{p}, a {role} by calling, hails from {city} and first "
+                f"drew notice in {year}.")
+    if shape == 2:
+        return (f"The record of {p} opens in {city} in {year}, where the "
+                f"young {role} trained.")
+    if shape == 3:
+        return f"Born in {year} near {city}, {p} earned renown as a {role}."
+    if shape == 4:
+        return (f"{p} lived a first decade in {city} before taking up "
+                f"work as a {role} around {year}.")
+    return (f"{p} is regarded as a {adj} {role}; the rolls of {city} list "
+            f"a {year} arrival.")
 
 
 # ------------------------------------------------------- fact rendering
@@ -127,8 +214,7 @@ def _render_question(rng: random.Random, subj: str, obj_kind: str,
                      extra_entity: Optional[str] = None,
                      cat: Optional[str] = None) -> str:
     """Question re-describing the relation WITHOUT the fact's verb phrase."""
-    qv = rng.choice(["collaborated with", "worked with", "was involved with",
-                     "dealt with", "was connected to"])
+    qv = rng.choice(_REL_Q)
     if obj_kind == "person":
         return rng.choice([
             f"Who {qv} {subj}?",
@@ -139,11 +225,6 @@ def _render_question(rng: random.Random, subj: str, obj_kind: str,
         return rng.choice([
             f"Which organization is tied to {subj}?",
             f"What group did {subj} have dealings with?",
-        ])
-    if obj_kind == "city":
-        return rng.choice([
-            f"Which place is connected with {subj}?",
-            f"What locality features in {subj}'s record?",
         ])
     if obj_kind == "year":
         anchor = extra_entity or "it"
@@ -163,58 +244,68 @@ def _render_question(rng: random.Random, subj: str, obj_kind: str,
 
 # --------------------------------------------------------- world builder
 
-def make_instance(rng: random.Random) -> Instance:
+FAMILIES = ("rel_person", "rel_year", "rel_noun", "rel_org",
+            "role_1hop", "city_1hop", "byear_1hop",
+            "role_2hop", "city_2hop", "year_2hop", "org_honoree_role")
+
+
+def make_instance(rng: random.Random,
+                  family: Optional[str] = None) -> Instance:
     """One (question, evidence, answer) item over a freshly sampled world."""
+    fam = family or rng.choice(FAMILIES)
     n_paras = 5 + rng.randrange(4)
     people = [_person(rng) for _ in range(n_paras)]
-    city_of = {p: _city(rng) for p in people}
-    year_of = {p: _year(rng) for p in people}
-    role_of = {p: rng.choice(_ROLES) for p in people}
-    # per-world boilerplate template (repeats across paragraphs -> the
-    # novelty channel learns that template facts are rarely the answer)
-    adj = rng.choice(_ADJS)
-    base_noun = rng.choice(_NOUNS)
+    info = {p: {"adj": rng.choice(_ADJS + [_demonym(rng)]),
+                "role": _role(rng), "city": _city(rng),
+                "year": _year(rng)} for p in people}
+    shape_pool = list(range(6))
+    rng.shuffle(shape_pool)
+    # per-world: most paragraphs share one boilerplate shape (the repeated-
+    # template signal the novelty channel keys on), a couple diverge
+    main_shape = shape_pool[0]
+    shapes = {p: (main_shape if rng.random() < 0.75
+                  else rng.choice(shape_pool[1:])) for p in people}
 
-    # choose the queried fact. No bare-year and no 1-hop-city questions:
-    # a year with no co-mentioned anchor is indistinguishable from the
-    # boilerplate settle-year (label noise, not signal), and city answers
-    # are covered by the boilerplate/2-hop forms below.
-    hop2 = rng.random() < 0.25
-    boiler_q = not hop2 and rng.random() < 0.15
     subj = people[0]
-    obj_kind = rng.choice(["person", "person", "year", "noun", "org"])
+    other = people[1]
+
+    # the queried fact (relation families) or boilerplate target
     extra_entity = None
-    if obj_kind == "person":
-        obj = people[1]
-    elif obj_kind == "org":
-        obj = _org(rng)
-    elif obj_kind == "year":
-        obj = _year(rng)
-        # every year question carries an anchor that appears in both the
-        # question and the fact sentence (award_year/marriage_year-style):
-        # a named artifact, or a second person
-        if rng.random() < 0.5:
-            extra_entity = ("the " + _pseudo_word(rng, 2).capitalize() + " "
-                            + rng.choice(_NOUNS).capitalize())
-        else:
-            extra_entity = people[1]
-    else:
-        obj = rng.choice(_OBJ_NOUNS)
+    obj_kind, obj = "person", other
+    if fam == "rel_person":
+        obj_kind, obj = "person", other
+    elif fam == "rel_year":
+        obj_kind, obj = "year", _year(rng)
+        extra_entity = (("the " + _pseudo_word(rng, 2).capitalize() + " "
+                         + rng.choice(_NOUNS).capitalize())
+                        if rng.random() < 0.5 else other)
+    elif fam == "rel_noun":
+        obj_kind, obj = "noun", rng.choice(_OBJ_NOUNS)
+    elif fam == "rel_org":
+        obj_kind, obj = "org", _org(rng)
 
     paragraphs: List[List[str]] = []
-    gold_para = 0
     for i, p in enumerate(people):
-        sents = [f"{p} is a {adj} {role_of[p]} who settled near "
-                 f"{city_of[p]} in {year_of[p]}."]
-        # 1-2 distractor facts with their own random surfaces. The GOLD
-        # paragraph excludes distractors of the queried kind — a second
-        # same-typed object in the same paragraph with no disambiguating
-        # overlap is label noise. (The noun question keeps its intended
-        # competitor: the boilerplate role noun — the model must learn
-        # that the NOVEL sentence carries the asked fact.)
+        sents = []
+        if rng.random() < 0.5:
+            # title fragment, as _clean_sentences emits at block starts
+            sents.append(f"{p}.")
+        sents.append(_boiler(rng, shapes[p], p, info[p]))
         kinds = ["person", "year", "noun", "org"]
-        if i == 0:
+        if i == 0 and fam.startswith("rel_"):
+            # the GOLD paragraph excludes distractors of the queried kind —
+            # a second same-typed object with no disambiguating overlap is
+            # label noise, not signal
             kinds = [k for k in kinds if k != obj_kind]
+        if i == 0 and fam in ("role_2hop", "city_2hop", "year_2hop"):
+            # first-hop ambiguity: a second person fact on the anchor would
+            # make "the person who <rel> subj" unresolvable
+            kinds = [k for k in kinds if k != "person"]
+        if ((i == 0 and fam == "byear_1hop")
+                or (i == 1 and fam == "year_2hop")):
+            # a year-object fact beside the boilerplate birth year is
+            # unresolvable by a bare when-born question
+            kinds = [k for k in kinds if k != "year"]
         for _ in range(1 + rng.randrange(2)):
             dk = rng.choice(kinds)
             if dk == "person":
@@ -228,56 +319,67 @@ def make_instance(rng: random.Random) -> Instance:
             sents.append(_render_fact(rng, p, dobj, dk))
         paragraphs.append(sents)
 
-    if boiler_q:
-        # the question targets the boilerplate fact itself, with stem
-        # overlap ("settle" ~ "settled") as the disambiguating signal —
-        # teaches that lexical overlap, when present, beats novelty
-        attr_kind = rng.choice(["city", "year"])
-        answer = city_of[subj] if attr_kind == "city" else year_of[subj]
-        gold_para = 0
-        gold_sentence_local = 0
-        if attr_kind == "city":
-            question = rng.choice([
-                f"Near which place did {subj} settle?",
-                f"Where did {subj} settle down?",
-            ])
-        else:
-            question = rng.choice([
-                f"In what year did {subj} settle?",
-                f"When did {subj} settle near {city_of[subj]}?",
-            ])
-    elif hop2 and obj_kind in ("person",):
-        # 2-hop: question asks an attribute of the LINKED person; the link
-        # fact sits in subj's paragraph, the attribute in obj's boilerplate
-        mid = obj
-        paragraphs[0].append(_render_fact(rng, subj, mid, "person"))
-        attr_kind = rng.choice(["city", "year"])
-        answer = city_of[mid] if attr_kind == "city" else year_of[mid]
-        gold_para = people.index(mid)
-        gold_sentence_local = 0  # the boilerplate sentence carries it
-        qv = rng.choice(["collaborated with", "worked with",
-                         "was connected to"])
-        if attr_kind == "city":
-            question = rng.choice([
-                f"Near which place did the person who {qv} {subj} settle?",
-                f"Where did the figure linked to {subj} make a home?",
-            ])
-        else:
-            question = rng.choice([
-                f"In what year did the person who {qv} {subj} settle?",
-                f"When did the figure linked to {subj} take up residence?",
-            ])
-    else:
+    def _boiler_sent_local(pi: int) -> int:
+        return 1 if paragraphs[pi][0] == f"{people[pi]}." else 0
+
+    gold_para = 0
+    if fam.startswith("rel_"):
         paragraphs[0].append(_render_fact(rng, subj, obj, obj_kind,
                                           extra_entity=extra_entity))
         answer = obj
-        gold_para = 0
         gold_sentence_local = len(paragraphs[0]) - 1
         question = _render_question(rng, subj, obj_kind,
                                     extra_entity=extra_entity)
+    elif fam == "role_1hop":
+        answer = info[subj]["role"]
+        gold_sentence_local = _boiler_sent_local(0)
+        question = rng.choice(_ROLE_Q).format(p=subj)
+    elif fam == "city_1hop":
+        answer = info[subj]["city"]
+        gold_sentence_local = _boiler_sent_local(0)
+        question = rng.choice(_CITY_Q).format(p=subj)
+    elif fam == "byear_1hop":
+        answer = info[subj]["year"]
+        gold_sentence_local = _boiler_sent_local(0)
+        question = rng.choice(_BYEAR_Q).format(p=subj)
+    elif fam == "org_honoree_role":
+        # org paragraph names a person; the question asks that person's role
+        org = _org(rng)
+        org_city = _city(rng)
+        link = rng.choice([
+            f"{org} is a {rng.choice(_ORG_KINDS)} seated in {org_city}; "
+            f"its rolls open with {other}.",
+            f"{org}, a {rng.choice(_ORG_KINDS)} of {org_city}, lists "
+            f"{other} first among its founders' kin.",
+        ])
+        paragraphs.append([f"{org}.", link])
+        answer = info[other]["role"]
+        gold_para = 1
+        gold_sentence_local = _boiler_sent_local(1)
+        question = rng.choice(_ROLE_Q_HOP).format(
+            rel="is first listed by", p=org)
+    else:
+        # 2-hop: link fact in subj's paragraph, attribute in other's boiler
+        rel_surface = rng.choice(_REL_Q)
+        paragraphs[0].append(_render_fact(rng, subj, other, "person"))
+        gold_para = 1
+        gold_sentence_local = _boiler_sent_local(1)
+        if fam == "role_2hop":
+            answer = info[other]["role"]
+            question = rng.choice(_ROLE_Q_HOP).format(rel=rel_surface, p=subj)
+        elif fam == "city_2hop":
+            answer = info[other]["city"]
+            question = rng.choice(_CITY_Q_HOP).format(rel=rel_surface, p=subj)
+        else:
+            answer = info[other]["year"]
+            question = rng.choice([
+                f"In what year was the person who {rel_surface} {subj} born?",
+                f"Which year saw the birth of the figure who {rel_surface} "
+                f"{subj}?",
+            ])
 
     # shuffle paragraph order (the gold paragraph is not always first)
-    order = list(range(n_paras))
+    order = list(range(len(paragraphs)))
     rng.shuffle(order)
     sentences: List[str] = []
     gold_sentence = -1
@@ -298,9 +400,8 @@ def make_instance(rng: random.Random) -> Instance:
 def build_training_arrays(n_items: int, seed: int = 7):
     """Featurized arrays + gold span targets for ``n_items`` instances.
 
-    Returns (FeatureBatch, starts [N] int32, ends [N] int32); items whose
-    gold span fell outside the token window are dropped (rare: long
-    worlds truncated at E_LEN).
+    Families round-robin for balance. Items whose gold span fell outside
+    the token window are dropped (rare: long worlds truncated at E_LEN).
     """
     import numpy as np
 
@@ -308,8 +409,10 @@ def build_training_arrays(n_items: int, seed: int = 7):
 
     rng = random.Random(seed)
     feats, starts, ends = [], [], []
+    fam_i = 0
     while len(feats) < n_items:
-        inst = make_instance(rng)
+        inst = make_instance(rng, family=FAMILIES[fam_i % len(FAMILIES)])
+        fam_i += 1
         fb, ev = featurize(inst.question, inst.sentences)
         span = _locate(ev, inst)
         if span is None:

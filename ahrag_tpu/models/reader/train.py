@@ -101,19 +101,36 @@ def train(n_train: int = 16384, n_val: int = 1024, batch: int = 64,
     # data/targets are ARGUMENTS, not closures: a jit closing over the
     # resident training set would bake ~300 MB into the program as a
     # constant and ship it through the remote compile (CLAUDE.md r3)
+    from ahrag_tpu.models.reader.features import (STEM_VOCAB, WORD_VOCAB)
+
     @jax.jit
-    def run_chunk(params, opt_state, idx_chunk, data, starts, ends):
+    def run_chunk(params, opt_state, rng_key, idx_chunk, data, starts, ends):
         def step(carry, take):
-            params, opt_state = carry
+            params, opt_state, key = carry
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
             mb = _gather(data, take)
+            # word-identity dropout: at inference the reader reads REAL
+            # English it has never seen, so every content word's hash bucket
+            # is an untrained random embedding. Randomizing a fraction of
+            # train-time identities makes that the TRAINED regime — the
+            # model must carry the task on the structural scalar channels
+            # and use vocabulary only as a bonus signal.
+            wmask = jax.random.bernoulli(k1, 0.3, mb["word_ids"].shape)
+            mb["word_ids"] = jnp.where(
+                wmask, jax.random.randint(k2, mb["word_ids"].shape, 0,
+                                          WORD_VOCAB), mb["word_ids"])
+            smask = jax.random.bernoulli(k3, 0.15, mb["stem_ids"].shape)
+            mb["stem_ids"] = jnp.where(
+                smask, jax.random.randint(k4, mb["stem_ids"].shape, 0,
+                                          STEM_VOCAB), mb["stem_ids"])
             (loss, acc), grads = jax.value_and_grad(
                 _loss_fn, has_aux=True)(params, model, mb,
                                         starts[take], ends[take])
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, acc)
-        (params, opt_state), (losses, accs) = jax.lax.scan(
-            step, (params, opt_state), idx_chunk)
+            return (params, opt_state, key), (loss, acc)
+        (params, opt_state, _), (losses, accs) = jax.lax.scan(
+            step, (params, opt_state, rng_key), idx_chunk)
         return params, opt_state, losses.mean(), accs.mean()
 
     @jax.jit
@@ -125,7 +142,8 @@ def train(n_train: int = 16384, n_val: int = 1024, batch: int = 64,
     t1 = time.time()
     for c in range(0, steps, scan_len):
         params, opt_state, loss, acc = run_chunk(
-            params, opt_state, idx_dev[c:c + scan_len], data, starts, ends)
+            params, opt_state, jax.random.PRNGKey(seed * 100003 + c),
+            idx_dev[c:c + scan_len], data, starts, ends)
         val_acc = evaluate(params, val, v_starts, v_ends)
         loss, acc, val_acc = float(loss), float(acc), float(val_acc)
         curve.append({"step": c + scan_len, "loss": round(loss, 4),
