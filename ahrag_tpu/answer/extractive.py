@@ -241,14 +241,23 @@ def extract_answer(query: str, context_text: str,
         return "unanswerable"
     if not allow_span_scoring:
         return None
+    # learned reader, two thresholds: above hi_conf it pre-empts span
+    # scoring (it is reading the evidence, the scorer is pattern-matching);
+    # between min_conf and hi_conf it only answers when span scoring finds
+    # nothing — so a mildly-confident read can never displace a span the
+    # scorer already supports, it can only fill a blank.
+    reader_ans: Optional[str] = None
+    reader_conf = 0.0
     if reader is not None:
-        ans, conf = reader.answer(query, sentences)
-        if ans and conf >= reader.min_conf:
-            return ans
+        reader_ans, reader_conf = reader.answer(query, sentences)
+        if reader_ans and reader_conf >= getattr(reader, "hi_conf", 0.6):
+            return reader_ans
+        if reader_ans and reader_conf < reader.min_conf:
+            reader_ans = None
     qtype, focus = _question_type(query)
     keywords = _keywords(query)
     if not keywords:
-        return None
+        return reader_ans
     query_lower = query.lower()
     verbs = _question_verbs(keywords)
     # (tier, tie, score): tier 1 = the span sits in the agent position of a
@@ -360,4 +369,4 @@ def extract_answer(query: str, context_text: str,
                 best = (tier, tie, score, len(span), span)
     if best and best[2] >= 2.0:
         return best[4]
-    return None
+    return reader_ans

@@ -793,6 +793,37 @@ def _org_of_founder(person: str, facts: Facts) -> Optional[str]:
 # Question intent
 # ---------------------------------------------------------------------------
 
+# year-question decomposition (see the attribute == "year" branch): the
+# scaffold is closed-class interrogative/function vocabulary, the
+# characteristic words are the events the year tables actually model
+_YEARQ_SCAFFOLD = frozenset(
+    "in what which year when did was were does do is are the a an of to for"
+    " on at by from with and or that this it its his her their who whom how"
+    " there".split())
+_YEARQ_CHARACTERISTIC = frozenset(
+    "born birth first reach reached theaters theatres come came out release"
+    " released premiere premiered debut debuted founded founding established"
+    " formed launched begin began start started".split())
+
+
+def _year_event_unmodeled(query_l: str, ents: List[str],
+                          subject: Optional[str]) -> bool:
+    """True when a year question's content words describe an event the
+    characteristic-year tables do not model (any leftover verb/noun after
+    stripping scaffold, asked entities, type nouns, and the modeled
+    release/founding/birth vocabulary)."""
+    ent_words = set()
+    for e in list(ents) + ([subject] if subject else []):
+        ent_words.update(re.findall(r"[a-z][a-z'-]*", e.lower()))
+    for t in re.findall(r"[a-z][a-z'-]*", query_l):
+        if (t not in _YEARQ_SCAFFOLD and t not in ent_words
+                and t not in _YEARQ_CHARACTERISTIC
+                and t not in _FILM_WORDS and t not in _ORG_WORDS
+                and t not in ("person", "figure", "title", "work", "group")):
+            return True
+    return False
+
+
 # relation cue lexicons (paraphrase vocabulary -> fact table family)
 _CREATOR_CUES = ("helm", "direct", "made", "behind", "filmmaker", "made the",
                  "founded", "establish", "created", "creator", "founder",
@@ -1164,6 +1195,17 @@ def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
         return (_lookup(facts.hq, subject) or _lookup(facts.birth_city, subject)
                 or _lookup(facts.setting, subject))
     if attribute == "year":
+        # The tables model each entity's CHARACTERISTIC year only (release /
+        # founding / birth). A year question whose content words describe some
+        # OTHER event is outside the schema — answering it with the subject's
+        # characteristic year asserts a fact nobody stated (observed: a prize
+        # question answered with the laureate's birth year). The structural
+        # cue is leftover content vocabulary after removing the question
+        # scaffold, the asked entities, and the characteristic-event words;
+        # such questions fall through to the learned reader / span scorer,
+        # which read the evidence instead of a typed slot.
+        if _year_event_unmodeled(query_l, ents, subject):
+            return None
         for ent in ents:
             y = (_lookup(facts.released, ent) or _lookup(facts.founded_year, ent)
                  or _lookup(facts.birth_year, ent))

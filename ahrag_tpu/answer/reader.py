@@ -16,6 +16,7 @@ its answers here are zero-shot schema generalization by construction.
 from __future__ import annotations
 
 import os
+import re
 from functools import lru_cache
 from typing import List, Optional, Tuple
 
@@ -23,9 +24,91 @@ import numpy as np
 
 DEFAULT_CKPT = "checkpoints/reader.msgpack"
 
+_TOKEN_RE = re.compile(r"[A-Za-z0-9][\w']*")
+_STOP = {"the", "a", "an", "of", "in", "on", "at", "to", "for", "by", "from",
+         "with", "and", "or", "is", "are", "was", "were", "did", "does", "do",
+         "who", "whom", "what", "which", "where", "when", "why", "how", "that",
+         "this", "it", "its", "their", "his", "her", "as", "be", "been"}
+
+
+def select_evidence(query: str, sentences: List[str],
+                    budget: int = 320) -> List[str]:
+    """Dedupe and budget-select evidence sentences for the reader.
+
+    Pipeline contexts repeat node text (skeleton + details + expansion all
+    render the same sentence) and routinely exceed the reader's fixed
+    evidence window. Duplicates split the span softmax across identical
+    positions (confidence dilution), and arrival-order truncation can cut
+    the answer sentence entirely. So: keep the FIRST occurrence of each
+    distinct sentence, and when the dedup'd evidence still exceeds the
+    token budget, keep the sentences most lexically entangled with the
+    question (content-word/stem overlap + capitalized-anchor hits),
+    in original order, until the budget fills. Paragraph seams (""
+    sentinels) are preserved between kept sentences so the model's
+    per-paragraph novelty features keep their meaning.
+    """
+    q_toks = _TOKEN_RE.findall(query)
+    q_content = {t.lower() for t in q_toks
+                 if t.lower() not in _STOP and len(t) > 2}
+    q_stems = {w[:4] for w in q_content}
+    q_caps = {t.lower() for t in q_toks if t[:1].isupper()}
+
+    # dedupe, tracking paragraph id per kept sentence
+    kept: List[Tuple[int, str, List[str]]] = []   # (para, text, tokens)
+    seen = set()
+    para = 0
+    for s in sentences:
+        if s == "":
+            para += 1
+            continue
+        key = " ".join(_TOKEN_RE.findall(s.lower()))
+        if not key or key in seen:
+            continue
+        seen.add(key)
+        kept.append((para, s, _TOKEN_RE.findall(s)))
+
+    total = sum(len(t) for _, _, t in kept)
+    if total > budget:
+        def score(entry):
+            _, _, toks = entry
+            low = {t.lower() for t in toks}
+            stems = {t.lower()[:4] for t in toks}
+            ov = sum(1 for w in q_content if w in low or w[:4] in stems)
+            anchor = sum(1 for w in q_caps if w in low)
+            return ov / max(1, len(q_content)) + anchor
+        order = sorted(range(len(kept)), key=lambda i: -score(kept[i]))
+        chosen = set()
+        used = 0
+        for i in order:
+            n = len(kept[i][2])
+            if used + n > budget and chosen:
+                continue
+            chosen.add(i)
+            used += n
+            if used >= budget:
+                break
+        kept = [kept[i] for i in sorted(chosen)]
+
+    out: List[str] = []
+    prev_para = None
+    for p, s, _ in kept:
+        if prev_para is not None and p != prev_para:
+            out.append("")
+        out.append(s)
+        prev_para = p
+    return out
+
 
 class ReaderAnswerer:
     """Loads a trained SpanReader checkpoint and answers from sentences."""
+
+    #: confidence at which the reader PRE-EMPTS span scoring (vs min_conf,
+    #: below which it never answers; between the two it only answers when
+    #: span scoring found nothing — see extractive.py::extract_answer).
+    #: Set from measurement (tools/qa_dev_harness probes on v5): the
+    #: reader's 0.6-0.95 band still contains wrong reads that would
+    #: displace correct span answers; >=0.95 it was never observed wrong.
+    hi_conf: float = 0.95
 
     def __init__(self, ckpt_path: str, d_model: int = 128,
                  n_layers: int = 2, min_conf: float = 0.25) -> None:
@@ -51,9 +134,10 @@ class ReaderAnswerer:
     def answer(self, query: str, sentences: List[str],
                max_span_len: int = 6) -> Tuple[Optional[str], float]:
         """(answer text or None, confidence in [0, 1])."""
-        from ahrag_tpu.models.reader.features import (best_span, decode_span,
-                                                      featurize)
-        fb, ev = featurize(query, sentences)
+        from ahrag_tpu.models.reader.features import (E_LEN, best_span,
+                                                      decode_span, featurize)
+        fb, ev = featurize(query, select_evidence(query, sentences,
+                                                  budget=E_LEN))
         if not ev.tokens:
             return None, 0.0
         s_log, e_log = self._apply(self._params, fb.word_ids, fb.stem_ids,
