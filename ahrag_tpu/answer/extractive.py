@@ -14,7 +14,7 @@ snippet-synthesis fallback.
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 _NAME_RE = re.compile(r"\b[A-Z][a-zA-Z']+(?:\s+(?:of|the|[A-Z][a-zA-Z']+))*\b")
 _YEAR_RE = re.compile(r"\b(1[5-9]\d{2}|20\d{2})\b")
@@ -186,6 +186,8 @@ def _name_spans(sentence: str) -> List[str]:
         if not words:
             continue
         span = " ".join(words)
+        # possessive marker is question/sentence syntax, not part of the name
+        span = re.sub(r"'s$", "", span)
         if span and span not in spans:
             spans.append(span)
     return spans
@@ -217,6 +219,308 @@ def _agent_signal(span_l: str, s_lower: str, verbs: List[str]) -> float:
     return signal
 
 
+def _bridged_answer(query: str, sentences: List[str],
+                    keywords: List[str]) -> Optional[str]:
+    """Second-hop apposition answer for questions whose focus noun never
+    appears in the evidence ("Which <focus> does the <role> of E ...?").
+
+    When the asked-for category word is absent from every sentence, the
+    answer is a common noun standing in apposition to a BRIDGE name: one
+    sentence ties the question's entities/keywords to a person or org (the
+    hub), another sentence ties the hub to the answer noun. Candidates are
+    scored structurally — hub support (how strongly the hub's sentences tie
+    back to the question), cross-paragraph rarity (template boilerplate
+    repeats across paragraphs, facts don't), and apposition position (the
+    noun phrase after a/an/of/as/the) — no relation vocabulary involved,
+    so this generalizes to unseen schemas by construction.
+    """
+    ql = query.lower()
+    q_ents = [e.lower() for e in _name_spans(query)]
+    # When no question entity is the SUBJECT of the question's verb, the
+    # question asks about someone RELATED to E, not E itself ("the <role>
+    # of E", "E's <role>", "the <role> E is <verb>ed for") — the answer
+    # apposition then attaches to a bridge name in a sentence AWAY from E,
+    # and candidates co-occurring with E describe E (the wrong thing).
+    # E is subject-ish when an auxiliary immediately precedes it ("does E
+    # <verb>") or the question opens with it.
+    two_hop = bool(q_ents) and not any(
+        re.search(r"\b(?:does|did|do|is|was|are|were|has|have)\s+(?:the\s+)?"
+                  + re.escape(e), ql) or ql.startswith(e)
+        for e in q_ents)
+    # paragraph structure: the "" sentinels in the cleaned sentence list
+    # mark paragraph seams (same convention as the reader's novelty
+    # features)
+    paras = _split_paras(sentences)
+
+    # hub support: names outside the question, from sentences — or
+    # paragraphs, at a discount: the bridge statement and the name it
+    # honors are routinely adjacent sentences of one paragraph — tied to
+    # the question. Multi-word spans only: single capitalized words in a
+    # matching sentence are mostly places/adjectives/sentence-initial
+    # words, and a junk hub leaks every sentence it appears in into the
+    # candidate pool.
+    hub_support: Dict[str, float] = {}
+
+    def tie(text_l: str) -> float:
+        ov = sum(1 for k in keywords if k in text_l)
+        ent = sum(1 for e in q_ents if e in text_l)
+        return ov + 2.0 * ent
+
+    for para in paras:
+        para_sc = tie(" ".join(para).lower())
+        for s in para:
+            sc = max(tie(s.lower()), 0.8 * para_sc)
+            if sc <= 0:
+                continue
+            for span in _name_spans(s):
+                pl = span.lower()
+                if pl in ql or " " not in pl:
+                    continue
+                hub_support[pl] = max(hub_support.get(pl, 0.0), sc)
+    if not two_hop:
+        for e in q_ents:  # 1-hop: the question's own entities are hubs too
+            if len(e) >= 4:
+                hub_support[e] = max(hub_support.get(e, 0.0), 2.0)
+    if not hub_support:
+        return None
+
+    # 1-hop questions about an entity present in the evidence: the answer
+    # apposition must sit in that entity's own sentences — a rare noun next
+    # to some OTHER supported name describes that name instead
+    ent_present = any(e in s.lower() for e in q_ents for s in sentences)
+
+    para_tokens = [set(re.findall(r"[a-z][a-z'-]{3,}", " ".join(p).lower()))
+                   for p in paras]
+    n_paras = max(1, len(para_tokens))
+    word_df: Dict[str, int] = {}
+    for p in para_tokens:
+        for w in p:
+            word_df[w] = word_df.get(w, 0) + 1
+
+    def rarity(phrase: str) -> float:
+        words = phrase.split()
+        return min(1.0 - sum(w in p for p in para_tokens) / n_paras
+                   for w in words)
+
+    def scaffold(s_l: str, cand: str) -> float:
+        # how template-like the candidate's host sentence is: mean paragraph
+        # frequency of its content words (candidate excluded). Every
+        # paragraph describes its subject with the SAME boilerplate sentence
+        # (whose slot filler names a generic attribute of the subject); the
+        # asked-for fact of an unmodeled relation lives in a sentence whose
+        # scaffold does NOT repeat corpus-wide.
+        cand_words = set(cand.split())
+        toks = [w for w in re.findall(r"[a-z][a-z'-]{3,}", s_l)
+                if w not in cand_words and w not in _STOPWORDS]
+        if not toks:
+            return 0.0
+        return sum(word_df.get(w, 0) for w in toks) / (len(toks) * n_paras)
+
+    best: Optional[Tuple[float, str]] = None
+    for s in sentences:
+        if not s:
+            continue
+        sl = s.lower()
+        if two_hop and any(e in sl for e in q_ents):
+            continue  # sentences about E describe E, not the bridge
+        if not two_hop and ent_present and not any(e in sl for e in q_ents):
+            continue  # the question subject's own sentences only
+        hubs = [h for h in hub_support if h in sl]
+        if not hubs:
+            continue
+        top_hub = max(hubs, key=lambda h: hub_support[h])
+        hub_sc = hub_support[top_hub]
+        # third-party names in the candidate's sentence mark a RELATIONSHIP
+        # statement (successions, attributions) — its nouns describe the
+        # relation, not the asked attribute of the subject
+        crowd = sum(1 for o in _name_spans(s)
+                    if " " in o and o.lower() not in q_ents
+                    and o.lower() != top_hub)
+        # match on the ORIGINAL casing: the answer is a common noun, and a
+        # capitalized word at the match site is a proper noun, not one
+        for m in re.finditer(
+                r"\b(a|an|of|as|the|The)\s+([a-z][a-z'-]{3,}"
+                r"(?:\s+[a-z][a-z'-]{3,})?)\b", s):
+            for cand in {m.group(2), m.group(2).split()[0]}:
+                if any(w in _STOPWORDS or w in ql for w in cand.split()):
+                    continue
+                if any(cand in h for h in hubs):
+                    continue
+                r = rarity(cand)
+                if r < 0.5:   # boilerplate: appears in most paragraphs
+                    continue
+                pos = 1.0 if m.group(1) in ("a", "an") else 0.7
+                # object position: the word right before the candidate
+                # (through articles/prepositions) is a question keyword —
+                # the noun governed by the question's own verb beats a
+                # name-adjacent apposition describing the subject
+                om = re.search(r"(\w+)\s+(?:(?:the|a|an|in|at|on|of)\s+)*"
+                               + re.escape(cand), sl)
+                obj = (1.5 if om and om.group(1).isalpha()
+                       and any(om.group(1).startswith(k[:6])
+                               for k in keywords) else 0.0)
+                sc = (hub_sc + 2.0 * r + pos + obj + 0.1 * len(cand.split())
+                      - 2.0 * scaffold(sl, cand) - 0.8 * crowd)
+                if best is None or sc > best[0]:
+                    best = (sc, cand)
+    return best[1] if best else None
+
+
+_DESC_DET = re.compile(
+    r"\bthe\s+[a-z][\w'-]+\s+(?:who\b|that\b|of\b|"
+    r"[a-z]+(?:ed|wn)\s+(?:to|for|in|by|after|as)\b|"
+    # reduced relative with an embedded name ("the <noun> <Name> is
+    # <participle> for ...") — case is lost here, so the name is any
+    # token run up to the copula
+    r"[\w' ]{0,40}?\bis\s+[a-z]+(?:ed|wn)\s+(?:for|after|to|by)\b)")
+
+
+def _split_paras(sentences: List[str]) -> List[List[str]]:
+    """Group the cleaned sentence list by its "" block-seam sentinels."""
+    paras: List[List[str]] = [[]]
+    for s in sentences:
+        if s == "":
+            if paras[-1]:
+                paras.append([])
+            continue
+        paras[-1].append(s)
+    if not paras[-1]:
+        paras.pop()
+    return paras
+
+
+def _hub_support(query: str, sentences: List[str],
+                 keywords: List[str]) -> List[Tuple[str, float]]:
+    """Names tied to the question by co-occurrence, strongest first.
+
+    Multi-word names outside the question, scored by how strongly their
+    sentence (or paragraph, discounted) ties back to the question's entities
+    and keyword stems. Crowded sentences are discounted per third-party
+    name — a sentence naming several outsiders is a listing, not the
+    dedicated two-party statement a relational question points at."""
+    ql = query.lower()
+    q_ents_l = [e.lower() for e in _name_spans(query)]
+    paras = _split_paras(sentences)
+    if not paras:
+        return []
+
+    def tie(text_l: str) -> float:
+        # stemmed word-prefix match: the surface vocabulary is paraphrased
+        # between question and evidence, but shared stems still tie
+        words = set(re.findall(r"[a-z][a-z'-]+", text_l))
+        ov = 0.0
+        for k in keywords:
+            stem = k[:4]
+            if k in text_l or (len(k) >= 4
+                               and any(w.startswith(stem) and
+                                       (w.startswith(k[:5]) or len(k) <= 5
+                                        or k.startswith(w[:5]))
+                                       for w in words)):
+                ov += 1.0
+        return ov + 2.0 * sum(1.0 for e in q_ents_l if e in text_l)
+
+    support: Dict[str, float] = {}
+    for para in paras:
+        para_sc = 0.8 * tie(" ".join(para).lower())
+        for s in para:
+            sl = s.lower()
+            spans = _name_spans(s)
+            sc = max(tie(sl), para_sc)
+            if sc <= 0:
+                continue
+            for span in spans:
+                pl = span.lower()
+                if pl in ql or " " not in pl:
+                    continue
+                extra = sum(1 for o in spans
+                            if " " in o and o.lower() != pl
+                            and o.lower() not in q_ents_l)
+                hub_sc = sc - 0.3 * extra
+                if hub_sc > support.get(span, 0.0):
+                    support[span] = hub_sc
+    return sorted(support.items(), key=lambda kv: -kv[1])
+
+
+def _second_hop_rewrite(query: str, sentences: List[str]) -> Optional[str]:
+    """Resolve a described subject to its NAME by co-occurrence and re-ask.
+
+    A question whose subject is a definite description ("the <noun> of E",
+    "the <noun> who <clause about E>") points at someone the evidence names
+    but the question does not. The hop needs no relation vocabulary: the
+    description's anchor — the question's entities, or its scarcest content
+    word — co-occurs with the target name somewhere in the evidence, so the
+    tied names are the hub candidates. Substituting a hub for the description
+    span yields a one-hop question the typed fact chain already answers; the
+    split boundaries are unknown, so every candidate split is tried and
+    validated by whether the chain accepts it (a mis-bounded rewrite parses
+    to nothing, and a type check blocks wrong-shaped answers). This is the
+    schema-free counterpart of the reference LLM's multi-hop reading
+    (reference answer/generator.py:100)."""
+    ql = query.lower()
+    if not _DESC_DET.search(ql):
+        return None
+    from ahrag_tpu.answer.qa import answer_from_facts
+    q_ents_l = [e.lower() for e in _name_spans(query)]
+    keywords = _keywords(query)
+    qtype, _ = _question_type(query)
+
+    ranked = _hub_support(query, sentences, keywords)
+    # with entities in the question, hubs must tie through an entity
+    # co-occurrence (>= 2.0); keyword-stem ties alone are too weak to name
+    # someone "related to E" and would fabricate answers when E's own
+    # paragraph was never retrieved (the abstention families)
+    min_support = 2.0 if q_ents_l else 1.0
+    hubs = [h for h, sc in ranked if sc >= min_support][:3]
+    if not hubs:
+        return None
+
+    # the anchor marks which "the <noun> ..." phrase is the description: the
+    # question's entity words, or (entity-free descriptions) the scarcest
+    # question keyword the evidence actually contains
+    anchor = {w for e in q_ents_l for w in e.split()}
+    if not anchor:
+        ev_l = " ".join(sentences).lower()
+        first_the = ql.find("the ")
+        # only keywords inside the description region (after its leading
+        # determiner) can anchor it — a frame verb before any "the" matches
+        # no description span and would veto every split
+        present = [k for k in keywords
+                   if k in ev_l and first_the >= 0 and ql.find(k) > first_the]
+        if present:
+            anchor = {min(present, key=ev_l.count)}
+    if not anchor:
+        return None
+
+    toks = query.split()
+    tried = 0
+    for hub in hubs:
+        for i, t in enumerate(toks[:-1]):
+            if t.lower() != "the" or not toks[i + 1][:1].islower():
+                continue
+            for j in range(i + 2, min(i + 13, len(toks)) + 1):
+                desc_l = " ".join(toks[i:j]).lower()
+                if not any(a in desc_l for a in anchor):
+                    continue
+                rw = " ".join(toks[:i] + [hub] + toks[j:])
+                if not rw.endswith("?"):
+                    rw += "?"
+                tried += 1
+                if tried > 48:
+                    return None
+                ans = answer_from_facts(rw, sentences)
+                if not ans:
+                    continue
+                al = ans.lower()
+                if al == hub.lower() or al in ql:
+                    continue
+                if qtype == "year" and not _YEAR_RE.fullmatch(ans):
+                    continue
+                if qtype == "who" and not ans[:1].isupper():
+                    continue
+                return ans
+    return None
+
+
 def extract_answer(query: str, context_text: str,
                    allow_span_scoring: bool = True,
                    reader=None) -> Optional[str]:
@@ -229,8 +533,29 @@ def extract_answer(query: str, context_text: str,
     back to span scoring. ``allow_span_scoring=False`` stops after the fact
     chain — used for comparison questions, where a scored name span can never
     be the (yes/no) answer."""
-    from ahrag_tpu.answer.qa import answer_from_facts, unanswerable
+    from ahrag_tpu.answer.qa import (_CREATOR_CUES, _STAR_CUES,
+                                     answer_from_facts, unanswerable)
     sentences = _clean_sentences(context_text)
+    # described-subject questions with an UNMODELED relation (no creator/star
+    # cue) and an entity that is not the grammatical subject: the fact
+    # chain's subject resolution falls back to E and answers E's OWN
+    # attribute — the wrong person. The co-occurrence rewrite (validated by
+    # the same chain) is the higher-precision path, so it goes first; when
+    # the description's relation IS modeled, the chain's nested-hop
+    # resolution knows the relation and keeps precedence.
+    ql0 = query.lower()
+    q_ents0 = [e.lower() for e in _name_spans(query)]
+    desc_unmodeled = bool(
+        allow_span_scoring and _DESC_DET.search(ql0)
+        and not any(c in ql0 for c in _STAR_CUES + _CREATOR_CUES)
+        and (not q_ents0 or not any(
+            re.search(r"\b(?:does|did|do|is|was|are|were|has|have)\s+"
+                      r"(?:the\s+)?" + re.escape(e), ql0)
+            or ql0.startswith(e) for e in q_ents0)))
+    if desc_unmodeled:
+        second = _second_hop_rewrite(query, sentences)
+        if second:
+            return second
     fact_answer = answer_from_facts(query, sentences)
     if fact_answer:
         return fact_answer
@@ -241,6 +566,13 @@ def extract_answer(query: str, context_text: str,
         return "unanswerable"
     if not allow_span_scoring:
         return None
+    # described-subject resolution for the modeled-cue case the early pass
+    # skipped: when the chain's nested hop ALSO failed, the co-occurrence
+    # rewrite is still worth one try before span scoring
+    if not desc_unmodeled and _DESC_DET.search(ql0):
+        second = _second_hop_rewrite(query, sentences)
+        if second:
+            return second
     # learned reader, two thresholds: above hi_conf it pre-empts span
     # scoring (it is reading the evidence, the scorer is pattern-matching);
     # between min_conf and hi_conf it only answers when span scoring finds
@@ -337,6 +669,11 @@ def extract_answer(query: str, context_text: str,
             if qtype == "who":
                 if " " in span:  # prefer multi-word proper names
                     score += 0.5
+                from ahrag_tpu.answer.qa import _org_shaped
+                if _org_shaped(span):
+                    # a who-question asks for a person; an org-headed name
+                    # got here through incidental keyword overlap
+                    score -= 2.5
                 if (span.startswith(("The ", "A ", "An "))
                         or f"the {span_l}" in s_lower
                         or f"an {span_l}" in s_lower):
@@ -367,6 +704,33 @@ def extract_answer(query: str, context_text: str,
             key = (tier, tie, score, len(span))
             if best is None or key > best[:4]:
                 best = (tier, tie, score, len(span), span)
+    # bridged apposition pass — ONLY when the question's own category word
+    # is absent from the evidence (pass-1's focus machinery had nothing to
+    # anchor on, so a name answer is a co-occurrence artifact) or the
+    # question asks for a manner/occupation shape no name span can answer
+    if ((qtype == "which" and focus
+         and not any(focus in s.lower() for s in sentences))
+            or (qtype == "general"
+                and re.match(r"\s*how\s+(does|did|do|is|was|are|were)\b",
+                             query_lower))):
+        bridged = _bridged_answer(query, sentences, keywords)
+        if bridged:
+            return bridged
     if best and best[2] >= 2.0:
         return best[4]
+    # who-questions with NO keyword-supported span: the asked relation's
+    # vocabulary never surfaces in the evidence (unmodeled paraphrase), but
+    # the answer is a person tied to the question's entity by co-occurrence —
+    # the strongest hub, preferred person-shaped, wins when it has a clear
+    # margin over the runner-up (a coin-flip between associates abstains
+    # instead)
+    if qtype == "who" and q_entities:
+        from ahrag_tpu.answer.qa import _looks_like_person, _org_shaped
+        ranked = [(h, sc) for h, sc in
+                  _hub_support(query, sentences, keywords) if sc >= 2.0]
+        people = [hv for hv in ranked
+                  if _looks_like_person(hv[0]) and not _org_shaped(hv[0])]
+        pool = people or ranked
+        if pool and (len(pool) == 1 or pool[0][1] >= pool[1][1] + 0.3):
+            return pool[0][0]
     return reader_ans

@@ -29,6 +29,7 @@ snippets and floors F1.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
 _TITLE_RE = re.compile(r"\b(?:The |A |An )?[A-Z][\w'.-]*(?: (?:of|the|[A-Z][\w'.-]*))*")
@@ -835,7 +836,12 @@ _ATTR_PATTERNS: List[Tuple[str, str]] = [
     ("nationality", r"citizenship|nationality|which country .*(?:come from|from)|"
                     r"what country .*(?:come from|from)|country does"),
     ("org_country", r"(?:which|what) country (?:hosts|is)|country .*based"),
-    ("birth_year", r"birth year|(?:what|which) year .*born|year of birth"),
+    # "year ... birth/born" in either order: a year interrogative with birth
+    # vocabulary asks for the YEAR (the birth word only selects which one) —
+    # without the bidirectional match these classified birth_city via its
+    # "birth" cue and answered a place to a year question
+    ("birth_year", r"birth year|(?:what|which) year .*(?:born|birth)|"
+                   r"year of birth"),
     ("birth_city", r"home city|home town|hometown|gr[eo]w up|native|born|birth"),
     ("profession", r"occupation|profession|line of work|living|what does .* do\b|"
                    r"job\b|work as"),
@@ -863,6 +869,12 @@ def _question_entities(query: str) -> List[str]:
             parts = parts[1:]
             while parts and not parts[0][0].isupper():
                 parts = parts[1:]
+        # a trailing lowercase connector can never END a title ("Lord of the
+        # Rings" ends capitalized) — "<Name> the <noun>?" questions otherwise
+        # mint a phantom entity ("Ulrich Petrov the") that matches nothing
+        # and trips the abstention guard on an answerable question
+        while parts and not parts[-1][0].isupper():
+            parts = parts[:-1]
         span = " ".join(parts)
         if span and len(span.split("_")) >= 1 and span[0].isupper():
             ents.append(span)
@@ -1005,9 +1017,17 @@ def _film_roles(facts: Facts, query_l: str, ents: List[str]
     return film, director, (stars[0] if stars else None)
 
 
+@lru_cache(maxsize=8)
+def _extract_facts_cached(key: Tuple[str, ...]) -> Facts:
+    """Memoized fact extraction: the engine's rescue hooks and the second-hop
+    rewrite trials (answer/extractive.py) re-ask the SAME evidence several
+    times per question; parsing it once amortizes all of them."""
+    return extract_facts(list(key))
+
+
 def answer_from_facts(query: str, sentences: List[str]) -> Optional[str]:
     """Answer ``query`` from the evidence fact KB, or None when unresolvable."""
-    facts = extract_facts(sentences)
+    facts = _extract_facts_cached(tuple(sentences))
     query_l = query.lower()
     ents = _question_entities(query)
 

@@ -181,6 +181,7 @@ def evaluate_item(item: Dict[str, Any], sys_name: str, ans: Dict[str, Any],
         "contextual_precision": scores.get("contextual_precision", 0.0),
         "faithfulness": scores.get("faithfulness", 0.0),
         "answer_relevancy": scores.get("answer_relevancy", 0.0),
+        "answer_grounding": scores.get("answer_grounding", 1.0),
         "overall_score": scores.get("overall", 0.0),
         "primary_issue": diagnosis["primary_issue"],
         "diagnosis_reason": diagnosis["reason"],
@@ -191,8 +192,8 @@ def evaluate_item(item: Dict[str, Any], sys_name: str, ans: Dict[str, Any],
 def aggregate(results: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
     metrics = ["f1", "em", "judge_overall", "contextual_recall",
                "contextual_relevancy", "contextual_precision", "faithfulness",
-               "answer_relevancy", "overall_score", "diagnosis_confidence",
-               "retrieval_recall_at_10"]
+               "answer_relevancy", "answer_grounding", "overall_score",
+               "diagnosis_confidence", "retrieval_recall_at_10"]
     by_system: Dict[str, List[Dict[str, Any]]] = {}
     for r in results:
         by_system.setdefault(r["system"], []).append(r)

@@ -98,12 +98,18 @@ class AnswerEvaluator:
         quant = self.evaluate_quantitative(answer_obj.get("answer", ""),
                                            answer_obj.get("gold_answers", []))
         qual = self.evaluate_qualitative(answer_obj, question, config)
+        if self._judge_mode(config) == "parity":
+            grounding = 1.0  # the reference formula has no such metric
+        else:
+            from ahrag_tpu.eval.judge import judge_answer_grounding
+            grounding = judge_answer_grounding(question, answer_obj)
         return {
             "contextual_relevancy": retriever["contextual_relevancy"],
             "contextual_recall": retriever["contextual_recall"],
             "contextual_precision": retriever["contextual_precision"],
             "faithfulness": generator["faithfulness"],
             "answer_relevancy": generator["answer_relevancy"],
+            "answer_grounding": grounding,
             "f1": quant["f1"],
             "em": quant["em"],
             "judge_overall": qual["overall"],

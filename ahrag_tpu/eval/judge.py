@@ -21,6 +21,14 @@ judge can never run, so these metrics only come alive deterministically
   generator does exactly that and should score low here).
 - **contextual_precision** — fraction of used evidence nodes whose text shares
   content with the question or the answer (replaces the 0.65 placeholder).
+- **answer_grounding** — is the produced span attested NEAR the question's
+  anchors? Faithfulness saturates on grounded-but-wrong answers (any span
+  quoted from the evidence scores 1.0 on token coverage), so reading-layer
+  failures — a span lifted from a sentence about the WRONG entity — were
+  invisible to the formula and routed ``edge_case``. This metric finds the
+  evidence sentences that attest the answer and asks whether any of them (or
+  a same-paragraph neighbor, or a name-bridge to such a sentence) also carries
+  the question's entities/keywords.
 
 All scores live in [0, 1]. The reference's constants remain available behind
 ``evaluation.judge.mode == "parity"`` for metric-parity comparisons.
@@ -148,6 +156,88 @@ def judge_answer_relevancy(question: str, answer_obj: Dict[str, Any]) -> float:
     if len(ans_toks) > 25 or len(ans) > 160:
         score *= 0.5
     return round(min(1.0, max(0.0, score)), 4)
+
+
+def judge_answer_grounding(question: str, answer_obj: Dict[str, Any]) -> float:
+    """Attestation of the answer span near the question's anchors.
+
+    1.0 — some sentence attests the answer AND carries a question entity or
+          two question keywords (same sentence or a same-paragraph neighbor);
+    0.7 — bridged: the attesting sentence names a third party that elsewhere
+          co-occurs with a question entity (legitimate 2-hop reads land here);
+    0.25 — the answer is attested but only in sentences with no tie to the
+          question (the reading-failure signature this metric exists for);
+    0.0 — the answer span never appears in the evidence at all.
+    """
+    from ahrag_tpu.answer.extractive import _name_spans
+    ans = (answer_obj.get("answer") or "").strip()
+    if not ans:
+        return 0.0
+    if _ABSTAIN_RE.match(ans):
+        return 1.0
+    # paragraph structure: skeleton entries ("- [...]") and blank lines mark
+    # seams in the pipeline's context_text; evidence items join with \n
+    paras: List[List[str]] = [[]]
+    for raw in _evidence_text(answer_obj).splitlines():
+        line = raw.strip()
+        if not line or line.startswith("- ["):
+            if paras[-1]:
+                paras.append([])
+            if line.startswith("- ["):
+                paras[-1].append(line)
+            continue
+        paras[-1].extend(s.strip() for s in re.split(r"(?<=[.!?])\s+", line)
+                         if s.strip())
+    if not paras[-1]:
+        paras.pop()
+    if not paras:
+        return 0.0
+
+    ans_l = ans.lower()
+    ans_toks = _content_tokens(ans)
+    q_lower = (question or "").lower()
+    q_ents = [e.lower() for e in _name_spans(question or "")]
+    q_keys = [t for t in _content_tokens(question) if t not in
+              {e for ent in q_ents for e in ent.split()}]
+
+    def attests(s_l: str) -> bool:
+        if ans_l in s_l:
+            return True
+        return bool(ans_toks) and sum(
+            1 for t in ans_toks if t in s_l) >= max(1, len(ans_toks) - 1)
+
+    def tied(s_l: str) -> bool:
+        return (any(e in s_l for e in q_ents)
+                or sum(1 for k in q_keys if k in s_l) >= 2)
+
+    hosts: List[tuple] = []  # (para_idx, sent_idx, sentence_lower)
+    for pi, para in enumerate(paras):
+        for si, s in enumerate(para):
+            s_l = s.lower()
+            if attests(s_l):
+                hosts.append((pi, si, s_l))
+    if not hosts:
+        return 0.0
+
+    # direct: the attesting sentence, or a same-paragraph neighbor, is tied
+    for pi, si, s_l in hosts:
+        if tied(s_l):
+            return 1.0
+        neigh = paras[pi][max(0, si - 1): si + 2]
+        if any(tied(n.lower()) for n in neigh):
+            return 1.0
+
+    # bridged: a name in the attesting sentence co-occurs with a question
+    # entity somewhere else in the evidence (the 2-hop hub)
+    if q_ents:
+        tied_text = " ".join(s for para in paras for s in para
+                             if any(e in s.lower() for e in q_ents)).lower()
+        for pi, si, s_l in hosts:
+            for name in _name_spans(paras[pi][si]):
+                nl = name.lower()
+                if nl != ans_l and nl not in q_lower and nl in tied_text:
+                    return 0.7
+    return 0.25
 
 
 def judge_contextual_precision(question: str,

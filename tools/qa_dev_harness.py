@@ -47,7 +47,14 @@ def main() -> None:
         if args.qa_only:
             ans = answer_from_facts(it["question"], sents) or ""
         else:
-            ans = extract_answer(it["question"], "\n".join(sents)) or ""
+            # paragraph seams matter: the pipeline's context_text carries
+            # block markers that _clean_sentences turns into "" sentinels
+            # (subject resets, bridged-pass paragraph rarity). Emulate with
+            # one DETAIL block per source paragraph, else the whole context
+            # reads as ONE paragraph and cross-paragraph rarity collapses.
+            ctx = "\n".join(f"[DETAIL:p{i}] " + " ".join(para)
+                            for i, para in enumerate(it["context"]["sentences"]))
+            ans = extract_answer(it["question"], ctx) or ""
         golds = it["answers"]
         sc = squad_f1_em(ans, golds)
         f1, em = sc["f1"] / 100.0, int(sc["em"] >= 100)
