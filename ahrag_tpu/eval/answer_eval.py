@@ -245,6 +245,17 @@ class AnswerEvaluator:
             issue, reason, conf = ("retriever",
                                    "used evidence unrelated to the asked fact "
                                    "(precision)", 0.7)
+        elif metrics.get("answer_grounding", 1.0) < 0.5:
+            # Reading-layer failure (r4): the produced span IS attested in
+            # the evidence (faithfulness saturates) and the evidence DOES
+            # relate to the question (precision fine), but every sentence
+            # attesting the span has no tie to the question's entities or
+            # keywords — the reader lifted a span about the wrong entity.
+            # That is a generation-side fault: the right content was
+            # retrieved, the reading layer picked the wrong thing from it.
+            issue, reason, conf = ("generator",
+                                   "answer attested only in sentences untied "
+                                   "to the question (grounding)", 0.7)
         else:
             issue, reason, conf = "edge_case", "system nominal; investigate edges", 0.3
         return {"primary_issue": issue, "reason": reason, "confidence": conf,

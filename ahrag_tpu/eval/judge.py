@@ -175,6 +175,16 @@ def judge_answer_grounding(question: str, answer_obj: Dict[str, Any]) -> float:
         return 0.0
     if _ABSTAIN_RE.match(ans):
         return 1.0
+    # A boolean verdict ("Yes"/"No" to a comparison question) is a judgment
+    # over the evidence, not a lifted span — the token "yes" never appears in
+    # any paragraph, so span attestation cannot grade it (it routed a CORRECT
+    # comparison answer to 'generator' in reports/benchmark_local_r1.json).
+    # If the verdict carries a justification tail, grade the tail instead.
+    m = re.match(r"^(?:yes|no)\b[,.!]?\s*(.*)$", ans, re.IGNORECASE)
+    if m:
+        ans = m.group(1).strip()
+        if not ans:
+            return 1.0
     # paragraph structure: skeleton entries ("- [...]") and blank lines mark
     # seams in the pipeline's context_text; evidence items join with \n
     paras: List[List[str]] = [[]]

@@ -202,3 +202,57 @@ def test_fault_injection_precision_failure_routes_to_retriever():
     d = out["details"]["diagnosis"]
     assert d["primary_issue"] == "retriever"
     assert "precision" in d["reason"]
+
+
+def test_fault_injection_reading_failure_routes_to_generator():
+    """Reading-layer failure (r4): the evidence DOES cover the question (the
+    Ed Wood node is retrieved and used, precision fine) and the produced span
+    IS quoted from the evidence (faithfulness saturates) — but every sentence
+    attesting the span lives in a paragraph with no tie to the question's
+    entities or keywords. answer_grounding collapses to 0.25 and the new
+    grounding branch routes 'generator' instead of hiding in edge_case (on
+    v5 zero-edit dev, 60/75 failing items carried exactly this signature)."""
+    obj = {
+        "query": "Who directed Ed Wood?",
+        "answer": "Marcus Webb",   # lifted from the mural paragraph
+        "gold_answers": ["Tim Burton"],
+        "citations": ["sum:9"],
+        "evidence": {"summaries": [
+            {"node_id": "sum:9", "title": "murals",
+             "summary": "colorful city art across several walls"},
+            {"node_id": "sum:1", "title": "Ed Wood",
+             "summary": "a film production of the nineties"}],
+            "entities": []},
+        "context": {"context_text": "- [sum:1] Ed Wood skeleton\n"
+                                    "Ed Wood was directed by someone in 1994.\n"
+                                    "- [sum:9] murals skeleton\n"
+                                    "Marcus Webb painted murals in Lisbon.\n",
+                    "used_nodes": ["sum:1", "sum:9"],
+                    "stats": {"tokens_used": 20}},
+        "retrieved_nodes": ["sum:1", "sum:9"],
+        "session_data": _base_session(),
+    }
+    out = _evaluate(obj)
+    assert out["scores"]["faithfulness"] > 0.7            # span is quoted
+    assert out["scores"]["contextual_precision"] >= 0.25  # evidence on-topic
+    assert out["scores"]["answer_grounding"] <= 0.25
+    d = out["details"]["diagnosis"]
+    assert d["primary_issue"] == "generator"
+    assert "grounding" in d["reason"]
+
+
+def test_boolean_verdict_grounding_exempt():
+    """A yes/no comparison answer is a judgment, not a lifted span — "yes"
+    never appears in any paragraph, so span attestation cannot grade it.
+    Before the exemption this routed a CORRECT comparison answer (local q2,
+    F1 100) to 'generator' via the grounding branch."""
+    from ahrag_tpu.eval.judge import judge_answer_grounding
+    q = "Were Alice Monroe and Bella Hart of the same nationality?"
+    ev = ("- [ent:1] Alice Monroe\nAlice Monroe is an American director.\n"
+          "- [ent:2] Bella Hart\nBella Hart is an American producer.\n")
+    assert judge_answer_grounding(q, {"answer": "Yes",
+                                      "context": {"context_text": ev}}) == 1.0
+    # a justification tail IS gradeable — and this one is tied to the question
+    assert judge_answer_grounding(
+        q, {"answer": "Yes, both are American",
+            "context": {"context_text": ev}}) == 1.0
