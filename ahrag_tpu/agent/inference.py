@@ -442,11 +442,17 @@ class InferenceEngine:
             return []
 
     def _follow_up_targets(self, query: str, context: Dict[str, Any]) -> List[str]:
-        from ahrag_tpu.answer.extractive import _clean_sentences
+        from ahrag_tpu.answer.extractive import (_clean_sentences,
+                                                 bridge_hop_targets)
         from ahrag_tpu.answer.qa import missing_entities
         try:
             sents = _clean_sentences(context.get("context_text", ""))
-            return missing_entities(query, sents)
+            typed = missing_entities(query, sents)
+            # schema-free complement: described-subject questions over
+            # relations the fact tables don't model (the typed hook returns
+            # nothing for them) hop to the evidence names most tied to the
+            # question by co-occurrence
+            return list(dict.fromkeys(typed + bridge_hop_targets(query, sents)))
         except Exception:
             return []
 

@@ -521,6 +521,35 @@ def _second_hop_rewrite(query: str, sentences: List[str]) -> Optional[str]:
     return None
 
 
+def bridge_hop_targets(query: str, sentences: List[str]) -> List[str]:
+    """Schema-free second-hop retrieval hints (agent/inference.py hook).
+
+    The typed hook (qa.py::missing_entities) proposes follow-up entities only
+    for relations its fact tables model; a described-subject question over an
+    UNMODELED relation ("the person who mentored E", "the figure E is named
+    after") gets no hop, and the bridge person's own paragraph — where the
+    asked attribute lives — is never retrieved. This is the schema-free
+    complement: when the question is description-shaped, or names an entity
+    that is not its grammatical subject, propose the evidence names most
+    strongly tied to the question by co-occurrence (the same hub machinery
+    the answerer's 2-hop passes use), so the engine can fetch their
+    paragraphs. Returns nothing when the fact chain already answers."""
+    from ahrag_tpu.answer.qa import answer_from_facts
+    ql = query.lower()
+    q_ents = [e.lower() for e in _name_spans(query)]
+    two_hop = bool(q_ents) and not any(
+        re.search(r"\b(?:does|did|do|is|was|are|were|has|have)\s+(?:the\s+)?"
+                  + re.escape(e), ql) or ql.startswith(e)
+        for e in q_ents)
+    if not (_DESC_DET.search(ql) or two_hop):
+        return []
+    if answer_from_facts(query, sentences) is not None:
+        return []
+    ranked = _hub_support(query, sentences, _keywords(query))
+    min_support = 2.0 if q_ents else 1.0
+    return [h for h, sc in ranked if sc >= min_support][:3]
+
+
 def extract_answer(query: str, context_text: str,
                    allow_span_scoring: bool = True,
                    reader=None) -> Optional[str]:
