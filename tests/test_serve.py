@@ -301,3 +301,99 @@ def test_http_timeout_maps_to_503(service, monkeypatch):
         assert ei.value.code == 503
     finally:
         server.shutdown()
+
+
+def test_microbatcher_three_stage_pipeline_correctness():
+    """The r4 k-stage pipeline: per-item results survive three thread handoffs
+    under concurrent submitters, and batches genuinely overlap stages (a later
+    batch enters stage 1 while an earlier one is still inside stage 3)."""
+    import time as _time
+
+    overlap = {"seen": False}
+    in_stage3 = threading.Event()
+
+    def s1(items):
+        if in_stage3.is_set():
+            overlap["seen"] = True
+        return [x + 1 for x in items]
+
+    def s2(items):
+        return [x * 10 for x in items]
+
+    def s3(items):
+        in_stage3.set()
+        _time.sleep(0.005)  # hold stage 3 so the next batch can hit stage 1
+        in_stage3.clear()
+        return [x - 3 for x in items]
+
+    mb = MicroBatcher(stages=[s1, s2, s3], max_batch=4, max_wait_s=0.0005)
+    results = {}
+
+    def worker(base):
+        for i in range(40):
+            x = base * 1000 + i
+            results[x] = mb.submit(x)
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert results == {x: (x + 1) * 10 - 3 for x in results}
+    assert len(results) == 240
+    assert overlap["seen"]  # pipelining actually overlapped stages
+
+
+def test_microbatcher_mid_stage_exception_releases_batch():
+    """A stage-2 failure must error THAT batch's submitters and keep every
+    pipeline thread alive for the batches behind it."""
+    def s1(items):
+        return items
+
+    def s2(items):
+        if any(x is None for x in items):
+            raise ValueError("bad batch")
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(stages=[s1, s2], max_batch=1, max_wait_s=0.0005)
+    with pytest.raises(RuntimeError, match="batch processing failed"):
+        mb.submit(None)
+    assert mb.submit(5) == 10
+    mb.close()
+
+
+def test_microbatcher_close_poisons_wedged_pipeline():
+    """close() with a batch wedged inside a stage must release its submitter
+    with an error after the drain timeout — and a LATE stage completion must
+    not resurrect the poisoned generation."""
+    import time as _time
+
+    release = threading.Event()
+
+    def s1(items):
+        return items
+
+    def s2(items):
+        release.wait(5.0)
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(stages=[s1, s2], max_batch=1, max_wait_s=0.0005)
+    got = {}
+
+    def caller():
+        try:
+            got["r"] = mb.submit(7)
+        except RuntimeError as exc:
+            got["err"] = str(exc)
+
+    t = threading.Thread(target=caller)
+    t.start()
+    _time.sleep(0.05)  # let the batch reach the wedged stage
+    mb.close(drain_timeout_s=0.2)
+    t.join(timeout=3.0)
+    assert not t.is_alive()
+    assert "drain exceeded" in got.get("err", got.get("r", ""))
+    release.set()  # late completion publishes into a poisoned generation
+    _time.sleep(0.1)
+    assert not mb._results  # poisoned gen not resurrected
