@@ -228,13 +228,21 @@ class InferenceEngine:
                     progressed = True
             if not progressed:
                 hints = self._follow_up_targets(query, context)
-                for name in hints[:3]:
+                acted = 0
+                for name in hints:
+                    # the budget counts ACTIONS, not hint names: a typed hint
+                    # that is already selected and already priority must not
+                    # starve a bridge hub ranked behind it (observed: the
+                    # namesake hop lost its slot to the question's own org)
+                    if acted >= 3:
+                        break
                     nid = self._locate_entity(name)
                     if nid and nid not in self.env.selection_set:
                         _, info_hop = self.env.commit_selection([nid])
                         used_actions.append(info_hop)
                         hop_ids.append(nid)
                         progressed = True
+                        acted += 1
                     elif nid and nid not in hop_ids:
                         # already selected, yet the fact layer still needs it:
                         # its decisive sentence was budget-trimmed out of the
@@ -242,6 +250,7 @@ class InferenceEngine:
                         # its full text survives the skeleton/detail allocation
                         hop_ids.append(nid)
                         progressed = True
+                        acted += 1
             if not progressed:
                 break
             evidence = self.collect_evidence(

@@ -404,19 +404,32 @@ def _hub_support(query: str, sentences: List[str],
     if not paras:
         return []
 
-    def tie(text_l: str) -> float:
+    def matches(k: str, text_l: str, words) -> bool:
         # stemmed word-prefix match: the surface vocabulary is paraphrased
         # between question and evidence, but shared stems still tie
-        words = set(re.findall(r"[a-z][a-z'-]+", text_l))
-        ov = 0.0
-        for k in keywords:
-            stem = k[:4]
-            if k in text_l or (len(k) >= 4
+        stem = k[:4]
+        return k in text_l or (len(k) >= 4
                                and any(w.startswith(stem) and
                                        (w.startswith(k[:5]) or len(k) <= 5
                                         or k.startswith(w[:5]))
-                                       for w in words)):
-                ov += 1.0
+                                       for w in words))
+
+    # scarcity weighting: a keyword found in most paragraphs ("years",
+    # "world") ties everything to everything — the question's SCARCE words
+    # are what point at its target (observed: an entity-free birth-year
+    # question ranking every person with an "early years" sentence level
+    # with the one person tied by the question's rare anchor noun)
+    kw_weight: Dict[str, float] = {}
+    for k in keywords:
+        df = sum(1 for p in paras
+                 if matches(k, " ".join(p).lower(),
+                            set(re.findall(r"[a-z][a-z'-]+",
+                                           " ".join(p).lower()))))
+        kw_weight[k] = 1.0 if df <= 2 else 2.0 / df
+
+    def tie(text_l: str) -> float:
+        words = set(re.findall(r"[a-z][a-z'-]+", text_l))
+        ov = sum(kw_weight[k] for k in keywords if matches(k, text_l, words))
         return ov + 2.0 * sum(1.0 for e in q_ents_l if e in text_l)
 
     support: Dict[str, float] = {}
@@ -439,6 +452,67 @@ def _hub_support(query: str, sentences: List[str],
                 if hub_sc > support.get(span, 0.0):
                     support[span] = hub_sc
     return sorted(support.items(), key=lambda kv: -kv[1])
+
+
+def _sentence_tied_hubs(hubs: List[str], sentences: List[str],
+                        q_ents_l: List[str]) -> List[str]:
+    """Hubs named in the same SENTENCE as a question entity.
+
+    Paragraph-level ties admit bystanders: a context block that concatenates
+    summary bodies puts every name "in the paragraph" of every entity, and a
+    rewrite validated against such a hub fabricates an unrelated person's
+    attribute (observed: a home-city question about E's mentor answered with
+    a distractor's city because the distractor shared E's context block).
+    The dedicated two-party statement a relational question points at names
+    both parties in one sentence — or names the hub ALONE in a sentence whose
+    anaphoric subject ("The group's moniker...", "Its name...") resolves to
+    the entity through the surrounding paragraph."""
+    if not q_ents_l:
+        return hubs
+    tied = []
+    for para in _split_paras(sentences):
+        para_has_e = any(e in s.lower() for s in para for e in q_ents_l)
+        for s in para:
+            sl = s.lower()
+            direct = any(e in sl for e in q_ents_l)
+            for h in hubs:
+                hl = h.lower()
+                if hl not in sl or h in tied:
+                    continue
+                if direct:
+                    tied.append(h)
+                elif para_has_e and not any(
+                        " " in n and n.lower() != hl
+                        and n.lower() not in q_ents_l
+                        for n in _name_spans(s)):
+                    tied.append(h)
+    ordered = [h for h in hubs if h in tied]
+    # Unmodeled ties first: the caller reached here because the typed chain
+    # could not answer, so the question's relation is provably unmodeled —
+    # the intended bridge is likelier tied to E by a surface the fact tables
+    # can NOT parse than by one they already file (a founder/seat question
+    # would have been answered from the founder/seat table). Stable within
+    # each group, so support order still breaks ties.
+    try:
+        from ahrag_tpu.answer.qa import extract_facts
+        facts = extract_facts(sentences)
+        def modeled(h: str) -> bool:
+            hl = h.lower()
+            for k, tab in vars(facts).items():
+                if k.startswith("about") or not isinstance(tab, dict):
+                    continue
+                for subj, val in tab.items():
+                    if subj.lower() not in q_ents_l:
+                        continue
+                    vals = val if isinstance(val, list) else [val]
+                    if any(isinstance(v, str) and v.lower() == hl
+                           for v in vals):
+                        return True
+            return False
+        ordered.sort(key=modeled)
+    except Exception:
+        pass
+    return ordered
 
 
 def _second_hop_rewrite(query: str, sentences: List[str]) -> Optional[str]:
@@ -470,9 +544,8 @@ def _second_hop_rewrite(query: str, sentences: List[str]) -> Optional[str]:
     # someone "related to E" and would fabricate answers when E's own
     # paragraph was never retrieved (the abstention families)
     min_support = 2.0 if q_ents_l else 1.0
-    hubs = [h for h, sc in ranked if sc >= min_support][:3]
-    if not hubs:
-        return None
+    hubs = _sentence_tied_hubs([h for h, sc in ranked if sc >= min_support],
+                               sentences, q_ents_l)
 
     # the anchor marks which "the <noun> ..." phrase is the description: the
     # question's entity words, or (entity-free descriptions) the scarcest
@@ -488,7 +561,22 @@ def _second_hop_rewrite(query: str, sentences: List[str]) -> Optional[str]:
                    if k in ev_l and first_the >= 0 and ql.find(k) > first_the]
         if present:
             anchor = {min(present, key=ev_l.count)}
+        # entity-free descriptions resolve through the anchor: a hub that
+        # never shares a paragraph with it is tied by frame vocabulary, and
+        # validating a rewrite against such a hub reads an unrelated
+        # person's attribute (observed: a birth-year question about "the
+        # player of the <rare noun>" answering with whichever person a
+        # common question verb happened to tie at equal support)
+        if anchor:
+            paras = _split_paras(sentences)
+            hubs = [h for h in hubs
+                    if any(all(a in " ".join(p).lower() for a in anchor)
+                           and h.lower() in " ".join(p).lower()
+                           for p in paras)]
     if not anchor:
+        return None
+    hubs = hubs[:3]
+    if not hubs:
         return None
 
     toks = query.split()
@@ -521,6 +609,73 @@ def _second_hop_rewrite(query: str, sentences: List[str]) -> Optional[str]:
     return None
 
 
+def _rare_slot_noun(query: str, sentences: List[str]) -> Optional[str]:
+    """Category questions whose category word never surfaces in the evidence.
+
+    "Which <category> does E ...?" where no evidence word shares the
+    category's stem has ZERO lexical bridge — span scoring is blind and the
+    typed chain has no table. The distributional signal that remains: the
+    corpus renders attributes through repeated sentence frames, so in E's own
+    single-name sentences the FRAME words recur across paragraphs while the
+    slot value is rare. Answer = the paragraph-rarest content word of E's
+    dedicated sentences, preferring determiner-marked slot positions
+    ("... the <answer>") and, among ties, the sentence with the fewest other
+    rare words (a dedicated short attribute statement over a rich narrative
+    one). Purely distributional — no category vocabulary is consulted, so
+    unmodeled relation families stay in scope (the schema-freedom the
+    reference buys with an LLM, generator.py:100)."""
+    ql = query.lower()
+    qtype, cat = _question_type(query)
+    ev_l = " ".join(sentences).lower()
+    # only open-category "which <noun>" intents: year/who/number/where
+    # questions have typed answers the chain and span scorer already model
+    if qtype != "which" or not cat or len(cat) < 4 or re.search(
+            r"\b" + re.escape(cat[:5]), ev_l):
+        return None
+    ent = next((e for e in _name_spans(query) if e.lower() in ev_l), None)
+    if ent is None:
+        return None
+    el = ent.lower()
+    from ahrag_tpu.answer.qa import extract_facts
+    facts = extract_facts(sentences)
+    explained: set = set()
+    for k, tab in vars(facts).items():
+        if k.startswith("about") or not isinstance(tab, dict):
+            continue
+        for subj, val in tab.items():
+            if el in subj.lower() or subj.lower() in el:
+                for v in (val if isinstance(val, list) else [val]):
+                    if isinstance(v, str):
+                        explained.update(v.lower().split())
+    paras = _split_paras(sentences)
+    qwords = set(re.findall(r"[a-z']+", ql))
+    best: Optional[Tuple[int, int, int, str]] = None
+    for s in sentences:
+        sl = s.lower()
+        if el not in sl:
+            continue
+        names = _name_spans(s)
+        if any(" " in n and el not in n.lower() for n in names):
+            continue        # E shares the sentence with another party
+        capwords = {w.lower() for n in names for w in n.split()}
+        cands = []
+        for w in set(re.findall(r"\b[a-z][a-z-]{3,}\b", sl)):
+            if w in qwords or w in explained or w in capwords:
+                continue
+            df = sum(1 for p in paras if w in " ".join(p).lower())
+            slot = 0 if re.search(r"\bthe\s+(?:[a-z-]+\s+)?" + re.escape(w),
+                                  sl) else 1
+            cands.append((df, slot, w))
+        rare = sum(1 for df, _sl, _w in cands if df <= 1)
+        for df, slot, w in cands:
+            key = (df, slot, rare, w)
+            if best is None or key < best:
+                best = key
+    # only a genuinely rare slot answers; a min-df of 3+ means every word of
+    # E's sentences is frame vocabulary — nothing to point at
+    return best[3] if best is not None and best[0] <= 2 else None
+
+
 def bridge_hop_targets(query: str, sentences: List[str]) -> List[str]:
     """Schema-free second-hop retrieval hints (agent/inference.py hook).
 
@@ -543,11 +698,36 @@ def bridge_hop_targets(query: str, sentences: List[str]) -> List[str]:
         for e in q_ents)
     if not (_DESC_DET.search(ql) or two_hop):
         return []
-    if answer_from_facts(query, sentences) is not None:
-        return []
+    ans = answer_from_facts(query, sentences)
+    if ans is not None:
+        if not two_hop:
+            return []
+        # Wrong-person fallback detection: the chain's subject resolution
+        # falls back to the question's own named entity when it cannot
+        # resolve the description — and then reads E's OWN attribute. That
+        # answer is attested only in sentences that mention E and name
+        # nobody else; a genuine bridge answer is attested either away from
+        # E (the bridge's own paragraph) or next to another name (an
+        # apposition introducing the bridge). Only the suspect case keeps
+        # proposing hops.
+        al = ans.lower()
+        alone = beside = False
+        for s in sentences:
+            sl = s.lower()
+            if al not in sl or not any(e in sl for e in q_ents):
+                continue            # the chain reads subject-anchored
+                                    # sentences; others are distractors
+            if any(" " in n and n.lower() not in q_ents
+                   for n in _name_spans(s)):
+                beside = True       # apposition: the bridge may be named
+            else:
+                alone = True        # E's own attribute, nobody else named
+        if beside or not alone:
+            return []
     ranked = _hub_support(query, sentences, _keywords(query))
     min_support = 2.0 if q_ents else 1.0
-    return [h for h, sc in ranked if sc >= min_support][:3]
+    return _sentence_tied_hubs([h for h, sc in ranked if sc >= min_support],
+                               sentences, q_ents)[:3]
 
 
 def extract_answer(query: str, context_text: str,
@@ -615,6 +795,12 @@ def extract_answer(query: str, context_text: str,
             return reader_ans
         if reader_ans and reader_conf < reader.min_conf:
             reader_ans = None
+    # category question with no lexical bridge at all: span scoring is blind
+    # (nothing shares the category's stem), so the distributional rare-slot
+    # read outranks it
+    rare = _rare_slot_noun(query, sentences)
+    if rare:
+        return rare
     qtype, focus = _question_type(query)
     keywords = _keywords(query)
     if not keywords:

@@ -596,6 +596,17 @@ def _order_prior_pass(f: Facts, sentences: List[str]) -> None:
                       and not (_looks_like_person(sp)
                                and any(sp in t for t in person_tables))
                       and sp not in countries and sp not in who_persons]
+            # seat precision: a span from a sentence that names the org
+            # DIRECTLY outranks one reachable only through an anaphoric
+            # sentence ("The group's ... <Name>") — the anaphor's object is
+            # some related party, not the seat (observed: a commemorated
+            # person's name filling hq because it was the paragraph's last
+            # unclassified span)
+            direct = [sp for sp in places
+                      if any(sl in lowers[i] and sp in sentences[i]
+                             for i in idxs)]
+            if direct:
+                places = direct
             if places and S not in f.hq:
                 f.hq[S] = places[-1]
         # retro year attribution: the only year in a film/org paragraph is
