@@ -540,12 +540,16 @@ def _second_hop_rewrite(query: str, sentences: List[str]) -> Optional[str]:
 
     ranked = _hub_support(query, sentences, keywords)
     # with entities in the question, hubs must tie through an entity
-    # co-occurrence (>= 2.0); keyword-stem ties alone are too weak to name
-    # someone "related to E" and would fabricate answers when E's own
-    # paragraph was never retrieved (the abstention families)
-    min_support = 2.0 if q_ents_l else 1.0
-    hubs = _sentence_tied_hubs([h for h, sc in ranked if sc >= min_support],
-                               sentences, q_ents_l)
+    # co-occurrence — verified STRUCTURALLY by _sentence_tied_hubs (same
+    # sentence as E, or an anaphoric sentence in E's paragraph), not by a
+    # raw support cut: a held-out-relation question shares no vocabulary
+    # with the evidence, so a tied hub's score can legitimately sit below
+    # any fixed threshold. Keyword-support floors remain for entity-free
+    # descriptions, where co-occurrence with the anchor is the only tie.
+    # Fabrication stays blocked: with E absent from the evidence no hub
+    # ties at all (the abstention families).
+    pool = [h for h, sc in ranked if (q_ents_l or sc >= 1.0)]
+    hubs = _sentence_tied_hubs(pool, sentences, q_ents_l)
 
     # the anchor marks which "the <noun> ..." phrase is the description: the
     # question's entity words, or (entity-free descriptions) the scarcest
@@ -725,9 +729,10 @@ def bridge_hop_targets(query: str, sentences: List[str]) -> List[str]:
         if beside or not alone:
             return []
     ranked = _hub_support(query, sentences, _keywords(query))
-    min_support = 2.0 if q_ents else 1.0
-    return _sentence_tied_hubs([h for h, sc in ranked if sc >= min_support],
-                               sentences, q_ents)[:3]
+    # entity questions: structural tie check replaces the support cut (see
+    # _second_hop_rewrite — zero-vocabulary-overlap questions score low)
+    pool = [h for h, sc in ranked if (q_ents or sc >= 1.0)]
+    return _sentence_tied_hubs(pool, sentences, q_ents)[:3]
 
 
 def extract_answer(query: str, context_text: str,

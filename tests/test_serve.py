@@ -397,3 +397,44 @@ def test_microbatcher_close_poisons_wedged_pipeline():
     release.set()  # late completion publishes into a poisoned generation
     _time.sleep(0.1)
     assert not mb._results  # poisoned gen not resurrected
+
+
+def test_microbatcher_parallel_last_stage_overlaps_round_trips():
+    """last_stage_workers=2: two batches can sit inside the last stage at
+    once (overlapped device round trips), and per-generation publishing keeps
+    results correct even when batches complete out of order."""
+    import time as _time
+
+    active = {"n": 0, "max": 0}
+    gate = threading.Lock()
+
+    def s1(items):
+        return items
+
+    def s2(items):
+        with gate:
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+        _time.sleep(0.004 if (items and items[0] % 2) else 0.012)
+        with gate:
+            active["n"] -= 1
+        return [x * 3 for x in items]
+
+    mb = MicroBatcher(stages=[s1, s2], max_batch=1, max_wait_s=0.0002,
+                      last_stage_workers=2)
+    results = {}
+
+    def worker(base):
+        for i in range(30):
+            x = base * 1000 + i
+            results[x] = mb.submit(x)
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert results == {x: x * 3 for x in results}
+    assert len(results) == 120
+    assert active["max"] == 2  # both workers were concurrently inside stage 2
