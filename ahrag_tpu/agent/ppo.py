@@ -16,6 +16,19 @@ Two rollout paths:
 
 Conscious fix vs the reference (SURVEY §7.1 step 7): inference-time ``act_ppo``
 applies the action mask; the reference samples unmasked at :254-260.
+
+FREEZE (round 4, VERDICT r3 item 7): this stack is feature-frozen at its
+documented ceiling — the policy demonstrably learns node SELECTION
+(held-out selection-recall 0.41 vs 0.15 random, reports/rl_transfer_r3.json)
+but contributes zero end-to-end answer quality under every honest condition
+tested, because the InferenceEngine's anchor/auto-commit/evidence pipeline
+determines the retrieved set regardless of the policy's trajectory (see
+``ppo_train_multi`` docstring for the full retirement evidence). Round 4
+chose the learned READER (models/reader/) as the learning story that
+consumes the flax/optax substrate with a lever that matters; giving the
+policy a pipeline knob (rescue-pool width, expansion budget) remains the
+designated unfreeze path if a regime appears where selection is the
+bottleneck. Do not grow this module for quality claims until then.
 """
 from __future__ import annotations
 

@@ -129,7 +129,21 @@ class MicroBatcher:
                  max_batch: int = 64, max_wait_s: float = 0.002,
                  finalize: Optional[Callable[[Any], List[Any]]] = None,
                  stages: Optional[List[Callable[[Any], Any]]] = None,
-                 last_stage_workers: int = 1) -> None:
+                 last_stage_workers: int = 1,
+                 coalesce_quiet_s: float = 0.0,
+                 coalesce_cap_s: float = 0.05) -> None:
+        # Quiet-window coalescing (opt-in): while submissions KEEP ARRIVING,
+        # extend the flush deadline by ``coalesce_quiet_s`` per arrival, up to
+        # ``coalesce_cap_s`` total. Rationale: with a tunneled device the
+        # round trip is ~flat in batch size (49.5 ms at mean batch 110 == at
+        # 512, reports/serving_1m_tpu_r4.json), so throughput is ~linear in
+        # batch size — but under high closed-loop concurrency the fixed
+        # ``max_wait_s`` deadline fires while woken clients are still
+        # re-submitting (observed mean batch 110 of max 512 at 512 threads).
+        # Waiting for arrival quiescence fills the batch to ~the offered
+        # concurrency; the cap bounds the latency the wait can add.
+        self._quiet_s = float(coalesce_quiet_s)
+        self._coalesce_cap_s = float(coalesce_cap_s)
         if stages is None:
             if process is None:
                 raise ValueError("need process or stages")
@@ -192,7 +206,11 @@ class MicroBatcher:
                     self._lock.wait()
                 if self._closed and not self._pending:
                     break
-                deadline = time.monotonic() + self.max_wait_s
+                now = time.monotonic()
+                deadline = now + self.max_wait_s
+                hard_deadline = now + max(self._coalesce_cap_s,
+                                          self.max_wait_s)
+                last_n = len(self._pending)
                 # coalesce until the wait deadline — and KEEP coalescing while
                 # every pipeline stage is busy: flushing then would only park
                 # the batch in a stage queue, whereas waiting grows the batch
@@ -207,6 +225,13 @@ class MicroBatcher:
                     remaining = deadline - time.monotonic()
                     self._lock.wait(timeout=remaining if remaining > 0
                                     else None)
+                    if self._quiet_s > 0.0:
+                        n = len(self._pending)
+                        if n > last_n:
+                            last_n = n
+                            deadline = min(hard_deadline,
+                                           max(deadline, time.monotonic()
+                                               + self._quiet_s))
                 batch = self._pending
                 gen = self._generation
                 self._pending = []
@@ -360,7 +385,10 @@ class MicroBatcher:
 class RetrievalService:
     def __init__(self, graph_dir: str = "graph", hg: Optional[HierarchicalGraph] = None,
                  max_batch: int = 64, max_wait_s: float = 0.002,
-                 request_timeout_s: Optional[float] = 10.0) -> None:
+                 request_timeout_s: Optional[float] = 10.0,
+                 coalesce_quiet_s: float = 0.0015,
+                 coalesce_cap_s: float = 0.05) -> None:
+        self._coalesce = (coalesce_quiet_s, coalesce_cap_s)
         self.hg = hg or HierarchicalGraph.load(graph_dir)
         if self.hg.dirty or not self.hg._embeddings:
             self.hg.build_vector_index(layers=(0, 1, 2))
@@ -407,11 +435,15 @@ class RetrievalService:
                                          # consecutive batches' device round
                                          # trips — the tunnel RTT is the
                                          # serving floor at corpus scale
-                                         last_stage_workers=3)
+                                         last_stage_workers=3,
+                                         coalesce_quiet_s=self._coalesce[0],
+                                         coalesce_cap_s=self._coalesce[1])
         else:
             self._batcher = MicroBatcher(self._process_batch,
                                          max_batch=max_batch,
-                                         max_wait_s=max_wait_s)
+                                         max_wait_s=max_wait_s,
+                                         coalesce_quiet_s=self._coalesce[0],
+                                         coalesce_cap_s=self._coalesce[1])
         self._default_top_k = 5
 
     # -- batched search ------------------------------------------------------

@@ -1,5 +1,6 @@
 import json
 import threading
+import time
 import urllib.request
 
 import pytest
@@ -39,6 +40,59 @@ def test_microbatcher_coalesces():
     assert results == {i: i * 2 for i in range(6)}
     assert sum(len(b) for b in batches) == 6
     assert max(len(b) for b in batches) > 1  # actually coalesced
+
+
+def test_microbatcher_quiet_window_grows_batches():
+    """Quiet-window coalescing keeps the batch open while arrivals continue:
+    submitters staggered PAST the base max_wait_s deadline still land in one
+    batch when each arrival extends the deadline (serve.py MicroBatcher
+    coalesce_quiet_s), whereas the fixed deadline alone would flush early."""
+    batches = []
+
+    def process(items):
+        batches.append(list(items))
+        return list(items)
+
+    # base window 0.1s, arrivals every ~0.06s: items 2..7 land PAST the base
+    # deadline but inside the 0.3s-per-arrival quiet window, so the train
+    # coalesces; a fixed deadline would flush at 0.1s with items 0-1 only
+    mb = MicroBatcher(process, max_batch=64, max_wait_s=0.1,
+                      coalesce_quiet_s=0.3, coalesce_cap_s=10.0)
+    n = 8
+
+    def call(mb_, i):
+        time.sleep(0.06 * i)
+        mb_.submit(i)
+
+    threads = [threading.Thread(target=call, args=(mb, i)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert sum(len(b) for b in batches) == n
+    # allow 2 batches for a scheduler stall on a loaded 1-core host;
+    # the fixed deadline alone would produce >=3
+    assert len(batches) <= 2, batches
+
+    # the cap bounds the extension: cap == base window behaves like the
+    # fixed deadline, so the same stagger MUST split into several batches
+    batches2 = []
+
+    def process2(items):
+        batches2.append(list(items))
+        return list(items)
+
+    mb2 = MicroBatcher(process2, max_batch=64, max_wait_s=0.1,
+                       coalesce_quiet_s=0.3, coalesce_cap_s=0.1)
+    threads = [threading.Thread(target=call, args=(mb2, i)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb2.close()
+    assert sum(len(b) for b in batches2) == n
+    assert len(batches2) >= 2, batches2
 
 
 def test_microbatcher_cross_generation_stress():
