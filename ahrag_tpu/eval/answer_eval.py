@@ -113,6 +113,12 @@ class AnswerEvaluator:
             "f1": quant["f1"],
             "em": quant["em"],
             "judge_overall": qual["overall"],
+            # lets the diagnosis formula tell "f1 == 0 because no gold was
+            # provided" apart from "graded against gold and failed"; pinned 0
+            # in parity mode (the reference formula is gold-blind, so the
+            # no_signal split must not fire there)
+            "gold_available": (0.0 if self._judge_mode(config) == "parity"
+                               else float(bool(answer_obj.get("gold_answers")))),
         }
 
     # ------------------------------------------------------------- retriever
@@ -256,6 +262,18 @@ class AnswerEvaluator:
             issue, reason, conf = ("generator",
                                    "answer attested only in sentences untied "
                                    "to the question (grounding)", 0.7)
+        elif (metrics.get("gold_available", 0.0) > 0
+                and metrics.get("f1", 0.0) < 60.0):
+            # "no-signal" split (VERDICT r4 item 9): graded against gold and
+            # FAILING, yet every proxy reads green — faithfulness/relevancy
+            # saturate, recall/precision/grounding pass. The reference routes
+            # this to edge_case (answer_eval.py:145-193), conflating
+            # "undiagnosed failure" with "nothing to diagnose"; here it gets
+            # its own bucket with LOW confidence (none of the proxies carried
+            # the failure, so the localization is genuinely unknown).
+            issue, reason, conf = ("no_signal",
+                                   "fails against gold while every proxy reads "
+                                   "green — failure source undiagnosed", 0.2)
         else:
             issue, reason, conf = "edge_case", "system nominal; investigate edges", 0.3
         return {"primary_issue": issue, "reason": reason, "confidence": conf,

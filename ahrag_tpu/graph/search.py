@@ -45,9 +45,11 @@ SEM_FLUSH_EPS = 1e-5
 # einsum is the single most expensive post-seed op at corpus scale (measured
 # 4.5 ms of a 13.7 ms batch at 1.07M nodes, B=512, Kc=64 —
 # reports/search_profile_r4.json); capping the gather halves it while leaving
-# every graph with fan-out <= 32 bit-identical. Mirrored by both oracles
+# every graph with fan-out <= 32 bit-identical, and the packed child tables
+# (tensors.py child_pack_*) turn the remaining scattered 768 B-row gather into
+# one contiguous ~24 KB row per seed. Mirrored by both oracles
 # (tests/helpers.py::oracle_search, bench.py::cpu_reference_search).
-MEMBER_SIM_CAP = 32
+from ahrag_tpu.graph.tensors import MEMBER_SIM_CAP  # noqa: F401 (re-export)
 
 
 class SearchWeights(NamedTuple):
@@ -137,12 +139,25 @@ def expand_candidates(gt: GraphTensors, seed_idx: jnp.ndarray, seed_sim: jnp.nda
     par_ok = (par >= 0) & is_ent[:, None] & seed_valid[:, None]
     par_sem = jnp.broadcast_to((seed_sim * 0.9)[:, None], par.shape)
 
-    mem_all = gt.children[safe_seed]                                   # [K, Kc]
-    if mem_all.shape[1] > MEMBER_SIM_CAP:
-        mem_all = mem_all[:, :MEMBER_SIM_CAP]
+    packed = (gt.child_pack_emb is not None
+              and gt.child_pack_ids.shape[1] <= MEMBER_SIM_CAP)
+    if packed:
+        # one contiguous [cap, D] row per seed instead of cap scattered rows —
+        # same ids, same (storage-dtype) values, bit-identical msim
+        slot = jnp.where(seed_valid, gt.child_pack_slot[safe_seed], -1)  # [K]
+        slot_safe = jnp.clip(slot, 0, gt.child_pack_ids.shape[0] - 1)
+        mem_all = jnp.where(slot[:, None] >= 0,
+                            gt.child_pack_ids[slot_safe], -1)          # [K, Kc]
+    else:
+        mem_all = gt.children[safe_seed]                               # [K, Kc]
+        if mem_all.shape[1] > MEMBER_SIM_CAP:
+            mem_all = mem_all[:, :MEMBER_SIM_CAP]
     if q_emb is not None and mem_all.shape[1] > member_top_m:
-        memsafe = jnp.clip(mem_all, 0, n_pad - 1)
-        ce = gt.emb[memsafe]                                           # [K, Kc, D]
+        if packed:
+            ce = gt.child_pack_emb[slot_safe]                          # [K, Kc, D]
+        else:
+            memsafe = jnp.clip(mem_all, 0, n_pad - 1)
+            ce = gt.emb[memsafe]                                       # [K, Kc, D]
         msim = jnp.einsum("d,kcd->kc", q_emb.astype(ce.dtype), ce,
                           preferred_element_type=jnp.float32)
         if flush_eps:
@@ -247,7 +262,7 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     seed_sim, seed_idx = refined_masked_topk(
         q_emb[None, :], gt.emb, gt.indexed & gt.valid, top_k,
         margin=max(12, 2 * top_k + 2), certify=certify,
-        flush_eps=SEM_FLUSH_EPS)
+        flush_eps=SEM_FLUSH_EPS, mask_trivial=gt.mask_trivial)
     return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m,
                       q_emb=q_emb)
 
@@ -263,7 +278,8 @@ def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
     O(candidates) stages are vmapped."""
     seed_sim, seed_idx = refined_masked_topk(
         q_embs, gt.emb, gt.indexed & gt.valid, top_k,
-        margin=max(12, 2 * top_k + 2), flush_eps=SEM_FLUSH_EPS)
+        margin=max(12, 2 * top_k + 2), flush_eps=SEM_FLUSH_EPS,
+        mask_trivial=gt.mask_trivial)
     return jax.vmap(lambda ss, si, qq: _post_seed(gt, ss, si, w, top_k,
                                                   member_top_m, q_emb=qq)
                     )(seed_sim, seed_idx, q_embs)

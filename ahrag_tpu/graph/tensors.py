@@ -34,6 +34,11 @@ import numpy as np
 NODE_TYPE_IDS = {"entity": 0, "summary": 1, "hyperedge": 2}
 NODE_TYPE_NAMES = {v: k for k, v in NODE_TYPE_IDS.items()}
 
+# Query-similar member expansion scans at most this many leading children per
+# summary seed (graph/search.py imports and documents it; the packed child
+# tables below cap at the same width so both paths see identical candidates).
+MEMBER_SIM_CAP = 32
+
 
 def round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
@@ -57,9 +62,26 @@ class GraphTensors:
     related: jnp.ndarray        # [N_pad, K_rel] i32
     hyperedges: jnp.ndarray     # [N_pad, K_hedge] i32
     members: jnp.ndarray        # [N_pad, K_mem] i32
+    # Packed member-expansion tables (optional; None on small graphs and on
+    # stacked/multi views). Each node with children gets one CONTIGUOUS row of
+    # its first PACK_CAP children's embeddings: the query-similar member
+    # selection in graph/search.py then gathers B*K rows of ~24 KB instead of
+    # B*K*PACK_CAP rows of ~768 B — the scattered small-row gather is
+    # descriptor-latency-bound on TPU and was the dominant post-seed cost at
+    # 1M nodes (reports/search_profile_r4.json). Values are copies of ``emb``
+    # rows in the same storage dtype, so member-similarity scores are
+    # bit-identical to the unpacked path.
+    child_pack_slot: jnp.ndarray | None = None   # [N_pad] i32 (-1 = no row)
+    child_pack_ids: jnp.ndarray | None = None    # [S, cap] i32, -1 padded
+    child_pack_emb: jnp.ndarray | None = None    # [S, cap, D] emb dtype
     # static metadata
     n_nodes: int = field(metadata=dict(static=True), default=0)
     n_edges: int = field(metadata=dict(static=True), default=0)
+    # True iff every real node row is indexed & valid: the masked-out set is
+    # then exactly the (zero-embedding) pad rows, and the seed kernel may
+    # statically skip its in-kernel eligibility masking (ops/topk.py
+    # ``dense_binmax2_pallas(trivial=True)`` — see its soundness note).
+    mask_trivial: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def n_pad(self) -> int:
@@ -114,6 +136,7 @@ def build_graph_tensors(
     members: Dict[int, List[int]],
     n_edges: int = 0,
     emb_dtype: str | None = None,
+    pack_children: bool | None = None,
 ) -> GraphTensors:
     """Assemble device tensors from host-side (already integer-indexed) graph data.
 
@@ -176,6 +199,26 @@ def build_graph_tensors(
     vd[:n] = True
 
     store_dtype = jnp.bfloat16 if emb_dtype == "bfloat16" else jnp.float32
+    ch_ell = _ell(children, n_pad)
+    # Packed member tables (see GraphTensors field comment): auto-enabled on
+    # large graphs where the scattered member-sim gather dominates post-seed
+    # cost; explicit ``pack_children=True`` forces it for tests/small graphs.
+    if pack_children is None:
+        pack_children = (n >= 4096
+                         and _os.environ.get("AHRAG_PACK_CHILDREN", "1") != "0")
+    pk_slot = pk_ids = pk_emb = None
+    if pack_children:
+        pack_nodes = np.nonzero(ch_ell[:, 0] >= 0)[0]
+        if pack_nodes.size:
+            cap = min(ch_ell.shape[1], MEMBER_SIM_CAP)
+            slot = np.full(n_pad, -1, np.int32)
+            slot[pack_nodes] = np.arange(pack_nodes.size, dtype=np.int32)
+            pids = ch_ell[pack_nodes, :cap]                     # [S, cap]
+            pemb = emb[np.clip(pids, 0, n_pad - 1)]             # [S, cap, d]
+            pemb[pids < 0] = 0.0
+            pk_slot = jnp.asarray(slot)
+            pk_ids = jnp.asarray(pids)
+            pk_emb = jnp.asarray(pemb, dtype=store_dtype)
     if (jax.default_backend() == "tpu" and n_pad % 1024 == 0
             and n_pad >= 4096):
         # prime the kernel-true certificate calibration EAGERLY (mirrors the
@@ -203,10 +246,14 @@ def build_graph_tensors(
         indexed=jnp.asarray(ix),
         valid=jnp.asarray(vd),
         parents=jnp.asarray(_ell(parents, n_pad)),
-        children=jnp.asarray(_ell(children, n_pad)),
+        children=jnp.asarray(ch_ell),
         related=jnp.asarray(_ell(related, n_pad)),
         hyperedges=jnp.asarray(_ell(hyperedges, n_pad)),
         members=jnp.asarray(_ell(members, n_pad)),
+        child_pack_slot=pk_slot,
+        child_pack_ids=pk_ids,
+        child_pack_emb=pk_emb,
         n_nodes=n,
         n_edges=n_edges,
+        mask_trivial=bool(np.all(ix[:n])) if n else False,
     )

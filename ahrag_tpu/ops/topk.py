@@ -180,7 +180,8 @@ def _flush_tiny(s: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
-                             k: int, margin: int = 16, flush_eps: float = 0.0
+                             k: int, margin: int = 16, flush_eps: float = 0.0,
+                             mask_trivial: bool = False
                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase top-k with a per-query exactness certificate.
 
@@ -251,7 +252,7 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
                 margin=eff_margin, tile_n=tile_n,
                 coarse_precision=("default" if is_bf16
                                   else F32_COARSE_PRECISION),
-                select="hier"))
+                select="hier", mask_trivial=mask_trivial))
         if len(outs) == 1:
             return outs[0]
         return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
@@ -322,10 +323,10 @@ def _full_highest_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "margin", "certify",
-                                             "flush_eps"))
+                                             "flush_eps", "mask_trivial"))
 def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         k: int, margin: int = 16, certify: bool = True,
-                        flush_eps: float = 0.0
+                        flush_eps: float = 0.0, mask_trivial: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Certified-exact two-phase top-k (see ``refined_masked_topk_cert``).
 
@@ -356,7 +357,8 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         # certified branch, making results depend on batch composition)
         q = q.astype(jnp.bfloat16)
     vals, idx, cert = refined_masked_topk_cert(q, emb, mask, k, margin=margin,
-                                               flush_eps=flush_eps)
+                                               flush_eps=flush_eps,
+                                               mask_trivial=mask_trivial)
     if not certify:
         return vals, idx
     return jax.lax.cond(jnp.all(cert),
@@ -552,6 +554,104 @@ def dense_binmax_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray,
     return tile_bins.transpose(1, 0, 2).reshape(B, num_tiles * 128)
 
 
+def _binmax2_kernel(nvalid_ref, q_ref, e_ref, mask_ref, bins_ref, smax_ref, *,
+                    tile_n: int, precision=None, trivial: bool = False):
+    """Bin-max kernel v2: per-tile 128 bin maxima PLUS the tile's supermax.
+
+    Two differences from ``_binmax_kernel``, both aimed at the VPU/HBM tax
+    around the MXU matmul (measured ~3.5 us/tile vs the ~2 us MXU floor):
+
+    - ``trivial=True`` (static) skips the eligibility masking entirely. Sound
+      when the caller guarantees masked-out rows have ZERO embeddings (pad
+      rows are zeroed by ``build_graph_tensors``; ``mask_trivial`` asserts all
+      real rows are indexed): a zero row scores exactly 0.0, which can only
+      displace genuinely negative-scored bins from the coarse net — and the
+      refine stage re-applies the true mask exactly, so a query whose true
+      top-k includes negative scores fails the certificate honestly and falls
+      back, instead of returning a wrong result.
+    - the tile's supermax (max over its 128 bin maxima) is emitted as a tiny
+      [8, B] block, so hierarchical selection never re-reads the full
+      [num_tiles, B, 128] bin array from HBM (273 MB at 1M rows, B=512 — the
+      dominant post-kernel cost of the round-4 hier path).
+    """
+    i = pl.program_id(0)
+    scores = jnp.dot(q_ref[:], e_ref[:].T, preferred_element_type=jnp.float32,
+                     precision=precision)
+    if not trivial:
+        base = i * tile_n
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        eligible = (base + col < nvalid_ref[0]) & (mask_ref[:].reshape(1, -1) > 0)
+        scores = jnp.where(eligible, scores, NEG_INF)
+    B = scores.shape[0]
+    bins = scores.reshape(B, tile_n // 128, 128).max(axis=1)
+    bins_ref[:, :] = bins
+    smax_ref[:, :] = jnp.broadcast_to(bins.max(axis=1)[None, :], (8, B))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "precision",
+                                             "trivial"))
+def dense_binmax2_pallas(q: jnp.ndarray, emb: jnp.ndarray, n_valid: jnp.ndarray,
+                         mask: jnp.ndarray, tile_n: int = 1024,
+                         interpret: bool = False,
+                         precision: str = "default",
+                         trivial: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused matmul + bin-max + tile-supermax: [B, D] x [N, D] ->
+    (bins [num_tiles, B, 128], supermax [B, num_tiles]).
+
+    Same coarse math as ``dense_binmax_pallas`` (same matmul precision, same
+    strided bin layout: bin ``j`` of tile ``t`` holds rows
+    ``{t*tile_n + j + 128*i}``), but (a) bins stay in the kernel's natural
+    [tile, B, lane] layout — the caller gathers only SELECTED tiles instead of
+    transposing the whole array — and (b) each tile's supermax comes out as a
+    2 MB side array that drives hierarchical selection without touching the
+    bin array. ``trivial`` statically removes the in-kernel masking (see
+    ``_binmax2_kernel`` for the soundness argument). ``binmax_eps`` remains
+    the calibrated error band: the per-element score computation (dot + max
+    reduce) is instruction-identical to ``dense_binmax_pallas``.
+    """
+    B, D = q.shape
+    N = emb.shape[0]
+    assert N % tile_n == 0 and tile_n % 128 == 0, (N, tile_n)
+    num_tiles = N // tile_n
+    mask_f = jnp.asarray(mask, jnp.float32)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}.get(precision)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i, n: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, 128), lambda i, n: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, B), lambda i, n: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def kernel(nvalid_ref, q_ref, e_ref, mask_ref, bins_ref, smax_ref):
+        _binmax2_kernel(nvalid_ref, q_ref, e_ref, mask_ref, bins_ref.at[0],
+                        smax_ref.at[0], tile_n=tile_n, precision=prec,
+                        trivial=trivial)
+
+    tile_bins, smax = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, B, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((num_tiles, 8, B), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D, bytes_accessed=N * D * 4 + B * D * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1), q, emb, mask_f)
+    return tile_bins, smax[:, 0, :].T
+
+
 def binned_rows_of(bin_idx: jnp.ndarray, tile_n: int) -> jnp.ndarray:
     """Corpus rows covered by global bin ids ([..., m] -> [..., m, G])."""
     g = tile_n // 128
@@ -583,7 +683,8 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         interpret: bool = False,
                         coarse_precision: str = "default",
                         select: str = "exact",
-                        recall_target: float = 0.999
+                        recall_target: float = 0.999,
+                        mask_trivial: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Public shell: resolves the calibrated ``eps`` eagerly (priming the
     kernel-true calibration when called outside a trace), then dispatches the
@@ -594,19 +695,21 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                                 interpret=interpret,
                                 coarse_precision=coarse_precision,
                                 select=select, recall_target=recall_target,
-                                eps=eps)
+                                eps=eps, mask_trivial=mask_trivial)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "margin", "tile_n",
                                              "interpret", "coarse_precision",
-                                             "select", "recall_target", "eps"))
+                                             "select", "recall_target", "eps",
+                                             "mask_trivial"))
 def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                          k: int, margin: int = 16, tile_n: int = 4096,
                          interpret: bool = False,
                          coarse_precision: str = "default",
                          select: str = "exact",
                          recall_target: float = 0.999,
-                         eps: float = 0.0
+                         eps: float = 0.0,
+                         mask_trivial: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Certified top-k via the streaming bin-max kernel.
 
@@ -633,12 +736,31 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
     is_bf16 = emb.dtype == jnp.bfloat16
     if is_bf16:
         q = q.astype(jnp.bfloat16)
-    binmax = dense_binmax_pallas(q, emb, jnp.int32(n), mask, tile_n=tile_n,
-                                 interpret=interpret,
-                                 precision=coarse_precision)
-    nbins = binmax.shape[1]
+    num_tiles = n // tile_n
+    nbins = num_tiles * 128
     m = min(k + margin, nbins)
-    if select == "hier" and m < nbins and nbins > 2 * 128:
+    if (select == "hier" and m < nbins and nbins > 2 * 128
+            and B % 128 == 0):
+        # v2 path: the kernel emits each tile's supermax alongside its bin
+        # maxima, and bins stay in [tile, B, 128] layout — selection reads the
+        # 2 MB supermax array plus ONLY the selected tiles' bin rows, instead
+        # of transposing + max-reducing the full [B, nbins] array (273 MB of
+        # HBM re-read at 1M rows, B=512: the round-4 hier path's dominant
+        # post-kernel cost). Superbin == tile (128 consecutive bins), so the
+        # certificate's two-case soundness argument is unchanged (see below).
+        # Gated on B % 128 == 0: the supermax block's lane dim is B.
+        tile_bins, smax = dense_binmax2_pallas(
+            q, emb, jnp.int32(n), mask, tile_n=tile_n, interpret=interpret,
+            precision=coarse_precision, trivial=mask_trivial)
+        s_take = min(m, num_tiles)
+        _, sb_idx = jax.lax.top_k(smax, s_take)                  # [B, s]
+        sub = tile_bins[sb_idx, jnp.arange(B)[:, None]]          # [B, s, 128]
+        sub = sub.reshape(B, s_take * 128)
+        bins_of = (sb_idx[:, :, None] * 128
+                   + jnp.arange(128)[None, None, :]).reshape(B, -1)
+        bm_vals, sub_pos = jax.lax.top_k(sub, m)
+        bm_idx = jnp.take_along_axis(bins_of, sub_pos, axis=1)
+    elif select == "hier" and m < nbins and nbins > 2 * 128:
         # Two-level EXACT selection: superbin maxima (groups of 128 bins) ->
         # top-m superbins -> top-m bins within their union. Pure XLA, no
         # O(B*nbins) top_k (the 60ms bottleneck at 66688 bins) and no
@@ -653,6 +775,9 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         # >= v*, and each contributes its own best bin (value >= v*) to the
         # gathered set, so again >= m gathered bins >= v* and c_out >= v*.
         # Either way v* <= c_out: the free exact-style bound stays sound.
+        binmax = dense_binmax_pallas(q, emb, jnp.int32(n), mask, tile_n=tile_n,
+                                     interpret=interpret,
+                                     precision=coarse_precision)
         sb = 128
         nb_pad = _round_up(nbins, sb)
         bm_p = (binmax if nb_pad == nbins else
@@ -674,9 +799,15 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         bm_vals, sub_pos = jax.lax.top_k(sub, m)
         bm_idx = jnp.take_along_axis(bins_of, sub_pos, axis=1)
     elif select == "approx" and m < nbins:
+        binmax = dense_binmax_pallas(q, emb, jnp.int32(n), mask, tile_n=tile_n,
+                                     interpret=interpret,
+                                     precision=coarse_precision)
         bm_vals, bm_idx = jax.lax.approx_max_k(binmax, m,
                                                recall_target=recall_target)
     else:
+        binmax = dense_binmax_pallas(q, emb, jnp.int32(n), mask, tile_n=tile_n,
+                                     interpret=interpret,
+                                     precision=coarse_precision)
         bm_vals, bm_idx = jax.lax.top_k(binmax, m)           # [B, m]
     rows = binned_rows_of(bm_idx, tile_n).reshape(B, -1)     # [B, m*G]
     cand_emb = emb[rows]                                     # [B, m*G, D]

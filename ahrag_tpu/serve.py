@@ -387,8 +387,20 @@ class RetrievalService:
                  max_batch: int = 64, max_wait_s: float = 0.002,
                  request_timeout_s: Optional[float] = 10.0,
                  coalesce_quiet_s: float = 0.0015,
-                 coalesce_cap_s: float = 0.05) -> None:
-        self._coalesce = (coalesce_quiet_s, coalesce_cap_s)
+                 coalesce_cap_s: Optional[float] = None) -> None:
+        # Quiet-window coalescing is on by default HERE (the MicroBatcher
+        # keeps it opt-in): a retrieval service's throughput is ~linear in
+        # batch size while the device round trip is ~flat in it. The cap —
+        # the most extra latency coalescing may add — ADAPTS to the measured
+        # round trip (EMA over finalize walls, clamped to [max_wait_s, 50 ms])
+        # unless given explicitly: a fixed 50 ms cap was a ~25x latency
+        # inflation on fast local backends whose round trip is ~2 ms
+        # (ADVICE r4). It starts at max_wait_s (harmless everywhere) and
+        # grows only as slow round trips are observed.
+        self._cap_fixed = coalesce_cap_s is not None
+        self._rtt_ema: Optional[float] = None
+        self._coalesce = (coalesce_quiet_s,
+                          coalesce_cap_s if self._cap_fixed else max_wait_s)
         self.hg = hg or HierarchicalGraph.load(graph_dir)
         if self.hg.dirty or not self.hg._embeddings:
             self.hg.build_vector_index(layers=(0, 1, 2))
@@ -445,6 +457,16 @@ class RetrievalService:
                                          coalesce_quiet_s=self._coalesce[0],
                                          coalesce_cap_s=self._coalesce[1])
         self._default_top_k = 5
+
+    def _observe_rtt(self, rtt_s: float) -> None:
+        """Feed one measured device round trip into the adaptive coalesce cap
+        (no-op when an explicit ``coalesce_cap_s`` was given)."""
+        if self._cap_fixed:
+            return
+        self._rtt_ema = (rtt_s if self._rtt_ema is None
+                         else 0.7 * self._rtt_ema + 0.3 * rtt_s)
+        cap = min(0.05, max(self._batcher.max_wait_s, self._rtt_ema))
+        self._batcher._coalesce_cap_s = cap
 
     # -- batched search ------------------------------------------------------
     @staticmethod
@@ -536,8 +558,10 @@ class RetrievalService:
         """Stage 2: block for the device result (a full tunnel round trip —
         overlapped with the next batch's dispatch) and assemble entries."""
         n, dev = token
+        t0 = time.perf_counter()
         with self.timers.timed("search_finalize"):
             packed = np.asarray(dev)
+        self._observe_rtt(time.perf_counter() - t0)
         idx = packed[..., 0].astype(np.int64)
         score, sem = packed[..., 1], packed[..., 2]
         ok = packed[..., 3] > 0.5
@@ -554,6 +578,7 @@ class RetrievalService:
         bucket = self._bucket(n)
         timer = ("search_batch" if bucket in self._warm_buckets
                  else "search_batch_warmup")
+        t0 = time.perf_counter()
         with self.timers.timed(timer):
             padded = queries + [""] * (bucket - n)
             q = jnp.asarray(self.hg.encode_query(padded))
@@ -564,6 +589,8 @@ class RetrievalService:
             score = np.asarray(res.reranked_score)
             sem = np.asarray(res.reranked_sem)
             ok = np.asarray(res.reranked_valid)
+        if bucket in self._warm_buckets:   # compile walls must not feed the cap
+            self._observe_rtt(time.perf_counter() - t0)
         self._warm_buckets.add(bucket)
         out = []
         for b in range(n):

@@ -170,3 +170,50 @@ def test_search_params_from_loaded_meta(tmp_path):
     # explicit argument overrides the stored default
     res2 = hg2.search("American directors", top_k=5, type_filter=["entity"])
     assert all(r["node_type"] == "entity" for r in res2)
+
+
+def test_packed_children_search_parity():
+    """pack_children=True must reproduce the unpacked search bit for bit
+    (ids, scores) on a graph with summary fan-out > member_top_m."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ahrag_tpu.graph.search import SearchWeights, hybrid_search_batch
+    from ahrag_tpu.graph.tensors import build_graph_tensors
+
+    rng = np.random.default_rng(21)
+    n_ent, n_sum = 96, 4
+    n = n_ent + n_sum
+    emb = rng.normal(size=(n, 48)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    parents = {i: [n_ent + i % n_sum] for i in range(n_ent)}
+    children = {n_ent + s: [i for i in range(n_ent) if i % n_sum == s]
+                for s in range(n_sum)}
+    kw = dict(
+        embeddings=emb,
+        node_types=[0] * n_ent + [1] * n_sum,
+        levels=[0] * n_ent + [1] * n_sum,
+        judges=[None] * n,
+        confs=[7.0] * n,
+        indexed=[True] * n,
+        parents=parents, children=children,
+        related={}, hyperedges={}, members={},
+    )
+    gt_plain = build_graph_tensors(**kw, pack_children=False)
+    gt_pack = build_graph_tensors(**kw, pack_children=True)
+    assert gt_pack.child_pack_emb is not None
+    assert gt_plain.child_pack_emb is None
+
+    q = rng.normal(size=(6, 48)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w = SearchWeights.create()
+    r1 = hybrid_search_batch(gt_plain, jnp.asarray(q), w, top_k=5,
+                             member_top_m=3)
+    r2 = hybrid_search_batch(gt_pack, jnp.asarray(q), w, top_k=5,
+                             member_top_m=3)
+    np.testing.assert_array_equal(np.asarray(r1.reranked_idx),
+                                  np.asarray(r2.reranked_idx))
+    np.testing.assert_array_equal(np.asarray(r1.reranked_score),
+                                  np.asarray(r2.reranked_score))
+    np.testing.assert_array_equal(np.asarray(r1.cand_idx),
+                                  np.asarray(r2.cand_idx))

@@ -256,3 +256,45 @@ def test_boolean_verdict_grounding_exempt():
     assert judge_answer_grounding(
         q, {"answer": "Yes, both are American",
             "context": {"context_text": ev}}) == 1.0
+
+
+def test_no_signal_split_from_edge_case():
+    """VERDICT r4 item 9: an item graded against gold and FAILING while every
+    proxy reads green routes to 'no_signal' (low confidence), not edge_case;
+    without gold answers the same metrics stay edge_case."""
+    from ahrag_tpu.eval.answer_eval import AnswerEvaluator
+    ev = AnswerEvaluator()
+    green = {"faithfulness": 0.9, "answer_relevancy": 0.9,
+             "contextual_recall": 0.9, "contextual_precision": 0.65,
+             "answer_grounding": 1.0}
+    d = ev.apply_diagnosis_formula({**green, "f1": 0.0, "gold_available": 1.0})
+    assert d["primary_issue"] == "no_signal"
+    assert d["confidence"] < 0.3
+    # passing item: nominal edge_case
+    d = ev.apply_diagnosis_formula({**green, "f1": 100.0,
+                                    "gold_available": 1.0})
+    assert d["primary_issue"] == "edge_case"
+    # no gold provided: f1 == 0 is meaningless, stays edge_case
+    d = ev.apply_diagnosis_formula({**green, "f1": 0.0, "gold_available": 0.0})
+    assert d["primary_issue"] == "edge_case"
+
+
+def test_no_signal_suppressed_in_parity_mode():
+    """Parity mode pins the reference's gold-blind formula: a failing item
+    with green proxies must NOT route no_signal there."""
+    from ahrag_tpu.eval.answer_eval import AnswerEvaluator
+    ev = AnswerEvaluator()
+    obj = {
+        "query": "Who directed Ed Wood?",
+        "answer": "totally wrong span",
+        "gold_answers": ["Tim Burton"],
+        "citations": ["ent:1"],
+        "evidence": {"entities": [{"node_id": "ent:1", "title": "Tim Burton",
+                                   "summary": "american director"}]},
+        "context": {"used_nodes": ["ent:1"], "stats": {"tokens_used": 20}},
+        "retrieved_nodes": ["ent:1"],
+        "session_data": {"stats": {"cumulative": {"steps": 1, "expansions": 0,
+                                                  "time_s": 0.01}}},
+    }
+    out = ev.evaluate(obj, config={"evaluation": {"judge": {"mode": "parity"}}})
+    assert out["details"]["diagnosis"]["primary_issue"] != "no_signal"

@@ -53,46 +53,63 @@ def test_microbatcher_quiet_window_grows_batches():
         batches.append(list(items))
         return list(items)
 
-    # base window 0.1s, arrivals every ~0.06s: items 2..7 land PAST the base
-    # deadline but inside the 0.3s-per-arrival quiet window, so the train
-    # coalesces; a fixed deadline would flush at 0.1s with items 0-1 only
+    # base window 0.1s, arrivals every ~0.05s: items 2..7 land PAST the base
+    # deadline but inside the 1.0s-per-arrival quiet window, so the train
+    # coalesces; a fixed deadline would flush at 0.1s with items 0-1 only.
+    # quiet_s (1.0s) is set far above any plausible scheduler stall between
+    # consecutive 0.05s-staggered arrivals, and a stalled WORKER only
+    # concentrates arrivals further — both failure modes push toward FEWER
+    # batches, so the <=2 bound is stall-tolerant by construction (ADVICE r4).
     mb = MicroBatcher(process, max_batch=64, max_wait_s=0.1,
-                      coalesce_quiet_s=0.3, coalesce_cap_s=10.0)
+                      coalesce_quiet_s=1.0, coalesce_cap_s=30.0)
     n = 8
 
-    def call(mb_, i):
-        time.sleep(0.06 * i)
+    def call(mb_, i, stagger):
+        time.sleep(stagger * i)
         mb_.submit(i)
 
-    threads = [threading.Thread(target=call, args=(mb, i)) for i in range(n)]
+    threads = [threading.Thread(target=call, args=(mb, i, 0.05))
+               for i in range(n)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     mb.close()
     assert sum(len(b) for b in batches) == n
-    # allow 2 batches for a scheduler stall on a loaded 1-core host;
+    # allow 2 batches for a >1s thread-start stall on a loaded 1-core host;
     # the fixed deadline alone would produce >=3
     assert len(batches) <= 2, batches
 
-    # the cap bounds the extension: cap == base window behaves like the
-    # fixed deadline, so the same stagger MUST split into several batches
-    batches2 = []
 
-    def process2(items):
-        batches2.append(list(items))
+def test_microbatcher_coalesce_cap_bounds_extension():
+    """The cap bounds how long arrivals can extend the window: under a
+    continuous arrival train (stagger << quiet_s, so the quiet window alone
+    would hold the batch open for the whole train), the cap must flush
+    mid-train — some item lands in a second batch. The train (2.4s) is an
+    order of magnitude longer than the cap (0.25s) so the split survives
+    multi-hundred-ms scheduler stalls before/while the worker coalesces."""
+    batches = []
+
+    def process(items):
+        batches.append(list(items))
         return list(items)
 
-    mb2 = MicroBatcher(process2, max_batch=64, max_wait_s=0.1,
-                       coalesce_quiet_s=0.3, coalesce_cap_s=0.1)
-    threads = [threading.Thread(target=call, args=(mb2, i)) for i in range(n)]
+    mb = MicroBatcher(process, max_batch=64, max_wait_s=0.05,
+                      coalesce_quiet_s=0.5, coalesce_cap_s=0.25)
+    n, stagger = 24, 0.1
+
+    def call(i):
+        time.sleep(stagger * i)
+        mb.submit(i)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    mb2.close()
-    assert sum(len(b) for b in batches2) == n
-    assert len(batches2) >= 2, batches2
+    mb.close()
+    assert sum(len(b) for b in batches) == n
+    assert len(batches) >= 2, batches
 
 
 def test_microbatcher_cross_generation_stress():

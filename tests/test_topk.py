@@ -215,3 +215,55 @@ def test_certificate_whole_corpus_coarse_set():
     assert bool(jnp.all(cert))
     ovals, oidx = _numpy_oracle(q, e, 64, 5)
     np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+def test_binned_refined_topk_hier_v2_matches_oracle():
+    """The supermax-emitting v2 hier path (engaged at B % 128 == 0): oracle
+    parity + certificate, with real superbin pruning and a nontrivial mask."""
+    from ahrag_tpu.ops.topk import binned_refined_topk
+    q, e = _mk(n=8192, d=64, b=128, seed=12)
+    mask = np.ones(8192, bool)
+    mask[50:300] = False
+    vals, idx, cert = binned_refined_topk(q, e, jnp.asarray(mask), 5, margin=8,
+                                          tile_n=256, interpret=True,
+                                          select="hier")
+    scores = np.asarray(q) @ np.asarray(e).T
+    scores[:, ~mask] = -np.inf
+    oidx = np.argsort(-scores, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    assert bool(jnp.all(cert))
+
+
+def test_binned_refined_topk_trivial_mask():
+    """mask_trivial=True skips in-kernel masking; with an all-true mask over
+    real rows the result must equal the masked kernel's bit for bit."""
+    from ahrag_tpu.ops.topk import binned_refined_topk
+    q, e = _mk(n=8192, d=64, b=128, seed=13)
+    mask = jnp.ones(8192, bool)
+    v1, i1, c1 = binned_refined_topk(q, e, mask, 5, margin=8, tile_n=256,
+                                     interpret=True, select="hier",
+                                     mask_trivial=True)
+    v2, i2, c2 = binned_refined_topk(q, e, mask, 5, margin=8, tile_n=256,
+                                     interpret=True, select="hier",
+                                     mask_trivial=False)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    assert bool(jnp.all(c1)) and bool(jnp.all(c2))
+
+
+def test_binmax2_kernel_matches_binmax():
+    """v2 kernel's bins match the v1 kernel; supermax is the per-tile max."""
+    from ahrag_tpu.ops.topk import dense_binmax_pallas, dense_binmax2_pallas
+    q, e = _mk(n=1024, d=128, b=2, seed=14)
+    mask = np.ones(1024, bool)
+    mask[100:140] = False
+    v1 = np.asarray(dense_binmax_pallas(q, e, jnp.int32(1000),
+                                        jnp.asarray(mask), tile_n=256,
+                                        interpret=True))     # [B, nbins]
+    bins, smax = dense_binmax2_pallas(q, e, jnp.int32(1000), jnp.asarray(mask),
+                                      tile_n=256, interpret=True)
+    bins = np.asarray(bins)    # [T, B, 128]
+    smax = np.asarray(smax)    # [B, T]
+    flat = bins.transpose(1, 0, 2).reshape(2, -1)
+    np.testing.assert_array_equal(flat, v1)
+    np.testing.assert_array_equal(smax, bins.max(axis=2).T)
