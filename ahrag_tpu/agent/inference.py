@@ -108,7 +108,17 @@ class InferenceEngine:
         self.env = env
         self.agent = agent
 
-    def run_inference(self, query: str, steps: int = 4) -> Dict[str, Any]:
+    #: default retrieval knobs. A trained policy may override per question
+    #: (agent/knob_policy.py — the round-5 PPO unfreeze lever): each knob
+    #: verifiably changes the retrieved set (rescue width adds/removes
+    #: committed rescue nodes, the caps change which selections survive into
+    #: evidence, hops bounds the second-hop retrieval loop).
+    DEFAULT_KNOBS = {"rescue_top_n": 3, "rescue_clause_top_n": 2,
+                     "max_summaries": 3, "max_entities": 5, "hops": 3}
+
+    def run_inference(self, query: str, steps: int = 4,
+                      knobs: Optional[Dict[str, int]] = None) -> Dict[str, Any]:
+        kb = {**self.DEFAULT_KNOBS, **(knobs or {})}
         obs, info = self.env.reset(seed_query=query)
         used_actions: List[Dict[str, Any]] = [info]
 
@@ -131,7 +141,9 @@ class InferenceEngine:
         # (answer/qa.py::constraint_coverage) and commit the satisfying nodes
         # as priority evidence. Self-gating: questions that name their entity
         # produce no second rare term, so this is a no-op for them.
-        rescue = self._constraint_rescue(query)
+        rescue = self._constraint_rescue(query,
+                                         top_n=kb["rescue_top_n"],
+                                         clause_top_n=kb["rescue_clause_top_n"])
         if rescue:
             _, info_rescue = self.env.commit_selection(rescue)
             used_actions.append(info_rescue)
@@ -170,7 +182,8 @@ class InferenceEngine:
         # lexicographically-earlier co-selected entities)
         priority = list(dict.fromkeys(named + rescue))
         evidence = self.collect_evidence(
-            max_summaries=3, max_entities=max(5, len(priority) + 2),
+            max_summaries=kb["max_summaries"],
+            max_entities=max(kb["max_entities"], len(priority) + 2),
             priority_ids=priority)
 
         cfg = load_config()
@@ -203,7 +216,7 @@ class InferenceEngine:
         # cap evict the question's own subject on the FIRST rebuild
         hop_ids: List[str] = list(priority)
         rel_done: set = set()
-        for _hop in range(3):
+        for _hop in range(kb["hops"]):
             progressed = False
             for name in self._credit_expansion_targets(query, context,
                                                        rel_done)[:2]:
@@ -326,7 +339,8 @@ class InferenceEngine:
         return out
 
     # ----------------------------------------------------- follow-up hops
-    def _constraint_rescue(self, query: str) -> List[str]:
+    def _constraint_rescue(self, query: str, top_n: int = 3,
+                           clause_top_n: int = 2) -> List[str]:
         """Nodes whose own text covers the question's term conjunction.
 
         Takes a wider dense candidate pool (top-48) than the anchor and ranks
@@ -344,7 +358,9 @@ class InferenceEngine:
         whole-question survivors. Clauses whose content terms all belong to
         multiword capitalized names self-gate (entity comparisons stay on the
         named-anchor path)."""
-        out = self._rescue_one(query, top_n=3)
+        if top_n <= 0:
+            return []
+        out = self._rescue_one(query, top_n=top_n)
         clauses = [c for c in re.split(r"\band\b|\bwith\b|,\s+", query)
                    if c and c.strip()]
         if len(clauses) >= 2:
@@ -353,7 +369,7 @@ class InferenceEngine:
                         if len(_query_constraint_terms(c)) >= 2]
             if len(eligible) >= 2:
                 for c in eligible:
-                    out += self._rescue_one(c, top_n=2)
+                    out += self._rescue_one(c, top_n=clause_top_n)
         return list(dict.fromkeys(out))
 
     def _rescue_one(self, query: str, top_n: int) -> List[str]:

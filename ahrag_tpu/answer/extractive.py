@@ -737,7 +737,7 @@ def bridge_hop_targets(query: str, sentences: List[str]) -> List[str]:
 
 def extract_answer(query: str, context_text: str,
                    allow_span_scoring: bool = True,
-                   reader=None) -> Optional[str]:
+                   reader=None, reader_only: bool = False) -> Optional[str]:
     """Best typed answer span from the evidence, or None when nothing scores.
 
     Tries the typed fact-KB chain first (answer/qa.py — handles paraphrased
@@ -750,6 +750,13 @@ def extract_answer(query: str, context_text: str,
     from ahrag_tpu.answer.qa import (_CREATOR_CUES, _STAR_CUES,
                                      answer_from_facts, unanswerable)
     sentences = _clean_sentences(context_text)
+    if reader_only:
+        # measurement mode (VERDICT r4 item 3): the learned reader IS the
+        # whole read path — no fact chain, no rewrites, no span scoring.
+        if reader is None:
+            return None
+        ans, conf = reader.answer(query, sentences)
+        return ans if ans and conf >= reader.min_conf else None
     # described-subject questions with an UNMODELED relation (no creator/star
     # cue) and an entity that is not the grammatical subject: the fact
     # chain's subject resolution falls back to E and answers E's OWN
@@ -796,7 +803,10 @@ def extract_answer(query: str, context_text: str,
     reader_conf = 0.0
     if reader is not None:
         reader_ans, reader_conf = reader.answer(query, sentences)
-        if reader_ans and reader_conf >= getattr(reader, "hi_conf", 0.6):
+        hi = (reader.hi_conf_for(reader_ans) if reader_ans
+              and hasattr(reader, "hi_conf_for")
+              else getattr(reader, "hi_conf", 0.6))
+        if reader_ans and reader_conf >= hi:
             return reader_ans
         if reader_ans and reader_conf < reader.min_conf:
             reader_ans = None

@@ -120,7 +120,9 @@ class AnswerGenerator:
                                 float(cfg.get("reader_min_conf", 0.25)))
         span = extract_answer(query, context.get("context_text", ""),
                               allow_span_scoring=not is_comparison,
-                              reader=reader)
+                              reader=reader,
+                              reader_only=bool(cfg
+                                               and cfg.get("reader_only")))
         if span == "unanswerable":
             # abstention (answer/qa.py::unanswerable): the asked entity is
             # absent from the evidence — cite nothing, claim nothing

@@ -132,8 +132,16 @@ def run_system(system: str, query: str, cfg: Dict[str, Any], hg) -> Dict[str, An
             agent = AHRAG_Agent(env, use_llm=bool(cfg.get("agent", {})
                                                   .get("use_llm", False)))
         engine = InferenceEngine(env, agent)
+        knobs = None
+        kp_path = rl_cfg.get("knob_policy_path", "")
+        if rl_cfg.get("use_knob_policy") and os.path.exists(kp_path):
+            # round-5 PPO lever: the trained policy picks this question's
+            # retrieval knob config (agent/knob_policy.py)
+            from ahrag_tpu.agent.knob_policy import load_knob_policy
+            knobs = load_knob_policy(kp_path)(query)
         return engine.run_inference(
-            query, steps=int(cfg.get("inference", {}).get("steps", 4)))
+            query, steps=int(cfg.get("inference", {}).get("steps", 4)),
+            knobs=knobs)
     if system == "naive":
         from ahrag_tpu.answer.generator import AnswerGenerator
         from ahrag_tpu.baselines.naive import NaiveRAG

@@ -262,7 +262,8 @@ def hybrid_search(gt: GraphTensors, q_emb: jnp.ndarray, w: SearchWeights,
     seed_sim, seed_idx = refined_masked_topk(
         q_emb[None, :], gt.emb, gt.indexed & gt.valid, top_k,
         margin=max(12, 2 * top_k + 2), certify=certify,
-        flush_eps=SEM_FLUSH_EPS, mask_trivial=gt.mask_trivial)
+        flush_eps=SEM_FLUSH_EPS, mask_trivial=gt.mask_trivial,
+        emb_binpack=gt.emb_binpack)
     return _post_seed(gt, seed_sim[0], seed_idx[0], w, top_k, member_top_m,
                       q_emb=q_emb)
 
@@ -279,7 +280,7 @@ def hybrid_search_batch(gt: GraphTensors, q_embs: jnp.ndarray, w: SearchWeights,
     seed_sim, seed_idx = refined_masked_topk(
         q_embs, gt.emb, gt.indexed & gt.valid, top_k,
         margin=max(12, 2 * top_k + 2), flush_eps=SEM_FLUSH_EPS,
-        mask_trivial=gt.mask_trivial)
+        mask_trivial=gt.mask_trivial, emb_binpack=gt.emb_binpack)
     return jax.vmap(lambda ss, si, qq: _post_seed(gt, ss, si, w, top_k,
                                                   member_top_m, q_emb=qq)
                     )(seed_sim, seed_idx, q_embs)

@@ -74,6 +74,9 @@ class GraphTensors:
     child_pack_slot: jnp.ndarray | None = None   # [N_pad] i32 (-1 = no row)
     child_pack_ids: jnp.ndarray | None = None    # [S, cap] i32, -1 padded
     child_pack_emb: jnp.ndarray | None = None    # [S, cap, D] emb dtype
+    # bin-contiguous permutation of emb for the binned seed kernel's
+    # candidate gather (tile_n=1024 layout; see build_graph_tensors)
+    emb_binpack: jnp.ndarray | None = None       # [nbins, 8, D] emb dtype
     # static metadata
     n_nodes: int = field(metadata=dict(static=True), default=0)
     n_edges: int = field(metadata=dict(static=True), default=0)
@@ -207,6 +210,7 @@ def build_graph_tensors(
         pack_children = (n >= 4096
                          and _os.environ.get("AHRAG_PACK_CHILDREN", "1") != "0")
     pk_slot = pk_ids = pk_emb = None
+    pack_meta = None
     if pack_children:
         pack_nodes = np.nonzero(ch_ell[:, 0] >= 0)[0]
         if pack_nodes.size:
@@ -214,11 +218,13 @@ def build_graph_tensors(
             slot = np.full(n_pad, -1, np.int32)
             slot[pack_nodes] = np.arange(pack_nodes.size, dtype=np.int32)
             pids = ch_ell[pack_nodes, :cap]                     # [S, cap]
-            pemb = emb[np.clip(pids, 0, n_pad - 1)]             # [S, cap, d]
-            pemb[pids < 0] = 0.0
             pk_slot = jnp.asarray(slot)
             pk_ids = jnp.asarray(pids)
-            pk_emb = jnp.asarray(pemb, dtype=store_dtype)
+            # the [S, cap, D] embedding rows are gathered ON DEVICE from the
+            # already-uploaded emb (HBM-to-HBM, milliseconds) — a host-side
+            # gather shipped an extra ~460 MB through the device tunnel at
+            # 1M nodes, tripling index build time (round-5 measurement)
+            pack_meta = pids
     if (jax.default_backend() == "tpu" and n_pad % 1024 == 0
             and n_pad >= 4096):
         # prime the kernel-true certificate calibration EAGERLY (mirrors the
@@ -235,8 +241,27 @@ def build_graph_tensors(
                        is_bf16, False)
         except Exception:  # pragma: no cover - calibration must never block
             pass           # index builds (falls back to the XLA band)
+    emb_dev = jnp.asarray(emb, dtype=store_dtype)
+    if pack_meta is not None:
+        pids_dev = jnp.asarray(np.clip(pack_meta, 0, n_pad - 1))
+        pk_emb = jnp.where(jnp.asarray(pack_meta >= 0)[:, :, None],
+                           emb_dev[pids_dev], 0).astype(store_dtype)
+    # Bin-packed corpus copy for the binned seed kernel's candidate gather
+    # (ops/topk.py): bin (tile, lane) of tile_n=1024 holds rows
+    # {tile*1024 + lane + 128*i}; gathering those 8 scattered 768 B rows per
+    # selected bin is descriptor-latency-bound (~2 ms of the 1M seed).
+    # This PERMUTED copy stores each bin's 8 rows contiguously so the gather
+    # is one ~6 KB descriptor per bin. Pure device-side reshuffle of the
+    # uploaded emb; only built where the binned kernel engages.
+    emb_binpack = None
+    if (jax.default_backend() == "tpu" and n_pad % 1024 == 0
+            and n >= 65536
+            and _os.environ.get("AHRAG_BINPACK", "1") != "0"):
+        t = n_pad // 1024
+        emb_binpack = (emb_dev.reshape(t, 8, 128, d)
+                       .transpose(0, 2, 1, 3).reshape(t * 128, 8, d))
     return GraphTensors(
-        emb=jnp.asarray(emb, dtype=store_dtype),
+        emb=emb_dev,
         node_type=jnp.asarray(nt),
         level=jnp.asarray(lv),
         judge=jnp.asarray(jd),
@@ -253,6 +278,7 @@ def build_graph_tensors(
         child_pack_slot=pk_slot,
         child_pack_ids=pk_ids,
         child_pack_emb=pk_emb,
+        emb_binpack=emb_binpack,
         n_nodes=n,
         n_edges=n_edges,
         mask_trivial=bool(np.all(ix[:n])) if n else False,

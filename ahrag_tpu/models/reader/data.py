@@ -122,6 +122,34 @@ def _person(rng: random.Random) -> str:
         parts[0] + " " + _pseudo_word(rng, 2).capitalize())
 
 
+def _world_people(rng: random.Random, n: int) -> List[str]:
+    """A world's cast with DELIBERATE name-part reuse: given names and
+    surnames are drawn from small per-world pools, so several people share a
+    part while full names stay unique. Real corpora (and eval/synth.py) reuse
+    name parts across people — a reader keyed on single capitalized tokens
+    confuses the name-sharers; only the full-sequence anchor disambiguates
+    (features.py channels 12-13 exist for exactly this drill)."""
+    pool = max(3, (n + 1) // 2)
+    givens = [_pseudo_word(rng, 1 + rng.randrange(2)).capitalize()
+              for _ in range(pool)]
+    surs = [_pseudo_word(rng, 2).capitalize() for _ in range(pool)]
+    seen, out = set(), []
+    tries = 0
+    while len(out) < n and tries < 200:
+        tries += 1
+        name = rng.choice(givens) + " " + rng.choice(surs)
+        if rng.random() < 0.15:
+            name = (rng.choice(givens) + " "
+                    + _pseudo_word(rng, 2).capitalize() + " "
+                    + rng.choice(surs))
+        if name not in seen:
+            seen.add(name)
+            out.append(name)
+    while len(out) < n:           # pool exhausted: top up with unique names
+        out.append(_person(rng))
+    return out
+
+
 def _org(rng: random.Random) -> str:
     return (_pseudo_word(rng, 2).capitalize() + " " + rng.choice(_ORG_SUFFIX))
 
@@ -246,7 +274,8 @@ def _render_question(rng: random.Random, subj: str, obj_kind: str,
 
 FAMILIES = ("rel_person", "rel_year", "rel_noun", "rel_org",
             "role_1hop", "city_1hop", "byear_1hop",
-            "role_2hop", "city_2hop", "year_2hop", "org_honoree_role")
+            "role_2hop", "city_2hop", "year_2hop", "org_honoree_role",
+            "noun_holder_attr", "succession")
 
 
 def make_instance(rng: random.Random,
@@ -254,7 +283,7 @@ def make_instance(rng: random.Random,
     """One (question, evidence, answer) item over a freshly sampled world."""
     fam = family or rng.choice(FAMILIES)
     n_paras = 5 + rng.randrange(4)
-    people = [_person(rng) for _ in range(n_paras)]
+    people = _world_people(rng, n_paras)
     info = {p: {"adj": rng.choice(_ADJS + [_demonym(rng)]),
                 "role": _role(rng), "city": _city(rng),
                 "year": _year(rng)} for p in people}
@@ -283,6 +312,12 @@ def make_instance(rng: random.Random,
         obj_kind, obj = "noun", rng.choice(_OBJ_NOUNS)
     elif fam == "rel_org":
         obj_kind, obj = "org", _org(rng)
+    elif fam == "noun_holder_attr":
+        # anchor noun + asked attribute chosen HERE so the distractor loop
+        # can exclude colliding facts (a second holder of the anchor noun,
+        # or a year fact beside an asked birth year, is label noise)
+        obj_kind, obj = "noun", rng.choice(_OBJ_NOUNS)
+        extra_entity = rng.choice(["year", "city", "role"])  # reused as attr
 
     paragraphs: List[List[str]] = []
     for i, p in enumerate(people):
@@ -301,6 +336,10 @@ def make_instance(rng: random.Random,
             # first-hop ambiguity: a second person fact on the anchor would
             # make "the person who <rel> subj" unresolvable
             kinds = [k for k in kinds if k != "person"]
+        if i == 0 and fam == "noun_holder_attr":
+            # unique noun anchor; and no year fact beside an asked birth year
+            kinds = [k for k in kinds if k != "noun"
+                     and not (k == "year" and extra_entity == "year")]
         if ((i == 0 and fam == "byear_1hop")
                 or (i == 1 and fam == "year_2hop")):
             # a year-object fact beside the boilerplate birth year is
@@ -358,6 +397,67 @@ def make_instance(rng: random.Random,
         gold_sentence_local = _boiler_sent_local(1)
         question = rng.choice(_ROLE_Q_HOP).format(
             rel="is first listed by", p=org)
+    elif fam == "noun_holder_attr":
+        # noun-anchored hop (the person_by_instrument SHAPE, no v5 vocab):
+        # the question names only a distinctive OBJECT; the answer is an
+        # attribute from the boilerplate of the person tied to that object.
+        # Trains "resolve a noun anchor to its person, then read the
+        # person's paragraph" — the question contains no person name at all.
+        distinct_obj = obj
+        paragraphs[0].append(_render_fact(rng, subj, distinct_obj, "noun"))
+        attr = extra_entity
+        extra_entity = None
+        answer = info[subj][attr]
+        gold_sentence_local = _boiler_sent_local(0)
+        holder = rng.choice(["the one known for", "the figure identified with",
+                             "the person linked to", "whoever works in"])
+        if attr == "year":
+            question = rng.choice([
+                f"Which year saw the birth of {holder} the {distinct_obj}?",
+                f"When was {holder} the {distinct_obj} born?",
+            ])
+        elif attr == "city":
+            question = rng.choice([
+                f"What is the home city of {holder} the {distinct_obj}?",
+                f"Where did {holder} the {distinct_obj} grow up?",
+            ])
+        else:
+            question = rng.choice([
+                f"What occupation does {holder} the {distinct_obj} hold?",
+                f"What is the profession of {holder} the {distinct_obj}?",
+            ])
+    elif fam == "succession":
+        # ordered three-entity relation: two people and an org in ONE
+        # sentence, where WHICH person answers depends on the asked
+        # direction. Trains argument-order sensitivity (the successor/
+        # predecessor SHAPE) with a fresh verb surface per instance.
+        org = _org(rng)
+        a, b = other, people[2]
+        vp = rng.choice(_VERBS)
+        noun = rng.choice(_NOUNS)
+        style = rng.randrange(3)
+        if style == 0:
+            link = f"At {org}, {b} {vp} the {noun} once held by {a}."
+        elif style == 1:
+            link = f"{b} {vp} the {noun} of {org} right after {a} stepped away."
+        else:
+            link = f"When {a} left {org}, it was {b} who {vp} its {noun}."
+        paragraphs[0].append(link)
+        if rng.random() < 0.5:
+            answer = b
+            question = rng.choice([
+                f"Who came after {a} at {org}?",
+                f"Who took over from {a} at {org}?",
+                f"Name the person who replaced {a} at {org}.",
+            ])
+        else:
+            answer = a
+            question = rng.choice([
+                f"Who came before {b} at {org}?",
+                f"Whom did {b} replace at {org}?",
+                f"Who preceded {b} at {org}?",
+            ])
+        gold_sentence_local = len(paragraphs[0]) - 1
     else:
         # 2-hop: link fact in subj's paragraph, attribute in other's boiler
         rel_surface = rng.choice(_REL_Q)

@@ -27,7 +27,7 @@ from ahrag_tpu.models.encoder.hashed import _fnv1a
 Q_LEN = 32
 E_LEN = 320
 SEQ_LEN = Q_LEN + E_LEN
-N_SCALARS = 12
+N_SCALARS = 14
 WORD_VOCAB = 32768
 STEM_VOCAB = 16384
 
@@ -117,6 +117,22 @@ def featurize(question: str, sentences: List[str],
     q_content = {t.lower() for t in q_toks
                  if t.lower() not in _STOP and len(t) > 2}
     q_caps = {t.lower() for t in q_toks if t[:1].isupper()}
+    # FULL multiword anchors: contiguous capitalized runs of the question
+    # (>= 2 tokens). Individual cap tokens are ambiguous when a corpus
+    # reuses name parts across people ("Dmitri Ustinov" / "Elena Ustinov" /
+    # "Dmitri Fontaine") — the full-sequence match is the channel that
+    # distinguishes the asked entity's sentences from its name-sharers'.
+    q_anchors: List[Tuple[str, ...]] = []
+    run: List[str] = []
+    for t in q_toks:
+        if t[:1].isupper():
+            run.append(t.lower())
+        else:
+            if len(run) >= 2:
+                q_anchors.append(tuple(run))
+            run = []
+    if len(run) >= 2:
+        q_anchors.append(tuple(run))
 
     # per-sentence aggregates
     sent_toks: Dict[int, List[str]] = {}
@@ -124,6 +140,7 @@ def featurize(question: str, sentences: List[str],
         sent_toks.setdefault(sid, []).append(t)
     sent_overlap = {}
     sent_anchor = {}
+    sent_full_anchor = {}
     for sid, stoks in sent_toks.items():
         low = {t.lower() for t in stoks}
         stems = {t.lower()[:4] for t in stoks}
@@ -136,6 +153,29 @@ def featurize(question: str, sentences: List[str],
             sent_anchor[sid] = sum(1 for w in q_caps if w in low) / len(q_caps)
         else:
             sent_anchor[sid] = 0.0
+        if q_anchors:
+            slow = [t.lower() for t in stoks]
+            full = 0
+            for a in q_anchors:
+                la = len(a)
+                if any(tuple(slow[i:i + la]) == a
+                       for i in range(len(slow) - la + 1)):
+                    full += 1
+            sent_full_anchor[sid] = full / len(q_anchors)
+        else:
+            sent_full_anchor[sid] = 0.0
+
+    # token-level: inside an occurrence of a full multiword anchor
+    in_anchor = [False] * len(e_toks)
+    if q_anchors:
+        e_low_seq = [t.lower() for t in e_toks]
+        for a in q_anchors:
+            la = len(a)
+            for i in range(len(e_low_seq) - la + 1):
+                if (tuple(e_low_seq[i:i + la]) == a
+                        and sent_of[i] == sent_of[i + la - 1]):
+                    for j in range(i, i + la):
+                        in_anchor[j] = True
 
     # novelty: how often does each content token recur across PARAGRAPHS —
     # boilerplate (template) sentences repeat, appended facts don't
@@ -173,6 +213,7 @@ def featurize(question: str, sentences: List[str],
             float(bool(_NUM_RE.match(t))), float(lw in _STOP),
             float(lw in e_low), 0.0, 0.0, 0.0, 0.0,
             min(i, 31) / 31.0, float(i == 0), 0.0,
+            0.0, float(any(lw in a for a in q_anchors)),
         ]
 
     pos_in_sent = 0
@@ -199,6 +240,7 @@ def featurize(question: str, sentences: List[str],
             min(sid - first_sid_of_para, 7) / 7.0,
             min(pos_in_sent, 31) / 31.0, float(pos_in_sent == 0),
             sent_rarity.get(sid, 0.0),
+            sent_full_anchor.get(sid, 0.0), float(in_anchor[j]),
         ]
 
     return FeatureBatch(word_ids, stem_ids, scalars, segments, mask,

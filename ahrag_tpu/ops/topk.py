@@ -181,7 +181,8 @@ def _flush_tiny(s: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                              k: int, margin: int = 16, flush_eps: float = 0.0,
-                             mask_trivial: bool = False
+                             mask_trivial: bool = False,
+                             emb_binpack: jnp.ndarray | None = None
                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase top-k with a per-query exactness certificate.
 
@@ -244,7 +245,10 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         nbins_total = (n // tile_n) * 128
         wide = 8 * k + 2 if nbins_total > 16384 else 3 * k + 2
         eff_margin = margin if is_bf16 else max(margin, wide)
-        chunk = 512 if is_bf16 else 256
+        # bf16 VMEM per chunk row ~ scores tile [B, tile_n] f32 + q/bins;
+        # 1024 measured safe (~7 MB live) and halves the number of corpus
+        # passes for 1k-query batches vs the round-4 512 cap
+        chunk = 1024 if is_bf16 else 256
         outs = []
         for s in range(0, B, chunk):
             outs.append(binned_refined_topk(
@@ -252,7 +256,8 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
                 margin=eff_margin, tile_n=tile_n,
                 coarse_precision=("default" if is_bf16
                                   else F32_COARSE_PRECISION),
-                select="hier", mask_trivial=mask_trivial))
+                select="hier", mask_trivial=mask_trivial,
+                emb_binpack=emb_binpack))
         if len(outs) == 1:
             return outs[0]
         return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
@@ -326,7 +331,8 @@ def _full_highest_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                                              "flush_eps", "mask_trivial"))
 def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         k: int, margin: int = 16, certify: bool = True,
-                        flush_eps: float = 0.0, mask_trivial: bool = False
+                        flush_eps: float = 0.0, mask_trivial: bool = False,
+                        emb_binpack: jnp.ndarray | None = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Certified-exact two-phase top-k (see ``refined_masked_topk_cert``).
 
@@ -358,7 +364,8 @@ def refined_masked_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
         q = q.astype(jnp.bfloat16)
     vals, idx, cert = refined_masked_topk_cert(q, emb, mask, k, margin=margin,
                                                flush_eps=flush_eps,
-                                               mask_trivial=mask_trivial)
+                                               mask_trivial=mask_trivial,
+                                               emb_binpack=emb_binpack)
     if not certify:
         return vals, idx
     return jax.lax.cond(jnp.all(cert),
@@ -684,7 +691,8 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                         coarse_precision: str = "default",
                         select: str = "exact",
                         recall_target: float = 0.999,
-                        mask_trivial: bool = False
+                        mask_trivial: bool = False,
+                        emb_binpack: jnp.ndarray | None = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Public shell: resolves the calibrated ``eps`` eagerly (priming the
     kernel-true calibration when called outside a trace), then dispatches the
@@ -695,7 +703,8 @@ def binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                                 interpret=interpret,
                                 coarse_precision=coarse_precision,
                                 select=select, recall_target=recall_target,
-                                eps=eps, mask_trivial=mask_trivial)
+                                eps=eps, mask_trivial=mask_trivial,
+                                emb_binpack=emb_binpack)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "margin", "tile_n",
@@ -709,7 +718,8 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                          select: str = "exact",
                          recall_target: float = 0.999,
                          eps: float = 0.0,
-                         mask_trivial: bool = False
+                         mask_trivial: bool = False,
+                         emb_binpack: jnp.ndarray | None = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Certified top-k via the streaming bin-max kernel.
 
@@ -810,7 +820,13 @@ def _binned_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray,
                                      precision=coarse_precision)
         bm_vals, bm_idx = jax.lax.top_k(binmax, m)           # [B, m]
     rows = binned_rows_of(bm_idx, tile_n).reshape(B, -1)     # [B, m*G]
-    cand_emb = emb[rows]                                     # [B, m*G, D]
+    if emb_binpack is not None and tile_n == 1024:
+        # bin-contiguous copy (tensors.py emb_binpack): ONE ~6 KB descriptor
+        # per selected bin instead of G scattered 768 B rows — the scattered
+        # form was descriptor-latency-bound (~2 ms of the 1M seed, round 5)
+        cand_emb = emb_binpack[bm_idx].reshape(B, -1, emb.shape[1])
+    else:
+        cand_emb = emb[rows]                                 # [B, m*G, D]
     # bf16 inputs: products are exact; HIGHEST would only trigger a wasteful
     # f32-emulation upcast
     exact = jnp.einsum("bd,bmd->bm", q, cand_emb,

@@ -192,6 +192,64 @@ def sharded_refined_topk(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
     return vals, idx
 
 
+SLICE_AXIS = "slice"
+
+
+def sharded_topk_2level(q: jnp.ndarray, emb: jnp.ndarray, n_valid, k: int,
+                        mesh: Mesh) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a 2-axis ``{slice, corpus}`` mesh — the multi-slice
+    DCN layout rehearsal (VERDICT r4 item 7).
+
+    The corpus rows shard over BOTH axes jointly; the merge is hierarchical
+    so each collective rides the link it would ride on real hardware:
+    shard-local top-k -> ``all_gather`` over ``corpus`` (ICI within a slice)
+    + re-top-k -> ``all_gather`` over ``slice`` (DCN across slices) + final
+    re-top-k. Only ``slices * k`` candidates ever cross DCN per query.
+    Rank-equivalent to the flat search with deterministic global-index ties
+    (candidates concatenate in shard order; stable top_k keeps the lowest
+    global index on equal scores).
+    """
+    s_sh = mesh.shape[SLICE_AXIS]
+    c_sh = mesh.shape[CORPUS_AXIS]
+    n_total = emb.shape[0]
+    assert n_total % (s_sh * c_sh) == 0, (n_total, s_sh, c_sh)
+    rows = n_total // (s_sh * c_sh)
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    kk = min(k, rows)
+
+    def local(q_rep, emb_shard):
+        si = jax.lax.axis_index(SLICE_AXIS)
+        ci = jax.lax.axis_index(CORPUS_AXIS)
+        offset = (si * c_sh + ci) * rows
+        scores = jnp.dot(q_rep, emb_shard.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        col = offset + jnp.arange(rows)[None, :]
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, kk)
+        gidx = idx + offset
+        # ICI merge within the slice
+        av = jax.lax.all_gather(vals, CORPUS_AXIS)     # [C, B, kk]
+        ai = jax.lax.all_gather(gidx, CORPUS_AXIS)
+        av = jnp.moveaxis(av, 0, 1).reshape(vals.shape[0], -1)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(vals.shape[0], -1)
+        v1, p1 = jax.lax.top_k(av, min(k, av.shape[1]))
+        i1 = jnp.take_along_axis(ai, p1, axis=1)
+        # DCN merge across slices
+        av2 = jax.lax.all_gather(v1, SLICE_AXIS)       # [S, B, k]
+        ai2 = jax.lax.all_gather(i1, SLICE_AXIS)
+        av2 = jnp.moveaxis(av2, 0, 1).reshape(v1.shape[0], -1)
+        ai2 = jnp.moveaxis(ai2, 0, 1).reshape(v1.shape[0], -1)
+        v2, p2 = jax.lax.top_k(av2, min(k, av2.shape[1]))
+        return v2, jnp.take_along_axis(ai2, p2, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P((SLICE_AXIS, CORPUS_AXIS), None)),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(q, emb)
+
+
 def shard_graph_tensors(gt: GraphTensors, mesh: Mesh) -> GraphTensors:
     """Place every per-node leaf with its node axis sharded over ``corpus``."""
     def place(leaf):

@@ -75,6 +75,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # SpanReader .msgpack; None = stage off (fact chain + span scoring)
         "reader_ckpt": None,
         "reader_min_conf": 0.25,
+        # measurement mode: the reader IS the whole read path (no fact
+        # chain / span rules) — the VERDICT r4 "reader alone" protocol
+        "reader_only": False,
     },
     "evaluation": {
         "seed": 42,
@@ -85,7 +88,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "judge": {"use_llm": False, "sample_ratio": 0.2, "max_retries": 1},
     },
     "rl": {
-        "inference": {"use_ppo": False, "ppo_model_path": "artifacts/rl/ppo_policy.msgpack"},
+        "inference": {"use_ppo": False, "ppo_model_path": "artifacts/rl/ppo_policy.msgpack",
+                      # round-5 lever: per-question retrieval-knob policy
+                      "use_knob_policy": False,
+                      "knob_policy_path": "checkpoints/knob_policy.msgpack"},
         "ppo": {"epochs": 3, "gamma": 0.99, "clip_eps": 0.2, "entropy_coef": 0.01,
                 "value_coef": 0.5, "lr": 3e-4, "batch_size": 256, "gae_lambda": 0.95},
         "gym": {"max_steps": 6, "repeat_penalty": 0.02},
@@ -123,6 +129,8 @@ _ENV_OVERRIDES = {
     "AHRAG_ENCODER": ("encoder.name", str),
     "AHRAG_READER_CKPT": ("answer.reader_ckpt", str),
     "AHRAG_READER_MIN_CONF": ("answer.reader_min_conf", float),
+    "AHRAG_READER_ONLY": ("answer.reader_only",
+                          lambda s: s.lower() in ("1", "true", "yes")),
 }
 
 

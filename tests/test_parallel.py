@@ -130,3 +130,34 @@ def test_sharded_refined_topk_matches_flat():
     # k larger than the per-shard row count pads with NEG_INF
     sv2, si2 = sharded_refined_topk(q, e, 2000, 300, mesh, margin=4)
     assert sv2.shape == (b, 300) and si2.shape == (b, 300)
+
+
+def test_sharded_topk_2level_parity():
+    """{slice:2, corpus:4} hierarchical merge == flat exact ranking."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ahrag_tpu.ops.topk import NEG_INF
+    from ahrag_tpu.parallel.mesh import make_mesh
+    from ahrag_tpu.parallel.sharded import SLICE_AXIS, sharded_topk_2level
+
+    rng = np.random.default_rng(9)
+    n, d, b, k = 1024, 64, 6, 7
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    n_valid = n - 100
+
+    mesh = make_mesh(n_devices=8, dp=2, axis_names=(SLICE_AXIS, "corpus"))
+    emb_dev = jax.device_put(
+        jnp.asarray(emb),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            (SLICE_AXIS, "corpus"), None)))
+    vals, idx = sharded_topk_2level(jnp.asarray(q), emb_dev, n_valid, k, mesh)
+
+    scores = q @ emb.T
+    scores[:, n_valid:] = NEG_INF
+    ref = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(idx), ref)

@@ -267,3 +267,21 @@ def test_binmax2_kernel_matches_binmax():
     flat = bins.transpose(1, 0, 2).reshape(2, -1)
     np.testing.assert_array_equal(flat, v1)
     np.testing.assert_array_equal(smax, bins.max(axis=2).T)
+
+
+def test_binned_refined_topk_binpack_parity():
+    """The bin-contiguous candidate gather (emb_binpack) must reproduce the
+    row-gather path bit for bit."""
+    from ahrag_tpu.ops.topk import binned_refined_topk
+    q, e = _mk(n=8192, d=64, b=128, seed=15)
+    mask = jnp.ones(8192, bool)
+    binpack = jnp.asarray(np.asarray(e).reshape(8, 8, 128, 64)
+                          .transpose(0, 2, 1, 3).reshape(1024, 8, 64))
+    v1, i1, c1 = binned_refined_topk(q, e, mask, 5, margin=8, tile_n=1024,
+                                     interpret=True, select="hier")
+    v2, i2, c2 = binned_refined_topk(q, e, mask, 5, margin=8, tile_n=1024,
+                                     interpret=True, select="hier",
+                                     emb_binpack=binpack)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
