@@ -105,8 +105,15 @@ _NUM_SHAPE = re.compile(r"^\d+(?:\.\d+)?$")
 
 _YEAR_Q = re.compile(r"\b(?:what|which)\s+year\b|\bwhen\b|\bin what year\b",
                      re.IGNORECASE)
-_WHO_Q = re.compile(r"^\s*(?:who|whom)\b|\bname the (?:person|figure)\b",
+_WHO_Q = re.compile(r"^\s*(?:who|whom)\b|\bname the (?:person|figure)\b"
+                    r"|\bto whom\b|\bwith whom\b",
                     re.IGNORECASE)
+# occupation/vocation-intent questions expect a lowercase noun answer —
+# question-intent vocabulary (general English), not relation vocabulary
+_NOUN_Q = re.compile(r"\b(?:occupation|profession|vocation|trade|calling)\b"
+                     r"|\bline of work\b|\b(?:make|earn)s? a living\b"
+                     r"|\bdo(?:es)? .{0,40}for a living\b",
+                     re.IGNORECASE)
 
 
 def expected_shape(query: str) -> Optional[str]:
@@ -114,6 +121,8 @@ def expected_shape(query: str) -> Optional[str]:
     English, no relation vocabulary (the v5 disjointness discipline)."""
     if _YEAR_Q.search(query):
         return "year"
+    if _NOUN_Q.search(query):
+        return "noun"
     if _WHO_Q.search(query):
         return "name"
     return None
@@ -152,12 +161,27 @@ class ReaderAnswerer:
     def hi_conf_for(self, text: str) -> float:
         return self.hi_conf_by_shape.get(answer_shape(text), 0.95)
 
-    def __init__(self, ckpt_path: str, d_model: int = 128,
-                 n_layers: int = 2, min_conf: float = 0.25) -> None:
+    def __init__(self, ckpt_path: str, d_model: Optional[int] = None,
+                 n_layers: Optional[int] = None, min_conf: float = 0.25
+                 ) -> None:
         import jax
         from flax import serialization
 
         from ahrag_tpu.models.reader.model import SpanReader
+
+        # the trainer writes <ckpt-stem>_curve.json with the architecture;
+        # read it so checkpoints self-describe (a mismatched template makes
+        # from_bytes fail and get_reader silently disables the reader)
+        if d_model is None or n_layers is None:
+            meta_path = re.sub(r"\.msgpack$", "", ckpt_path) + "_curve.json"
+            try:
+                import json
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                d_model = d_model or int(meta.get("d_model", 128))
+                n_layers = n_layers or int(meta.get("n_layers", 2))
+            except (OSError, ValueError):
+                d_model, n_layers = d_model or 128, n_layers or 2
 
         self.min_conf = float(min_conf)
         self._model = SpanReader(d_model=d_model, n_layers=n_layers)
@@ -215,14 +239,14 @@ class ReaderAnswerer:
                                 max_span_len)
         exp = expected_shape(query)
         if (text and answer_shape(text) == "name"
-                and ((exp == "year") or prob < 0.5)):
+                and (exp in ("year", "noun") or prob < 0.5)):
             win2 = select_evidence(query + " " + text, sentences,
                                    budget=E_LEN)
             t2, p2 = self._read(query, win2, max_span_len)
             if t2:
-                if exp == "year" and answer_shape(t2) == "year":
+                if exp in ("year", "noun") and answer_shape(t2) == exp:
                     return t2, p2
-                if exp != "year" and t2 != text and p2 > max(prob, 0.35):
+                if exp is None and t2 != text and p2 > max(prob, 0.35):
                     return t2, p2
         return text, prob
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import random
+import re
 from typing import Any, Dict, List, Tuple
 
 # ---------------------------------------------------------------------------
@@ -1049,6 +1050,63 @@ def _q_marriage_year(w, rng):
     return q, [str(sp["year"])], [sp["a"]["name"]], []
 
 
+# ---------------------------------------------------------------------------
+# v6: VOCAB-SHIFTED world (round-5 VERDICT item 4). The corpus renders
+# profession and genre attributes through paraphrase surfaces that share no
+# word (and essentially no character n-grams) with the canonical vocabulary
+# the QUESTIONS keep using. A purely lexical retriever (the hashed/LSA
+# encoder) then has no bucket overlap between a descriptor question and its
+# gold paragraph — the regime where the reference's MiniLM carries retrieval
+# (semantic_aggregator.py:71). The paraphrase-contrastive encoder
+# (models/encoder/contrastive.py) trains on cluster pairs drawn from this
+# SAME general-vocabulary table (its stand-in for pretraining knowledge) with
+# fresh pseudo entities; v6 worlds hold out the entities, bindings, and
+# templates. Answer lists are augmented with the corpus surface so extractive
+# answers in either vocabulary score.
+# ---------------------------------------------------------------------------
+
+V6_ATTR_VARIANTS: Dict[str, str] = {
+    # professions -> corpus paraphrase (no shared content word or stem)
+    "marine biologist": "researcher of ocean creatures",
+    "volcanologist": "student of erupting mountains",
+    "jazz pianist": "improvising keyboard player",
+    "sculptor": "carver of figures in bronze",
+    "astronomer": "watcher of the night sky",
+    "architect": "designer of buildings",
+    "chess grandmaster": "elite strategist of the sixty-four squares",
+    "opera singer": "classical vocal performer",
+    "mathematician": "scholar of numbers and proofs",
+    "glassblower": "shaper of molten vessels",
+    "cartographer": "maker of maps",
+    "mycologist": "specialist in fungi",
+    # genres -> corpus paraphrase
+    "science fiction": "futuristic speculative",
+    "western": "frontier-era",
+    "documentary": "nonfiction factual",
+    "animated": "hand-drawn moving-picture",
+    "thriller": "suspense-driven",
+    "romantic comedy": "lighthearted courtship",
+    "horror": "fright-laden",
+    "musical": "song-and-dance",
+    "war": "battlefield",
+    "noir": "shadowy crime",
+}
+
+_V6_SUB_RE = None
+
+
+def shift_vocabulary(world: Dict[str, Any]) -> None:
+    """Rewrite every paragraph's profession/genre surfaces in place."""
+    global _V6_SUB_RE
+    if _V6_SUB_RE is None:
+        keys = sorted(V6_ATTR_VARIANTS, key=len, reverse=True)
+        _V6_SUB_RE = re.compile(
+            r"\b(" + "|".join(re.escape(k) for k in keys) + r")\b")
+    sub = lambda m: V6_ATTR_VARIANTS[m.group(1)]
+    for title, sents in world["paragraphs"].items():
+        world["paragraphs"][title] = [_V6_SUB_RE.sub(sub, s) for s in sents]
+
+
 NO_NAME_FAMILIES = ("film_by_attrs", "org_by_founder_desc",
                     "person_year_by_desc", "star_by_film_desc",
                     "film_by_people_desc", "award_holder_prof",
@@ -1152,11 +1210,17 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
         # the base world build (base draws unchanged; v1-v4 stay byte-stable)
         world = make_world(rng, n_orgs=14, version="v2")
         attach_v5_extras(world, rng)
+    elif version == "v6":
+        # v2 world, then corpus-side paraphrase shift of profession/genre
+        # surfaces (see V6_ATTR_VARIANTS): questions keep canonical words
+        world = make_world(rng, n_orgs=14, version="v2")
+        shift_vocabulary(world)
     else:
         world = make_world(rng, version="v2" if version == "v3" else version)
     families = {"v1": QUESTION_FAMILIES, "v2": V2_QUESTION_FAMILIES,
                 "v3": V3_QUESTION_FAMILIES, "v4": V4_QUESTION_FAMILIES,
-                "v5": V5_QUESTION_FAMILIES}[version]
+                "v5": V5_QUESTION_FAMILIES,
+                "v6": V2_QUESTION_FAMILIES}[version]
     items: List[Dict[str, Any]] = []
     fam_idx = 0
     while len(items) < n_items:
@@ -1168,6 +1232,10 @@ def make_dataset(seed: int, n_items: int, n_distractors: int = 8,
         q, answers, gold_titles, avoid = out
         if any(it["question"] == q for it in items):
             continue  # template+entity collision: resample
+        if version == "v6":
+            # the corpus renders shifted surfaces — accept either vocabulary
+            answers = list(answers) + [V6_ATTR_VARIANTS[a] for a in answers
+                                       if a in V6_ATTR_VARIANTS]
         n_dis = n_distractors + (2 if not gold_titles else 0)
         titles = list(gold_titles) + _pick_distractors(world, gold_titles,
                                                        avoid, rng, n_dis,
@@ -1242,6 +1310,7 @@ SPLIT_SEEDS_V2 = {"train": 111, "dev": 222, "test": 333}
 SPLIT_SEEDS_V3 = {"train": 1111, "dev": 2222, "test": 3333}
 SPLIT_SEEDS_V4 = {"train": 11111, "dev": 22222, "test": 33333}
 SPLIT_SEEDS_V5 = {"train": 51111, "dev": 52222, "test": 53333}
+SPLIT_SEEDS_V6 = {"train": 61111, "dev": 62222, "test": 63333}
 
 
 def main() -> None:
@@ -1250,7 +1319,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--seed", type=int, default=None,
                     help="override the split seed (default: frozen per split)")
-    ap.add_argument("--version", choices=["v1", "v2", "v3", "v4", "v5"],
+    ap.add_argument("--version", choices=["v1", "v2", "v3", "v4", "v5", "v6"],
                     default="v1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--shared-corpus", default=None,
@@ -1266,7 +1335,7 @@ def main() -> None:
     args = ap.parse_args()
     seeds = {"v1": SPLIT_SEEDS, "v2": SPLIT_SEEDS_V2,
              "v3": SPLIT_SEEDS_V3, "v4": SPLIT_SEEDS_V4,
-             "v5": SPLIT_SEEDS_V5}[args.version]
+             "v5": SPLIT_SEEDS_V5, "v6": SPLIT_SEEDS_V6}[args.version]
     seed = args.seed if args.seed is not None else seeds[args.split]
     if args.shared_corpus:
         xl = args.shared_xl

@@ -15,6 +15,10 @@ def _cached(name: str, dim: int, seed: int, weights: Optional[str],
     if name == "minilm":
         return MiniLMEncoder(MiniLMConfig(hidden=dim) if dim != 384 else None,
                              seed=seed, weights_path=weights)
+    if name == "learned":
+        from ahrag_tpu.models.encoder.contrastive import (ContrastiveEncoder,
+                                                          DEFAULT_CKPT)
+        return ContrastiveEncoder(weights or DEFAULT_CKPT)
     return HashedNGramEncoder(dim=dim, seed=seed, cgram_weight=cgram_weight)
 
 
@@ -25,10 +29,12 @@ def create_encoder(cfg: Dict[str, Any] | None = None, name: str | None = None) -
     so repeated searches reuse one model instance.
     """
     enc_cfg = (cfg or {}).get("encoder", {}) if cfg else {}
+    resolved = name or enc_cfg.get("name", "hashed")
     return _cached(
-        name or enc_cfg.get("name", "hashed"),
+        resolved,
         int(enc_cfg.get("dim", 384)),
         int(enc_cfg.get("seed", 7)),
-        enc_cfg.get("minilm_weights"),
+        (enc_cfg.get("learned_weights") if resolved == "learned"
+         else enc_cfg.get("minilm_weights")),
         float(enc_cfg.get("cgram_weight", 0.3)),
     )

@@ -80,6 +80,17 @@ _ORG_KINDS = ["research body", "trade association", "charitable trust",
 _Q_CATS = ["technique", "specialty", "discipline", "pursuit",
            "medium", "artform", "vocation"]
 
+# capitalized THING names (award/title-shaped anchors): a question can anchor
+# on a non-person capitalized entity whose carrying sentence names the person
+# the question is really about. Suffixes deliberately disjoint from
+# eval/synth.py AWARD_TAIL so the surface stays zero-shot.
+_THING_SUFFIX = ["Ribbon", "Garland", "Chalice", "Banner", "Plaque",
+                 "Rosette", "Scroll", "Pennant"]
+# generic kin/association nouns for possessive-hop questions ("{p}'s
+# {kin}" / "the {kin} of {p}") — question-intent vocabulary, never a v5
+# corpus marker
+_KIN = ["partner", "counterpart", "associate", "collaborator"]
+
 # question-intent synonym pools (general English, see module docstring)
 _ROLE_Q = ["What occupation does {p} hold?",
            "What is {p}'s profession?",
@@ -199,8 +210,14 @@ def _boiler(rng: random.Random, shape: int, p: str, info: Dict[str, str]
     if shape == 4:
         return (f"{p} lived a first decade in {city} before taking up "
                 f"work as a {role} around {year}.")
-    return (f"{p} is regarded as a {adj} {role}; the rolls of {city} list "
-            f"a {year} arrival.")
+    if shape == 5:
+        return (f"{p} is regarded as a {adj} {role}; the rolls of {city} "
+                f"list a {year} arrival.")
+    # shape 6: birth explicitly marked in a single role+city+year sentence —
+    # the dominant real-biography shape (and eval/synth.py's person boiler
+    # structure); birth-year questions train against year DISTRACTORS only
+    # when the boiler marks birth like this (see make_instance birth_marked)
+    return f"{p} is a {adj} {role}, born at {city} in {year}."
 
 
 # ------------------------------------------------------- fact rendering
@@ -261,12 +278,19 @@ def _render_question(rng: random.Random, subj: str, obj_kind: str,
             f"When was {subj} occupied with {anchor}?",
             f"What year connects {subj} and {anchor}?",
         ])
-    # noun object
-    c = cat or rng.choice(_Q_CATS)
+    # noun object. A pseudo-word category (35%) drills the fallback the v5
+    # transfer needs: an UNKNOWN category word must still route to the
+    # lowercase noun in the anchor's appended fact, not to the boilerplate
+    # role (tools/diag_reader_v5.py showed unknown categories regressing to
+    # profession guesses).
+    c = cat or (_pseudo_word(rng, 2) if rng.random() < 0.35
+                else rng.choice(_Q_CATS))
     return rng.choice([
         f"Which {c} is {subj} identified with?",
         f"What {c} does {subj} follow?",
         f"For what {c} is {subj} recognized?",
+        f"What {c} is {subj} known for?",
+        f"Which {c} does {subj} perform in?",
     ])
 
 
@@ -275,7 +299,13 @@ def _render_question(rng: random.Random, subj: str, obj_kind: str,
 FAMILIES = ("rel_person", "rel_year", "rel_noun", "rel_org",
             "role_1hop", "city_1hop", "byear_1hop",
             "role_2hop", "city_2hop", "year_2hop", "org_honoree_role",
-            "noun_holder_attr", "succession")
+            "noun_holder_attr", "succession",
+            # round-5 additions targeting the v5 transfer failures
+            # (tools/diag_reader_v5.py): capitalized thing anchors, symmetric
+            # pair relations with possessive-hop questions. Listed twice for
+            # 2x round-robin weight — they cover 6 of the 8 weak qtypes.
+            "capthing_holder_attr", "pair_rel", "pair_rel_attr",
+            "capthing_holder_attr", "pair_rel", "pair_rel_attr")
 
 
 def make_instance(rng: random.Random,
@@ -287,7 +317,7 @@ def make_instance(rng: random.Random,
     info = {p: {"adj": rng.choice(_ADJS + [_demonym(rng)]),
                 "role": _role(rng), "city": _city(rng),
                 "year": _year(rng)} for p in people}
-    shape_pool = list(range(6))
+    shape_pool = list(range(7))
     rng.shuffle(shape_pool)
     # per-world: most paragraphs share one boilerplate shape (the repeated-
     # template signal the novelty channel keys on), a couple diverge
@@ -297,6 +327,28 @@ def make_instance(rng: random.Random,
 
     subj = people[0]
     other = people[1]
+
+    # birth-year questions: when the asked person's boilerplate MARKS birth
+    # (shapes 3/6 say "born"), year distractors stay in the paragraph and the
+    # model must disambiguate by the birth context — the regularity real
+    # biographies (and eval/synth.py boilers) rely on. Unmarked boilers keep
+    # the old exclusion (a bare when-born question is unresolvable there).
+    # pair families ask from either side — draw the split BEFORE paragraph
+    # construction so distractor exclusions target the right paragraph
+    pair_asker, pair_answer = ((subj, other) if rng.random() < 0.5
+                               else (other, subj))
+    year_target = {"byear_1hop": subj, "year_2hop": other,
+                   "capthing_holder_attr": subj, "pair_rel_attr": pair_answer,
+                   "noun_holder_attr": subj}.get(fam)
+    pair_attr = (rng.choice(["year", "city", "role"])
+                 if fam in ("capthing_holder_attr", "pair_rel_attr") else None)
+    birth_marked = False
+    if year_target is not None and (
+            fam in ("byear_1hop", "year_2hop")
+            or pair_attr == "year" or fam == "noun_holder_attr"):
+        birth_marked = rng.random() < 0.85
+        if birth_marked:
+            shapes[year_target] = rng.choice([3, 6])
 
     # the queried fact (relation families) or boilerplate target
     extra_entity = None
@@ -338,13 +390,27 @@ def make_instance(rng: random.Random,
             kinds = [k for k in kinds if k != "person"]
         if i == 0 and fam == "noun_holder_attr":
             # unique noun anchor; and no year fact beside an asked birth year
+            # UNLESS the boiler marks birth (birth_marked drill)
             kinds = [k for k in kinds if k != "noun"
-                     and not (k == "year" and extra_entity == "year")]
+                     and not (k == "year" and extra_entity == "year"
+                              and not birth_marked)]
+        if i in (0, 1) and fam in ("pair_rel", "pair_rel_attr"):
+            # a second person fact on either pair member's paragraph would
+            # make "who is X's partner" / the hop unresolvable
+            kinds = [k for k in kinds if k != "person"]
+        if i == 0 and fam == "capthing_holder_attr" and pair_attr == "year" \
+                and not birth_marked:
+            kinds = [k for k in kinds if k != "year"]
+        if (fam == "pair_rel_attr" and pair_attr == "year"
+                and not birth_marked and people[i] == pair_answer):
+            kinds = [k for k in kinds if k != "year"]
         if ((i == 0 and fam == "byear_1hop")
                 or (i == 1 and fam == "year_2hop")):
             # a year-object fact beside the boilerplate birth year is
-            # unresolvable by a bare when-born question
-            kinds = [k for k in kinds if k != "year"]
+            # unresolvable by a bare when-born question — unless the boiler
+            # marks birth explicitly (birth_marked drill)
+            if not birth_marked:
+                kinds = [k for k in kinds if k != "year"]
         for _ in range(1 + rng.randrange(2)):
             dk = rng.choice(kinds)
             if dk == "person":
@@ -426,6 +492,91 @@ def make_instance(rng: random.Random,
                 f"What occupation does {holder} the {distinct_obj} hold?",
                 f"What is the profession of {holder} the {distinct_obj}?",
             ])
+    elif fam == "capthing_holder_attr":
+        # capitalized THING anchor (award/title-shaped): the question names
+        # only the thing; its carrying sentence names the person, whose
+        # boilerplate holds the asked attribute (the award_holder SHAPE,
+        # zero v5 surface). The thing name is world-unique by construction.
+        thing = (_pseudo_word(rng, 2).capitalize() + " "
+                 + rng.choice(_THING_SUFFIX))
+        vp = rng.choice(_VERBS)
+        yr2 = _year(rng)
+        style = rng.randrange(3)
+        if style == 0:
+            link = f"{subj} {vp} the {thing} in {yr2}."
+        elif style == 1:
+            link = f"In {yr2}, the {thing} was {vp} by {subj}."
+        else:
+            link = f"The {thing} rests with {subj}."
+        paragraphs[0].append(link)
+        answer = info[subj][pair_attr]
+        gold_sentence_local = _boiler_sent_local(0)
+        holder = rng.choice(["the holder of", "the bearer of",
+                             "the keeper of", "the winner of"])
+        if pair_attr == "year":
+            question = rng.choice([
+                f"In what year was {holder} the {thing} born?",
+                f"Which year saw the birth of {holder} the {thing}?",
+            ])
+        elif pair_attr == "city":
+            question = rng.choice([
+                f"What is the home city of {holder} the {thing}?",
+                f"Where did {holder} the {thing} grow up?",
+            ])
+        else:
+            question = rng.choice([
+                f"What occupation does {holder} the {thing} hold?",
+                f"What is the profession of {holder} the {thing}?",
+                f"How does {holder} the {thing} make a living?",
+            ])
+    elif fam in ("pair_rel", "pair_rel_attr"):
+        # symmetric pair fact (two people in one sentence, optional year):
+        # asked from EITHER side via a generic kin noun — the possessive-hop
+        # question surface ("X's partner", "the counterpart of X") the
+        # verb-relative 2-hop families never produce
+        a, b = subj, other
+        vp = rng.choice(_VERBS)
+        noun = rng.choice(_NOUNS)
+        yr2 = _year(rng)
+        style = rng.randrange(3)
+        if style == 0:
+            link = f"{a} {vp} a {noun} with {b} in {yr2}."
+        elif style == 1:
+            link = f"Since {yr2}, {a} and {b} have jointly {vp} the {noun}."
+        else:
+            link = f"{a} and {b} {vp} a {noun} together."
+        paragraphs[0].append(link)
+        asker, answer_person = pair_asker, pair_answer
+        kin = rng.choice(_KIN)
+        if fam == "pair_rel":
+            answer = answer_person
+            gold_sentence_local = len(paragraphs[0]) - 1
+            question = rng.choice([
+                f"To whom is {asker} joined?",
+                f"Who is {asker}'s {kin}?",
+                f"With whom did {asker} share a {noun}?",
+                f"Name the {kin} of {asker}.",
+            ])
+        else:
+            answer = info[answer_person][pair_attr]
+            gold_para = people.index(answer_person)
+            gold_sentence_local = _boiler_sent_local(gold_para)
+            if pair_attr == "year":
+                question = rng.choice([
+                    f"In what year was {asker}'s {kin} born?",
+                    f"Which year saw the birth of the {kin} of {asker}?",
+                ])
+            elif pair_attr == "city":
+                question = rng.choice([
+                    f"Which city does the {kin} of {asker} come from?",
+                    f"What is the home city of {asker}'s {kin}?",
+                ])
+            else:
+                question = rng.choice([
+                    f"What occupation does {asker}'s {kin} hold?",
+                    f"What is the calling of the {kin} of {asker}?",
+                    f"How does the {kin} of {asker} make a living?",
+                ])
     elif fam == "succession":
         # ordered three-entity relation: two people and an org in ONE
         # sentence, where WHICH person answers depends on the asked
@@ -477,6 +628,13 @@ def make_instance(rng: random.Random,
                 f"Which year saw the birth of the figure who {rel_surface} "
                 f"{subj}?",
             ])
+
+    # pseudo-word pools occasionally collide: a city/name answer can end up a
+    # substring of a name IN the question (e.g. city "Denner" vs person
+    # "Vindis Denner"), which both violates the dataset invariant and teaches
+    # a span the inference path rejects — resample the world (rate ~0.05%)
+    if answer.lower() in question.lower():
+        return make_instance(rng, family=fam)
 
     # shuffle paragraph order (the gold paragraph is not always first)
     order = list(range(len(paragraphs)))

@@ -238,13 +238,15 @@ def refined_masked_topk_cert(q: jnp.ndarray, emb: jnp.ndarray, mask: jnp.ndarray
         B = q.shape[0]
         tile_n = 1024
         # Margin policy: the out-of-net bound is the m-th selected bin max,
-        # which TIGHTENS as m grows — f32 keeps the round-3 wide net (its
-        # eps band was the cert-failure driver at 1M). bf16's eps is pure
-        # accumulation noise (~1e-6); the caller's margin certified 1.0 at
-        # every sweep point, and fewer bins gathered = fewer rows re-scored.
-        nbins_total = (n // tile_n) * 128
-        wide = 8 * k + 2 if nbins_total > 16384 else 3 * k + 2
-        eff_margin = margin if is_bf16 else max(margin, wide)
+        # which TIGHTENS as m grows. Round 3 kept a wide net for f32 because
+        # its default-precision coarse pass had a large eps band; the coarse
+        # kernel now runs HIGHEST for f32 (eps ~1e-6, same as bf16's
+        # accumulation noise), and the round-5 isolation sweep
+        # (reports/kernel_iso_r5.json) measured cert_rate 1.0 at the
+        # caller's narrow margin with a 26% wall win (21 -> 15.5 ms at 1M,
+        # B=512) — so both dtypes use the caller's margin; a cert failure
+        # still falls back to the exact full pass.
+        eff_margin = margin
         # bf16 VMEM per chunk row ~ scores tile [B, tile_n] f32 + q/bins;
         # 1024 measured safe (~7 MB live) and halves the number of corpus
         # passes for 1k-query batches vs the round-4 512 cap

@@ -51,6 +51,7 @@ CONFIGS = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--split", default="train")
+    ap.add_argument("--version", default="v5")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -63,7 +64,8 @@ def main() -> None:
     from ahrag_tpu.utils.config import load_config
 
     cfg = load_config()
-    path = os.path.join(REPO, "samples", f"synth_v5_{args.split}.jsonl")
+    path = os.path.join(REPO, "samples",
+                        f"synth_{args.version}_{args.split}.jsonl")
     with open(path, encoding="utf-8") as fh:
         items = [json.loads(l) for l in fh if l.strip()]
     if args.limit:
@@ -106,8 +108,9 @@ def main() -> None:
     report = {"split": args.split, "n": len(rows),
               "per_config": agg, "oracle_f1": round(oracle, 2),
               "items": rows}
+    tag = "" if args.version == "v5" else f"_{args.version}"
     out = args.out or os.path.join(REPO, "reports",
-                                   f"knob_rewards_{args.split}_r5.json")
+                                   f"knob_rewards{tag}_{args.split}_r5.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"split": args.split, "n": len(rows),
