@@ -27,9 +27,17 @@ from ahrag_tpu.models.encoder.hashed import _fnv1a
 Q_LEN = 32
 E_LEN = 320
 SEQ_LEN = Q_LEN + E_LEN
-N_SCALARS = 14
+# 14 -> 18 in round 5: determiner-adjacency, sentence-final position, and
+# paragraph-level anchor/overlap channels. The first two give the model a
+# syntax cue that survives UNSEEN vocabulary (diag: v4 answered with unknown
+# VERBS — 'keeps', 'picked' — because an untrained hashed id carries no
+# category; "follows a determiner" does). The paragraph channels let hop
+# questions restrict to the anchor's paragraph even when the answer sentence
+# itself shares no token with the question.
+N_SCALARS = 18
 WORD_VOCAB = 32768
 STEM_VOCAB = 16384
+_DETS = {"the", "a", "an", "its", "his", "her", "their"}
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9][\w']*")
 _YEAR_RE = re.compile(r"^(1[5-9]\d{2}|20\d{2})$")
@@ -195,6 +203,18 @@ def featurize(question: str, sentences: List[str],
         else:
             sent_rarity[sid] = 0.0
 
+    # paragraph-level aggregates: the best sentence-level overlap / full-
+    # anchor hit anywhere in each paragraph (hop questions name an anchor in
+    # one sentence and the answer sits in a SIBLING sentence with no overlap)
+    para_overlap: Dict[int, float] = {}
+    para_full_anchor: Dict[int, float] = {}
+    for sid in sent_toks:
+        p = para_of_sent[sid] if sid < len(para_of_sent) else 0
+        para_overlap[p] = max(para_overlap.get(p, 0.0),
+                              sent_overlap.get(sid, 0.0))
+        para_full_anchor[p] = max(para_full_anchor.get(p, 0.0),
+                                  sent_full_anchor.get(sid, 0.0))
+
     word_ids = np.zeros((1, SEQ_LEN), np.int32)
     stem_ids = np.zeros((1, SEQ_LEN), np.int32)
     scalars = np.zeros((1, SEQ_LEN, N_SCALARS), np.float32)
@@ -214,6 +234,7 @@ def featurize(question: str, sentences: List[str],
             float(lw in e_low), 0.0, 0.0, 0.0, 0.0,
             min(i, 31) / 31.0, float(i == 0), 0.0,
             0.0, float(any(lw in a for a in q_anchors)),
+            0.0, 0.0, 0.0, 0.0,
         ]
 
     pos_in_sent = 0
@@ -232,6 +253,9 @@ def featurize(question: str, sentences: List[str],
         # sentence index within its paragraph (appended facts sit late)
         first_sid_of_para = next((s for s, p in enumerate(para_of_sent)
                                   if p == para), sid)
+        prev_det = (j > 0 and sent_of[j - 1] == sid
+                    and e_toks[j - 1].lower() in _DETS)
+        last_of_sent = (j + 1 >= len(e_toks) or sent_of[j + 1] != sid)
         scalars[0, i] = [
             float(t[:1].isupper()), float(bool(_YEAR_RE.match(t))),
             float(bool(_NUM_RE.match(t))), float(lw in _STOP),
@@ -241,6 +265,8 @@ def featurize(question: str, sentences: List[str],
             min(pos_in_sent, 31) / 31.0, float(pos_in_sent == 0),
             sent_rarity.get(sid, 0.0),
             sent_full_anchor.get(sid, 0.0), float(in_anchor[j]),
+            float(prev_det), float(last_of_sent),
+            para_overlap.get(para, 0.0), para_full_anchor.get(para, 0.0),
         ]
 
     return FeatureBatch(word_ids, stem_ids, scalars, segments, mask,

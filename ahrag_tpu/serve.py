@@ -130,6 +130,7 @@ class MicroBatcher:
                  finalize: Optional[Callable[[Any], List[Any]]] = None,
                  stages: Optional[List[Callable[[Any], Any]]] = None,
                  last_stage_workers: int = 1,
+                 mid_stage_workers: int = 1,
                  coalesce_quiet_s: float = 0.0,
                  coalesce_cap_s: float = 0.05) -> None:
         # Quiet-window coalescing (opt-in): while submissions KEEP ARRIVING,
@@ -155,6 +156,14 @@ class MicroBatcher:
         # publish per-generation, so completion order does not matter)
         self._last_workers = max(1, int(last_stage_workers)
                                  if len(self._stages) > 1 else 1)
+        # >1 also runs every MIDDLE stage in that many threads. The upload+
+        # dispatch stage blocks for a tunnel round trip per batch, so one
+        # upload thread caps throughput at max_batch/RTT regardless of how
+        # many finalize workers overlap result reads; results publish
+        # per-generation, so out-of-order stage completion is already safe.
+        self._mid_workers = max(1, int(mid_stage_workers)
+                                if len(self._stages) > 2 else 1)
+        self._drained = [threading.Event() for _ in self._stages]
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self._lock = threading.Condition()
@@ -178,12 +187,19 @@ class MicroBatcher:
         self._stage_threads = [
             threading.Thread(target=self._run_stage, args=(i,), daemon=True)
             for i in range(1, len(self._stages))
-            for _ in range(self._last_workers
-                           if i == len(self._stages) - 1 else 1)]
+            for _ in range(self._stage_workers(i))]
         for t in self._stage_threads:
             t.start()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _stage_workers(self, i: int) -> int:
+        """Worker-thread count for stage i (stage 0 runs in the coalescing
+        worker itself)."""
+        if i == 0:
+            return 1
+        return (self._last_workers if i == len(self._stages) - 1
+                else self._mid_workers)
 
     def _publish(self, gen: int, batch_len: int, payload: tuple) -> None:
         with self._lock:
@@ -217,7 +233,8 @@ class MicroBatcher:
                 # for free (the device round trip costs ~the same for 50 and
                 # 500 items; measured 2.0k -> bigger-batch qps at 1M nodes).
                 # _publish notifies when a slot frees, so no busy poll.
-                capacity = len(self._stages) + self._last_workers - 1
+                capacity = (len(self._stages) + self._last_workers - 1
+                            + (len(self._stages) - 2) * (self._mid_workers - 1))
                 while (len(self._pending) < self.max_batch
                        and not self._closed
                        and (time.monotonic() < deadline
@@ -274,10 +291,11 @@ class MicroBatcher:
         while True:
             entry = q_in.get()
             if entry is None:
-                if q_out is not None:
-                    q_out.put(None)
-                elif self._last_workers > 1:
+                if self._stage_workers(i) > 1:
                     q_in.put(None)   # rebroadcast so sibling workers exit too
+                if q_out is not None and not self._drained[i].is_set():
+                    self._drained[i].set()   # forward ONE sentinel downstream
+                    q_out.put(None)
                 return
             gen, batch_len, token = entry
             try:
@@ -443,11 +461,14 @@ class RetrievalService:
                                          stages=[self._featurize_batch,
                                                  self._upload_dispatch,
                                                  self._finalize_batch],
-                                         # two finalize workers overlap
+                                         # multiple finalize workers overlap
                                          # consecutive batches' device round
-                                         # trips — the tunnel RTT is the
+                                         # trips, and TWO upload workers keep
+                                         # the dispatch stage from serializing
+                                         # at one tunnel RTT per batch — the
                                          # serving floor at corpus scale
                                          last_stage_workers=3,
+                                         mid_stage_workers=2,
                                          coalesce_quiet_s=self._coalesce[0],
                                          coalesce_cap_s=self._coalesce[1])
         else:

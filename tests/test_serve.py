@@ -509,3 +509,46 @@ def test_microbatcher_parallel_last_stage_overlaps_round_trips():
     assert results == {x: x * 3 for x in results}
     assert len(results) == 120
     assert active["max"] == 2  # both workers were concurrently inside stage 2
+
+
+def test_microbatcher_mid_stage_workers():
+    """3-stage pipeline with 2 middle-stage workers: results stay correct
+    under concurrent load, both mid workers run concurrently, and close()
+    drains cleanly (the sentinel must fan out to siblings yet forward only
+    ONCE downstream)."""
+    active = {"now": 0, "max": 0}
+    lock = threading.Lock()
+
+    def s1(items):
+        return items
+
+    def s2(token):
+        with lock:
+            active["now"] += 1
+            active["max"] = max(active["max"], active["now"])
+        time.sleep(0.004)
+        with lock:
+            active["now"] -= 1
+        return token
+
+    def s3(token):
+        return [x * 7 for x in token]
+
+    mb = MicroBatcher(stages=[s1, s2, s3], max_batch=1, max_wait_s=0.0002,
+                      last_stage_workers=2, mid_stage_workers=2)
+    results = {}
+
+    def worker(base):
+        for i in range(25):
+            x = base * 1000 + i
+            results[x] = mb.submit(x)
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+    assert results == {x: x * 7 for x in results}
+    assert len(results) == 100
+    assert active["max"] == 2   # both mid workers ran concurrently
