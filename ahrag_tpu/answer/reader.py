@@ -47,11 +47,12 @@ def select_evidence(query: str, sentences: List[str],
     sentinels) are preserved between kept sentences so the model's
     per-paragraph novelty features keep their meaning.
     """
+    from ahrag_tpu.models.reader.features import _norm
     q_toks = _TOKEN_RE.findall(query)
-    q_content = {t.lower() for t in q_toks
-                 if t.lower() not in _STOP and len(t) > 2}
+    q_content = {_norm(t) for t in q_toks
+                 if _norm(t) not in _STOP and len(t) > 2}
     q_stems = {w[:4] for w in q_content}
-    q_caps = {t.lower() for t in q_toks if t[:1].isupper()}
+    q_caps = {_norm(t) for t in q_toks if t[:1].isupper()}
 
     # dedupe, tracking paragraph id per kept sentence
     kept: List[Tuple[int, str, List[str]]] = []   # (para, text, tokens)
@@ -71,8 +72,8 @@ def select_evidence(query: str, sentences: List[str],
     if total > budget:
         def score(entry):
             _, _, toks = entry
-            low = {t.lower() for t in toks}
-            stems = {t.lower()[:4] for t in toks}
+            low = {_norm(t) for t in toks}
+            stems = {_norm(t)[:4] for t in toks}
             ov = sum(1 for w in q_content if w in low or w[:4] in stems)
             anchor = sum(1 for w in q_caps if w in low)
             return ov / max(1, len(q_content)) + anchor
@@ -114,6 +115,11 @@ _NOUN_Q = re.compile(r"\b(?:occupation|profession|vocation|trade|calling)\b"
                      r"|\bline of work\b|\b(?:make|earn)s? a living\b"
                      r"|\bdo(?:es)? .{0,40}for a living\b",
                      re.IGNORECASE)
+# hop-question marker: the asked entity is DESCRIBED relative to a named
+# anchor ("the person who ...", "the figure X is named for") — structural
+# English, no relation vocabulary
+_HOP_Q = re.compile(r"\bthe (?:person|figure|one|partner|spouse|mentor|"
+                    r"counterpart|associate|collaborator)\b", re.IGNORECASE)
 
 
 def expected_shape(query: str) -> Optional[str]:
@@ -138,6 +144,139 @@ def answer_shape(text: str) -> str:
     if t[:1].isupper():
         return "name"
     return "noun"
+
+
+def _shape_span_pred(exp: str, tokens: List[str]):
+    """Span predicate enforcing surface-shape agreement with the
+    question word (structural, vocabulary-free). ``name2`` = multiword
+    capitalized run — the person-name shape used to pick a bridge
+    entity (single capitalized tokens are usually cities/fragments)."""
+    if exp == "year":
+        return lambda i, j: (i == j
+                             and bool(_YEAR_SHAPE.match(tokens[i])))
+    if exp == "name":
+        return lambda i, j: all(tokens[k][:1].isupper()
+                                for k in range(i, j + 1))
+    if exp == "name2":
+        return lambda i, j: (j > i
+                             and all(tokens[k][:1].isupper()
+                                     for k in range(i, j + 1)))
+    # noun: every span token lowercase, non-stop, non-numeric
+    def _noun_ok(i, j):
+        for t in tokens[i:j + 1]:
+            if (not t[:1].islower()) or t.lower() in _STOP \
+                    or _NUM_SHAPE.match(t):
+                return False
+        return True
+    return _noun_ok
+
+
+def _raw_hop_valid(window: List[str], query: str, raw_text: str) -> bool:
+    """Did the raw read already perform a legitimate hop?
+
+    True when some paragraph contains the raw span contiguously AND that
+    paragraph carries a multiword capitalized entity that co-occurs, in
+    some sentence anywhere in the window, with one of the question's
+    capitalized anchors — the structural signature of "attribute of the
+    entity the relation sentence points at"."""
+    from ahrag_tpu.models.reader.features import _norm
+    q_caps = {_norm(t) for t in _TOKEN_RE.findall(query)
+              if t[:1].isupper()}
+    rt = tuple(_norm(t) for t in _TOKEN_RE.findall(raw_text))
+    if not rt or not q_caps:
+        return False
+    # tokenize window into (para, sentence-token-lists)
+    paras: List[List[List[str]]] = [[]]
+    raw_sents: List[List[Tuple[str, bool]]] = [[]]
+    for s in window:
+        if s == "":
+            paras.append([])
+            raw_sents.append([])
+            continue
+        toks = _TOKEN_RE.findall(s)
+        paras[-1].append([_norm(t) for t in toks])
+        raw_sents[-1].append([(t, t[:1].isupper()) for t in toks])
+    lr = len(rt)
+
+    def _contig(seq, pat):
+        lp = len(pat)
+        return any(tuple(seq[x:x + lp]) == pat
+                   for x in range(len(seq) - lp + 1))
+
+    # all multiword cap runs per paragraph
+    def _runs(pi):
+        out = []
+        for sent in raw_sents[pi]:
+            run = []
+            for t, up in sent:
+                if up:
+                    run.append(_norm(t))
+                else:
+                    if len(run) >= 2:
+                        out.append(tuple(run))
+                    run = []
+            if len(run) >= 2:
+                out.append(tuple(run))
+        return out
+
+    all_sents = [seq for psents in paras for seq in psents]
+    for pi, psents in enumerate(paras):
+        if not any(_contig(seq, rt) for seq in psents):
+            continue
+        for name in _runs(pi):
+            if all(tok in q_caps for tok in name):
+                continue                      # the anchor itself
+            for seq in all_sents:
+                if _contig(seq, name) and (q_caps & set(seq)):
+                    return True
+    return False
+
+
+def _base_span_pred(ev):
+    """Default decode exclusions, all vocabulary-free:
+
+    (a) a bare lowercase token that heads a prepositional phrase ("the
+        stewardship OF ...", "devoted TO the ...", "a practice ON the
+        ...") is a relational/abstract noun, never an entity answer —
+        the answer is that phrase's OBJECT (features.py ch18-19);
+        multiword spans containing their own preposition ("maker of
+        maps") stay eligible;
+    (b) a bare lowercase token recurring across half the paragraphs is
+        boilerplate-template vocabulary ("devoted", "life", "days" in a
+        corpus whose every biography opens the same way), not a fact.
+    """
+    from ahrag_tpu.models.reader.features import _norm
+    toks = ev.tokens
+    sent = ev.sent_index
+    para_of_sent = ev.para_of_sent or [0]
+    df: dict = {}
+    for k, t in enumerate(toks):
+        sid = sent[k]
+        p = para_of_sent[sid] if sid < len(para_of_sent) else 0
+        df.setdefault(_norm(t), set()).add(p)
+    n_paras = max(1, len({p for p in para_of_sent}))
+    half = max(2, (n_paras + 1) // 2)
+
+    _preps = ("of", "to", "in", "on", "at", "from", "with", "up")
+    _dets = ("the", "a", "an", "its", "his", "her", "their")
+
+    def ok(i, j):
+        nxt = (toks[j + 1].lower()
+               if j + 1 < len(toks) and sent[j + 1] == sent[j] else "")
+        if i == j and toks[i][:1].islower():
+            if nxt in _preps or nxt in _dets:
+                # heads a prepositional phrase (relational noun) or is
+                # followed by a determiner (a verb: "entered THE world")
+                return False
+            if len(df.get(_norm(toks[i]), ())) >= half:
+                return False
+        elif j > i and all(t[:1].islower() for t in toks[i:j + 1]) \
+                and nxt in _dets:
+            # a lowercase run directly followed by a determiner has
+            # overrun into a verb ("marine biologist entered THE world")
+            return False
+        return True
+    return ok
 
 
 class ReaderAnswerer:
@@ -172,6 +311,7 @@ class ReaderAnswerer:
         # the trainer writes <ckpt-stem>_curve.json with the architecture;
         # read it so checkpoints self-describe (a mismatched template makes
         # from_bytes fail and get_reader silently disables the reader)
+        d_ff = n_heads = None
         if d_model is None or n_layers is None:
             meta_path = re.sub(r"\.msgpack$", "", ckpt_path) + "_curve.json"
             try:
@@ -180,11 +320,15 @@ class ReaderAnswerer:
                     meta = json.load(f)
                 d_model = d_model or int(meta.get("d_model", 128))
                 n_layers = n_layers or int(meta.get("n_layers", 2))
+                d_ff = int(meta["d_ff"]) if "d_ff" in meta else None
+                n_heads = int(meta["n_heads"]) if "n_heads" in meta else None
             except (OSError, ValueError):
                 d_model, n_layers = d_model or 128, n_layers or 2
 
         self.min_conf = float(min_conf)
-        self._model = SpanReader(d_model=d_model, n_layers=n_layers)
+        self._model = SpanReader(d_model=d_model, n_layers=n_layers,
+                                 d_ff=d_ff or 2 * d_model,
+                                 n_heads=n_heads or 4)
         # template params (correct tree structure) then load bytes
         from ahrag_tpu.models.reader.features import (N_SCALARS, SEQ_LEN)
         import jax.numpy as jnp
@@ -198,8 +342,22 @@ class ReaderAnswerer:
         self._apply = jax.jit(self._model.apply)
 
     def _read(self, query: str, window: List[str],
-              max_span_len: int = 6) -> Tuple[Optional[str], float]:
-        """One forward read of an already-selected evidence window."""
+              max_span_len: int = 6, constrain: bool = True,
+              force_shape: Optional[str] = None
+              ) -> Tuple[Optional[str], float]:
+        """One forward read of an already-selected evidence window.
+
+        With ``constrain`` (shape-constrained decode): when the question
+        word fixes the answer's surface shape (a STRUCTURAL cue — "in
+        what year" can only be answered by a year token, "who" by a
+        capitalized name, an occupation question by a lowercase noun),
+        and the model's unconstrained argmax span disagrees, the decoder
+        re-searches the same logits restricted to shape-agreeing spans.
+        The model still does the pointing; the constraint only removes
+        decodes the question word already rules out. ``answer`` passes
+        ``constrain=False`` on the FIRST window so a name read where a
+        year/noun is expected stays visible as a bridge-entity signal.
+        """
         from ahrag_tpu.models.reader.features import (Q_LEN, best_span,
                                                       decode_span, featurize)
         fb, ev = featurize(query, window)
@@ -210,14 +368,200 @@ class ReaderAnswerer:
                                    fb.ev_mask)
         s = np.asarray(s_log)[0, Q_LEN:]
         e = np.asarray(e_log)[0, Q_LEN:]
-        i, j, prob = best_span(s, e, ev, max_len=max_span_len)
-        text = decode_span(ev, i, j).strip()
+        if force_shape is not None:
+            # direct shape-forced decode (bridge-name extraction). For the
+            # bridge ("name2") the span must additionally sit in a sentence
+            # that carries one of the question's capitalized anchors — the
+            # relation sentence names BOTH the anchor and the bridge
+            # entity; names elsewhere are unrelated cast members.
+            from ahrag_tpu.models.reader.features import _norm
+            shape0 = _shape_span_pred(force_shape, ev.tokens)
+            q_norm = {_norm(t) for t in _TOKEN_RE.findall(query)}
+            toks = ev.tokens
+
+            def pred0(i, j):
+                # in-query spans rejected IN the search (a post-hoc check
+                # would discard the whole decode when the argmax span is
+                # the question's own anchor, instead of taking next-best).
+                # For bridge extraction the span's TAIL is what binds the
+                # second read, so a span whose last two tokens are the
+                # question's own anchor is equally useless.
+                if all(_norm(toks[k]) in q_norm for k in range(i, j + 1)):
+                    return False
+                if force_shape == "name2" and _norm(toks[j]) in q_norm:
+                    # the span TAIL binds the second read; a tail that is
+                    # the question's own anchor re-binds the anchor
+                    return False
+                return shape0(i, j)
+            pred = pred0
+            if force_shape == "name2":
+                # anchored sentences = those carrying a FULL multiword
+                # anchor run of the question (single-token matching lets
+                # "Juniper Laboratory" anchor a "Meridian Laboratory"
+                # question through the shared generic token)
+                q_runs: list = []
+                run: list = []
+                for t in _TOKEN_RE.findall(query):
+                    if t[:1].isupper():
+                        run.append(_norm(t))
+                    else:
+                        if len(run) >= 2:
+                            q_runs.append(tuple(run))
+                        run = []
+                if len(run) >= 2:
+                    q_runs.append(tuple(run))
+                sent_seq: dict = {}
+                for k, t in enumerate(ev.tokens):
+                    sent_seq.setdefault(ev.sent_index[k],
+                                        []).append(_norm(t))
+
+                def _has_run(seq, runs):
+                    for r in runs:
+                        lr = len(r)
+                        if any(tuple(seq[x:x + lr]) == r
+                               for x in range(len(seq) - lr + 1)):
+                            return True
+                    return False
+                if q_runs:
+                    anchored = {sid for sid, seq in sent_seq.items()
+                                if _has_run(seq, q_runs)}
+                else:
+                    qcaps = {_norm(t) for t in _TOKEN_RE.findall(query)
+                             if t[:1].isupper()}
+                    anchored = {sid for sid, seq in sent_seq.items()
+                                if qcaps & set(seq)} if qcaps else set()
+                if anchored:
+                    pred = (lambda i, j:
+                            pred0(i, j)
+                            and ev.sent_index[i] in anchored)
+            i, j, p = best_span(s, e, ev, max_len=max_span_len,
+                                span_pred=pred)
+            if i < 0 and pred is not pred0:
+                i, j, p = best_span(s, e, ev, max_len=max_span_len,
+                                    span_pred=pred0)
+            if i < 0:
+                return None, 0.0
+            t = decode_span(ev, i, j).strip()
+            if not t or t.lower() in query.lower():
+                return None, 0.0
+            return t, p
+        i, j, prob = best_span(s, e, ev, max_len=max_span_len,
+                               span_pred=_base_span_pred(ev))
+        text = decode_span(ev, i, j).strip() if i >= 0 else ""
+        exp = expected_shape(query) if constrain else None
+        if exp is not None and (not text or answer_shape(text) != exp
+                                or text.lower() in query.lower()):
+            shape_ok = _shape_span_pred(exp, ev.tokens)
+            base_ok = _base_span_pred(ev)
+            pred = lambda i, j: shape_ok(i, j) and base_ok(i, j)
+            i2, j2, p2 = best_span(s, e, ev, max_len=max_span_len,
+                                   span_pred=pred)
+            if i2 >= 0:
+                t2 = decode_span(ev, i2, j2).strip()
+                if t2 and t2.lower() not in query.lower():
+                    return t2, p2
         if not text:
             return None, 0.0
         # never answer with a span the question already contains
         if text.lower() in query.lower():
             return None, prob
         return text, prob
+
+    def _read_bridged(self, query: str, window: List[str], bridge: str,
+                      exp: Optional[str], max_span_len: int = 6,
+                      raw_text: Optional[str] = None
+                      ) -> Tuple[Optional[str], float, bool]:
+        """Second read bound to the bridge entity's paragraph.
+
+        Evidence contexts regularly FIT the reader's window, so re-running
+        ``select_evidence`` with the bridge name appended reproduces the
+        same window and the same read — the hop must instead change what
+        the decoder may point at. This read (a) appends the bridge name
+        to the question so the anchor channels light the bridge's own
+        paragraph, and (b) restricts the span search to paragraphs whose
+        sentences carry the bridge's name tokens. Confidence is
+        renormalized over the allowed positions (the global softmax mass
+        can sit on the anchor's paragraph, which is exactly what the hop
+        is escaping).
+        """
+        from ahrag_tpu.models.reader.features import (E_LEN, Q_LEN, _norm,
+                                                      decode_span, featurize)
+        q2 = query + " " + bridge
+        fb, ev = featurize(q2, window)
+        n = min(len(ev.tokens), E_LEN)
+        if n == 0:
+            return None, 0.0, False
+        s_log, e_log = self._apply(self._params, fb.word_ids, fb.stem_ids,
+                                   fb.scalars, fb.segments, fb.mask,
+                                   fb.ev_mask)
+        s = np.asarray(s_log)[0, Q_LEN:Q_LEN + n]
+        e = np.asarray(e_log)[0, Q_LEN:Q_LEN + n]
+        # paragraphs whose sentences carry the bridge's name (its last two
+        # tokens — tokenization can merge a preceding capitalized word into
+        # the extracted run, the surname tokens still bind correctly)
+        btoks = tuple(_norm(t) for t in _TOKEN_RE.findall(bridge))[-2:]
+        if not btoks:
+            return None, 0.0, False
+        norm_toks = [_norm(t) for t in ev.tokens[:n]]
+        sent_seq: dict = {}
+        for k, t in enumerate(norm_toks):
+            sent_seq.setdefault(ev.sent_index[k], []).append(t)
+        lb = len(btoks)
+        paras = {ev.para_of_sent[sid] for sid, seq in sent_seq.items()
+                 if sid < len(ev.para_of_sent)
+                 and any(tuple(seq[x:x + lb]) == btoks
+                         for x in range(len(seq) - lb + 1))}
+        if not paras:
+            return None, 0.0, False
+        allowed = [k for k in range(n)
+                   if ev.sent_index[k] < len(ev.para_of_sent)
+                   and ev.para_of_sent[ev.sent_index[k]] in paras]
+        if not allowed:
+            return None, 0.0, False
+        shape_ok = _shape_span_pred(exp, ev.tokens) if exp else None
+        base_ok = _base_span_pred(ev)
+        q_low = q2.lower()
+        s_soft = np.exp(s - s.max());  s_soft /= s_soft.sum()
+        e_soft = np.exp(e - e.max());  e_soft /= e_soft.sum()
+        zs = max(float(s_soft[allowed].sum()), 1e-9)
+        ze = max(float(e_soft[allowed].sum()), 1e-9)
+        aset = set(allowed)
+        best = None
+        for i in allowed:
+            jmax = min(n - 1, i + max_span_len - 1)
+            for j in range(i, jmax + 1):
+                if ev.sent_index[j] != ev.sent_index[i] or j not in aset:
+                    break
+                if shape_ok is not None and not shape_ok(i, j):
+                    continue
+                if not base_ok(i, j):
+                    continue
+                text = decode_span(ev, i, j).strip()
+                if not text or text.lower() in q_low:
+                    continue
+                sc = s[i] + e[j]
+                if best is None or sc > best[0]:
+                    best = (sc, i, j, text)
+        # raw_hopped: the window-1 read already sits inside a bridge-
+        # carrying paragraph — it has performed the hop on its own, and
+        # the bridged re-decode must not displace it
+        raw_hopped = False
+        if raw_text:
+            rt = tuple(_norm(t) for t in _TOKEN_RE.findall(raw_text))
+            lr = len(rt)
+            if lr:
+                for sid, seq in sent_seq.items():
+                    if sid < len(ev.para_of_sent) \
+                            and ev.para_of_sent[sid] in paras \
+                            and any(tuple(seq[x:x + lr]) == rt
+                                    for x in range(len(seq) - lr + 1)):
+                        raw_hopped = True
+                        break
+        if best is None:
+            return None, 0.0, raw_hopped
+        _, i, j, text = best
+        conf = float((s_soft[i] / zs) * (e_soft[j] / ze))
+        return text, conf, raw_hopped
 
     def answer(self, query: str, sentences: List[str],
                max_span_len: int = 6) -> Tuple[Optional[str], float]:
@@ -234,20 +578,68 @@ class ReaderAnswerer:
         confidence gain, so a correct first read is never displaced.
         """
         from ahrag_tpu.models.reader.features import E_LEN
-        text, prob = self._read(query, select_evidence(query, sentences,
-                                                       budget=E_LEN),
-                                max_span_len)
+        win1 = select_evidence(query, sentences, budget=E_LEN)
+        # first window UNCONSTRAINED: a name decode where the question
+        # wants a year/noun is the bridge-entity signal, not an error
+        text, prob = self._read(query, win1, max_span_len, constrain=False)
         exp = expected_shape(query)
-        if (text and answer_shape(text) == "name"
-                and (exp in ("year", "noun") or prob < 0.5)):
-            win2 = select_evidence(query + " " + text, sentences,
-                                   budget=E_LEN)
-            t2, p2 = self._read(query, win2, max_span_len)
-            if t2:
-                if exp in ("year", "noun") and answer_shape(t2) == exp:
+        hop = bool(_HOP_Q.search(query))
+        shape1 = answer_shape(text) if text else None
+
+        if exp == "name":
+            # who-questions: answers are full names. Re-decode to the best
+            # multiword capitalized run when the raw read is not one (the
+            # raw argmax lands on orgs/cities/verbs under unseen vocab).
+            if (not text or shape1 != "name"
+                    or (len(text.split()) == 1 and prob < 0.6)):
+                t2, p2 = self._read(query, win1, max_span_len,
+                                    force_shape="name2")
+                if t2:
                     return t2, p2
-                if exp is None and t2 != text and p2 > max(prob, 0.35):
-                    return t2, p2
+            return text, prob
+
+        # bridge candidate: the read itself when it is a multiword name,
+        # else the best multiword-capitalized decode of the same logits.
+        # Hop questions ("the city of the person who ...") put the answer
+        # in the bridge entity's paragraph, which shares nothing with the
+        # question — the bridged read binds the decode there. Only hop or
+        # shape-mismatched reads bridge: a shape-agreeing non-hop read is
+        # the anchor's own attribute and must not be displaced.
+        # bridged reads fire on HOP questions only: a non-hop shape
+        # mismatch is a decode problem (handled by the constrained
+        # re-decode below), and a speculative bridge there binds to an
+        # unrelated entity's paragraph more often than it repairs
+        use_bridge = hop
+        bridge = None
+        if use_bridge:
+            if shape1 == "name" and len(text.split()) >= 2:
+                bridge = text
+            else:
+                bridge, _ = self._read(query, win1, max_span_len,
+                                       force_shape="name2")
+        if bridge:
+            t2, p2, raw_in_bridge = self._read_bridged(query, win1, bridge,
+                                                       exp, max_span_len,
+                                                       raw_text=text)
+            t2_ok = t2 and (exp is None or answer_shape(t2) == exp)
+            if raw_in_bridge and t2_ok:
+                # raw came from the bridge's own paragraph: the bridged
+                # re-read of the same region (anchor channels lit on the
+                # bridge) is strictly better-conditioned — take it
+                return t2, p2
+            if (text and (exp is None or shape1 == exp)
+                    and _raw_hop_valid(win1, query, text)):
+                # raw sits in a DIFFERENT paragraph whose entity provably
+                # links to the question anchor — the raw read already
+                # hopped (possibly via a better bridge than ours)
+                return text, prob
+            if t2_ok:
+                return t2, p2
+        if exp is not None and (not text or shape1 != exp):
+            # no bridge read: constrained re-decode of the first window
+            t3, p3 = self._read(query, win1, max_span_len, constrain=True)
+            if t3 and answer_shape(t3) == exp:
+                return t3, p3
         return text, prob
 
 

@@ -278,14 +278,31 @@ def train(n_pairs: int = 98304, steps: int = 3000, batch: int = 512,
 # -------------------------------------------------------------- inference
 
 class ContrastiveEncoder:
-    """Encoder-protocol implementation over a trained checkpoint."""
+    """Encoder-protocol implementation over a trained checkpoint.
+
+    HYBRID embedding space: the output concatenates the trained
+    contrastive vector (paraphrase subspace) with the lexical hashed
+    n-gram vector, each scaled so cosine(z, z') = lex_weight·cos_lex +
+    (1-lex_weight)·cos_para. Rationale: a pretrained sentence encoder
+    like the reference's MiniLM carries BOTH signals — surface lexical
+    match and paraphrase equivalence; a from-scratch contrastive model
+    trained only on paraphrase clusters has no reason to preserve exact
+    token identity for out-of-cluster vocabulary, and measured v6
+    recall without the lexical subspace trails even the hashed encoder
+    on non-paraphrase questions. The lexical half delegates to
+    HashedNGramEncoder (incl. its per-corpus LSA fit via
+    ``fit_projection``), the paraphrase half is this checkpoint.
+    """
 
     name = "learned"
 
-    def __init__(self, ckpt_path: str = DEFAULT_CKPT) -> None:
+    def __init__(self, ckpt_path: str = DEFAULT_CKPT,
+                 lex_weight: float = 0.5) -> None:
         import jax
         import jax.numpy as jnp
         from flax import serialization
+
+        from ahrag_tpu.models.encoder.hashed import HashedNGramEncoder
 
         meta_path = re.sub(r"\.msgpack$", "", ckpt_path) + "_meta.json"
         try:
@@ -293,9 +310,10 @@ class ContrastiveEncoder:
                 meta = json.load(f)
         except OSError:
             meta = {}
-        self.dim = int(meta.get("out_dim", 384))
+        self._para_dim = int(meta.get("out_dim", 384))
         self._model = _make_model(int(meta.get("d_model", 192)),
-                                  int(meta.get("n_layers", 2)), self.dim)
+                                  int(meta.get("n_layers", 2)),
+                                  self._para_dim)
         params = self._model.init(jax.random.PRNGKey(0),
                                   jnp.zeros((1, SEQ), jnp.int32),
                                   jnp.zeros((1, SEQ), jnp.int32),
@@ -303,8 +321,21 @@ class ContrastiveEncoder:
         with open(ckpt_path, "rb") as f:
             self._params = serialization.from_bytes(params, f.read())
         self._apply = jax.jit(self._model.apply)
+        self._lex = HashedNGramEncoder()
+        self._w_lex = float(np.sqrt(lex_weight))
+        self._w_para = float(np.sqrt(1.0 - lex_weight))
+        self.dim = self._para_dim + self._lex.dim
 
-    def encode_device(self, texts: List[str], chunk: int = 1024):
+    # lexical-subspace hooks, delegated so the hybrid inherits the hashed
+    # encoder's full corpus-adaptive surface (IDF weights + LSA fit +
+    # query-expansion associations — graph/host.py:647-673,765-775)
+    def fit_projection(self, texts: List[str], **kw):
+        return self._lex.fit_projection(texts, **kw)
+
+    def document_frequencies(self, texts: List[str], **kw) -> np.ndarray:
+        return self._lex.document_frequencies(texts, **kw)
+
+    def _para_device(self, texts: List[str], chunk: int = 1024):
         import jax.numpy as jnp
         outs = []
         for s in range(0, len(texts), chunk):
@@ -313,10 +344,22 @@ class ContrastiveEncoder:
                                     jnp.asarray(st), jnp.asarray(m)))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
-    def encode(self, texts: List[str], **_ignored) -> np.ndarray:
+    def encode_device(self, texts: List[str], chunk: int = 1024,
+                      idf=None, assoc=None, basis=None):
+        import jax.numpy as jnp
+        za = self._para_device(texts, chunk) * self._w_para
+        zl = self._lex.encode_device(texts, idf=idf, assoc=assoc,
+                                     basis=basis) * self._w_lex
+        return jnp.concatenate([za, jnp.asarray(zl)], axis=-1)
+
+    def encode(self, texts: List[str], idf=None, assoc=None,
+               basis=None) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), np.float32)
-        return np.asarray(self.encode_device(texts), np.float32)
+        za = np.asarray(self._para_device(texts), np.float32) * self._w_para
+        zl = self._lex.encode(texts, idf=idf, assoc=assoc,
+                              basis=basis) * self._w_lex
+        return np.concatenate([za, zl], axis=-1)
 
 
 @lru_cache(maxsize=2)

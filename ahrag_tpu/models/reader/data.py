@@ -179,7 +179,7 @@ def _demonym(rng: random.Random) -> str:
 
 def _role(rng: random.Random) -> str:
     head = rng.choice(_ROLE_HEADS)
-    if rng.random() < 0.4:                   # 1-2 word roles
+    if rng.random() < 0.5:                   # 1-2 word roles
         return rng.choice(_ROLE_MODS) + " " + head
     return head
 
@@ -194,30 +194,67 @@ class Instance(NamedTuple):
 # --------------------------------------------------- boilerplate shapes
 
 def _boiler(rng: random.Random, shape: int, p: str, info: Dict[str, str]
-            ) -> str:
+            ) -> Tuple[List[str], Dict[str, int]]:
+    """Boilerplate sentences for one person + per-attribute sentence offset.
+
+    Returns (sentences, {"role"/"city"/"year": local sentence index}).
+    Shapes 0-6 pack all attributes into ONE sentence; shapes 7-8 SPLIT
+    them across sentences the way real biography paragraphs (and the v5
+    world's two-sentence boilers) do — a profession answer then lives in
+    a different sentence than the birth year, and the reader must pick
+    the sentence by ATTRIBUTE, not merely by anchor hit.
+    """
     adj, role = info["adj"], info["role"]
     city, year = info["city"], info["year"]
+    one = None
     if shape == 0:
-        return f"{p} is a {adj} {role} who settled near {city} in {year}."
-    if shape == 1:
-        return (f"{p}, a {role} by calling, hails from {city} and first "
-                f"drew notice in {year}.")
-    if shape == 2:
-        return (f"The record of {p} opens in {city} in {year}, where the "
-                f"young {role} trained.")
-    if shape == 3:
-        return f"Born in {year} near {city}, {p} earned renown as a {role}."
-    if shape == 4:
-        return (f"{p} lived a first decade in {city} before taking up "
-                f"work as a {role} around {year}.")
-    if shape == 5:
-        return (f"{p} is regarded as a {adj} {role}; the rolls of {city} "
-                f"list a {year} arrival.")
-    # shape 6: birth explicitly marked in a single role+city+year sentence —
-    # the dominant real-biography shape (and eval/synth.py's person boiler
-    # structure); birth-year questions train against year DISTRACTORS only
-    # when the boiler marks birth like this (see make_instance birth_marked)
-    return f"{p} is a {adj} {role}, born at {city} in {year}."
+        one = f"{p} is a {adj} {role} who settled near {city} in {year}."
+    elif shape == 1:
+        one = (f"{p}, a {role} by calling, hails from {city} and first "
+               f"drew notice in {year}.")
+    elif shape == 2:
+        one = (f"The record of {p} opens in {city} in {year}, where the "
+               f"young {role} trained.")
+    elif shape == 3:
+        one = f"Born in {year} near {city}, {p} earned renown as a {role}."
+    elif shape == 4:
+        one = (f"{p} lived a first decade in {city} before taking up "
+               f"work as a {role} around {year}.")
+    elif shape == 5:
+        one = (f"{p} is regarded as a {adj} {role}; the rolls of {city} "
+               f"list a {year} arrival.")
+    elif shape == 6:
+        # birth explicitly marked in a single role+city+year sentence —
+        # the dominant real-biography shape; birth-year questions train
+        # against year DISTRACTORS only when the boiler marks birth (see
+        # make_instance birth_marked)
+        one = f"{p} is a {adj} {role}, born at {city} in {year}."
+    if one is not None:
+        return [one], {"role": 0, "city": 0, "year": 0}
+    if shape == 7:
+        # two-sentence split: role alone, then city+birth year via a
+        # possessive opener (the normalization drill in features._norm)
+        return ([f"{p} earned a name as a {adj} {role}.",
+                 f"{p}'s first seasons ran their course at {city}, and "
+                 f"{year} stands recorded as {p}'s year of birth."],
+                {"role": 0, "city": 1, "year": 1})
+    if shape == 8:
+        # three-way split, one attribute per sentence
+        return ([f"{p} works as a {adj} {role}.",
+                 f"{p} was raised around {city}.",
+                 f"Born in {year}, {p} still holds ties there."],
+                {"role": 0, "city": 1, "year": 2})
+    if shape == 9:
+        # of-object role + locational-prep city/year (the construct real
+        # biographies use; features.py ch18-19)
+        return ([f"{p} has given a long stretch to the work of a {adj} {role}.",
+                 f"{p} first drew breath at {city} in {year}."],
+                {"role": 0, "city": 1, "year": 1})
+    # shape 10: role as of-object mid-sentence, birth year in its own
+    # marked sentence
+    return ([f"{p}, raised near {city}, holds to the trade of {role}.",
+             f"The year {year} saw {p}'s birth."],
+            {"role": 0, "city": 0, "year": 1})
 
 
 # ------------------------------------------------------- fact rendering
@@ -238,13 +275,24 @@ def _render_fact(rng: random.Random, subj: str, obj: str, obj_kind: str,
             return f"{obj} marked the season {subj} {vp} {anchor}."
         return f"{subj} first {vp} {anchor} back in {obj}."
     if obj_kind == "noun":
+        # styles 4-5: the answer is the OBJECT OF "of", after a competing
+        # abstract noun — real prose writes "the stewardship of the
+        # dulcimer" / "the craft of volcanology"; the reader must prefer
+        # the of-object over the first the-noun (features.py ch18)
+        style = rng.randrange(7)
         if style == 0:
             return f"{subj} {vp} the {obj} for ages."
         if style == 1:
             return f"The {obj} remained {subj}'s chosen field."
         if style == 2:
             return f"{subj} gave long seasons to the {obj}."
-        return f"Much of {subj}'s renown rests on the {obj}."
+        if style == 3:
+            return f"Much of {subj}'s renown rests on the {obj}."
+        if style == 4:
+            return f"{subj} tends a long {noun} of the {obj}."
+        if style == 5:
+            return f"The {noun} of the {obj} has filled {subj}'s days."
+        return f"{subj} upholds a steady {noun} on the {obj}."
     # person / org / city objects
     if style == 0:
         return f"{subj} {vp} the {noun} of {obj}."
@@ -283,7 +331,7 @@ def _render_question(rng: random.Random, subj: str, obj_kind: str,
     # lowercase noun in the anchor's appended fact, not to the boilerplate
     # role (tools/diag_reader_v5.py showed unknown categories regressing to
     # profession guesses).
-    c = cat or (_pseudo_word(rng, 2) if rng.random() < 0.35
+    c = cat or (_pseudo_word(rng, 2) if rng.random() < 0.5
                 else rng.choice(_Q_CATS))
     return rng.choice([
         f"Which {c} is {subj} identified with?",
@@ -317,7 +365,7 @@ def make_instance(rng: random.Random,
     info = {p: {"adj": rng.choice(_ADJS + [_demonym(rng)]),
                 "role": _role(rng), "city": _city(rng),
                 "year": _year(rng)} for p in people}
-    shape_pool = list(range(7))
+    shape_pool = list(range(11))
     rng.shuffle(shape_pool)
     # per-world: most paragraphs share one boilerplate shape (the repeated-
     # template signal the novelty channel keys on), a couple diverge
@@ -348,7 +396,7 @@ def make_instance(rng: random.Random,
             or pair_attr == "year" or fam == "noun_holder_attr"):
         birth_marked = rng.random() < 0.85
         if birth_marked:
-            shapes[year_target] = rng.choice([3, 6])
+            shapes[year_target] = rng.choice([3, 6, 7, 8, 9, 10])
 
     # the queried fact (relation families) or boilerplate target
     extra_entity = None
@@ -372,12 +420,15 @@ def make_instance(rng: random.Random,
         extra_entity = rng.choice(["year", "city", "role"])  # reused as attr
 
     paragraphs: List[List[str]] = []
+    boiler_at: Dict[int, Tuple[int, Dict[str, int]]] = {}
     for i, p in enumerate(people):
         sents = []
         if rng.random() < 0.5:
             # title fragment, as _clean_sentences emits at block starts
             sents.append(f"{p}.")
-        sents.append(_boiler(rng, shapes[p], p, info[p]))
+        bs, boff = _boiler(rng, shapes[p], p, info[p])
+        boiler_at[i] = (len(sents), boff)
+        sents.extend(bs)
         kinds = ["person", "year", "noun", "org"]
         if i == 0 and fam.startswith("rel_"):
             # the GOLD paragraph excludes distractors of the queried kind —
@@ -424,8 +475,9 @@ def make_instance(rng: random.Random,
             sents.append(_render_fact(rng, p, dobj, dk))
         paragraphs.append(sents)
 
-    def _boiler_sent_local(pi: int) -> int:
-        return 1 if paragraphs[pi][0] == f"{people[pi]}." else 0
+    def _boiler_sent_local(pi: int, attr: str = "role") -> int:
+        start, boff = boiler_at[pi]
+        return start + boff.get(attr, 0)
 
     gold_para = 0
     if fam.startswith("rel_"):
@@ -437,15 +489,15 @@ def make_instance(rng: random.Random,
                                     extra_entity=extra_entity)
     elif fam == "role_1hop":
         answer = info[subj]["role"]
-        gold_sentence_local = _boiler_sent_local(0)
+        gold_sentence_local = _boiler_sent_local(0, "role")
         question = rng.choice(_ROLE_Q).format(p=subj)
     elif fam == "city_1hop":
         answer = info[subj]["city"]
-        gold_sentence_local = _boiler_sent_local(0)
+        gold_sentence_local = _boiler_sent_local(0, "city")
         question = rng.choice(_CITY_Q).format(p=subj)
     elif fam == "byear_1hop":
         answer = info[subj]["year"]
-        gold_sentence_local = _boiler_sent_local(0)
+        gold_sentence_local = _boiler_sent_local(0, "year")
         question = rng.choice(_BYEAR_Q).format(p=subj)
     elif fam == "org_honoree_role":
         # org paragraph names a person; the question asks that person's role
@@ -460,7 +512,7 @@ def make_instance(rng: random.Random,
         paragraphs.append([f"{org}.", link])
         answer = info[other]["role"]
         gold_para = 1
-        gold_sentence_local = _boiler_sent_local(1)
+        gold_sentence_local = _boiler_sent_local(1, "role")
         question = rng.choice(_ROLE_Q_HOP).format(
             rel="is first listed by", p=org)
     elif fam == "noun_holder_attr":
@@ -474,7 +526,7 @@ def make_instance(rng: random.Random,
         attr = extra_entity
         extra_entity = None
         answer = info[subj][attr]
-        gold_sentence_local = _boiler_sent_local(0)
+        gold_sentence_local = _boiler_sent_local(0, attr)
         holder = rng.choice(["the one known for", "the figure identified with",
                              "the person linked to", "whoever works in"])
         if attr == "year":
@@ -510,7 +562,7 @@ def make_instance(rng: random.Random,
             link = f"The {thing} rests with {subj}."
         paragraphs[0].append(link)
         answer = info[subj][pair_attr]
-        gold_sentence_local = _boiler_sent_local(0)
+        gold_sentence_local = _boiler_sent_local(0, pair_attr)
         holder = rng.choice(["the holder of", "the bearer of",
                              "the keeper of", "the winner of"])
         if pair_attr == "year":
@@ -560,7 +612,7 @@ def make_instance(rng: random.Random,
         else:
             answer = info[answer_person][pair_attr]
             gold_para = people.index(answer_person)
-            gold_sentence_local = _boiler_sent_local(gold_para)
+            gold_sentence_local = _boiler_sent_local(gold_para, pair_attr)
             if pair_attr == "year":
                 question = rng.choice([
                     f"In what year was {asker}'s {kin} born?",
@@ -600,6 +652,7 @@ def make_instance(rng: random.Random,
                 f"Who came after {a} at {org}?",
                 f"Who took over from {a} at {org}?",
                 f"Name the person who replaced {a} at {org}.",
+                f"Who followed {a} at {org}?",
             ])
         else:
             answer = a
@@ -607,6 +660,8 @@ def make_instance(rng: random.Random,
                 f"Who came before {b} at {org}?",
                 f"Whom did {b} replace at {org}?",
                 f"Who preceded {b} at {org}?",
+                f"Whom did {b} follow at {org}?",
+                f"Who held the post before {b} at {org}?",
             ])
         gold_sentence_local = len(paragraphs[0]) - 1
     else:
@@ -614,7 +669,8 @@ def make_instance(rng: random.Random,
         rel_surface = rng.choice(_REL_Q)
         paragraphs[0].append(_render_fact(rng, subj, other, "person"))
         gold_para = 1
-        gold_sentence_local = _boiler_sent_local(1)
+        attr2 = {"role_2hop": "role", "city_2hop": "city"}.get(fam, "year")
+        gold_sentence_local = _boiler_sent_local(1, attr2)
         if fam == "role_2hop":
             answer = info[other]["role"]
             question = rng.choice(_ROLE_Q_HOP).format(rel=rel_surface, p=subj)

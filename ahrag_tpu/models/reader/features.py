@@ -34,10 +34,18 @@ SEQ_LEN = Q_LEN + E_LEN
 # category; "follows a determiner" does). The paragraph channels let hop
 # questions restrict to the anchor's paragraph even when the answer sentence
 # itself shares no token with the question.
-N_SCALARS = 18
+# 18 -> 20 late round 5: prepositional-object channels. Biography prose
+# attaches the ANSWER as a preposition's object ("the craft of
+# <profession>", "the stewardship of the <instrument>", "passed in
+# <city>") while the verb/abstract noun before it is an unseen hash
+# bucket — the round-5 diag showed the reader picking that noun instead.
+# "follows of(-det)" and "follows a locational prep" are vocabulary-free
+# syntax cues that survive the shift.
+N_SCALARS = 20
 WORD_VOCAB = 32768
 STEM_VOCAB = 16384
 _DETS = {"the", "a", "an", "its", "his", "her", "their"}
+_LOC_PREPS = {"in", "at", "from", "near", "on"}
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9][\w']*")
 _YEAR_RE = re.compile(r"^(1[5-9]\d{2}|20\d{2})$")
@@ -50,12 +58,30 @@ _STOP = {"the", "a", "an", "of", "in", "on", "at", "to", "for", "by", "from",
          "under", "between"}
 
 
+def _norm(tok: str) -> str:
+    """Match/identity normalization: fold possessives onto their noun.
+
+    The tokenizer keeps "Novak's" as one token; without folding, an
+    anchor mention via possessive ("Rosa Novak's early years") never
+    matches the question's "Rosa Novak" in any overlap/anchor channel —
+    a systematic miss in exactly the sentences biographies use most.
+    Decode surfaces keep the raw token; only matching and hashed
+    identity use the folded form.
+    """
+    low = tok.lower()
+    if low.endswith("'s"):
+        return low[:-2]
+    if low.endswith("'"):
+        return low[:-1]
+    return low
+
+
 def _word_id(tok: str) -> int:
-    return _fnv1a(tok.lower().encode()) % WORD_VOCAB
+    return _fnv1a(_norm(tok).encode()) % WORD_VOCAB
 
 
 def _stem_id(tok: str) -> int:
-    return _fnv1a(("st:" + tok.lower()[:4]).encode()) % STEM_VOCAB
+    return _fnv1a(("st:" + _norm(tok)[:4]).encode()) % STEM_VOCAB
 
 
 class FeatureBatch(NamedTuple):
@@ -120,11 +146,11 @@ def featurize(question: str, sentences: List[str],
     e_toks, sent_of, sents = ev.tokens, ev.sent_index, ev.sentences
     para_of_sent = ev.para_of_sent or [0] * len(sents)
 
-    q_low = {t.lower() for t in q_toks}
-    q_stems = {t.lower()[:4] for t in q_toks if t.lower() not in _STOP}
-    q_content = {t.lower() for t in q_toks
-                 if t.lower() not in _STOP and len(t) > 2}
-    q_caps = {t.lower() for t in q_toks if t[:1].isupper()}
+    q_low = {_norm(t) for t in q_toks}
+    q_stems = {_norm(t)[:4] for t in q_toks if _norm(t) not in _STOP}
+    q_content = {_norm(t) for t in q_toks
+                 if _norm(t) not in _STOP and len(t) > 2}
+    q_caps = {_norm(t) for t in q_toks if t[:1].isupper()}
     # FULL multiword anchors: contiguous capitalized runs of the question
     # (>= 2 tokens). Individual cap tokens are ambiguous when a corpus
     # reuses name parts across people ("Dmitri Ustinov" / "Elena Ustinov" /
@@ -134,7 +160,7 @@ def featurize(question: str, sentences: List[str],
     run: List[str] = []
     for t in q_toks:
         if t[:1].isupper():
-            run.append(t.lower())
+            run.append(_norm(t))
         else:
             if len(run) >= 2:
                 q_anchors.append(tuple(run))
@@ -150,8 +176,8 @@ def featurize(question: str, sentences: List[str],
     sent_anchor = {}
     sent_full_anchor = {}
     for sid, stoks in sent_toks.items():
-        low = {t.lower() for t in stoks}
-        stems = {t.lower()[:4] for t in stoks}
+        low = {_norm(t) for t in stoks}
+        stems = {_norm(t)[:4] for t in stoks}
         if q_content:
             hit = sum(1 for w in q_content if w in low or w[:4] in stems)
             sent_overlap[sid] = hit / len(q_content)
@@ -162,7 +188,7 @@ def featurize(question: str, sentences: List[str],
         else:
             sent_anchor[sid] = 0.0
         if q_anchors:
-            slow = [t.lower() for t in stoks]
+            slow = [_norm(t) for t in stoks]
             full = 0
             for a in q_anchors:
                 la = len(a)
@@ -176,7 +202,7 @@ def featurize(question: str, sentences: List[str],
     # token-level: inside an occurrence of a full multiword anchor
     in_anchor = [False] * len(e_toks)
     if q_anchors:
-        e_low_seq = [t.lower() for t in e_toks]
+        e_low_seq = [_norm(t) for t in e_toks]
         for a in q_anchors:
             la = len(a)
             for i in range(len(e_low_seq) - la + 1):
@@ -189,14 +215,14 @@ def featurize(question: str, sentences: List[str],
     # boilerplate (template) sentences repeat, appended facts don't
     df: Dict[str, set] = {}
     for t, sid in zip(e_toks, sent_of):
-        lw = t.lower()
+        lw = _norm(t)
         if lw not in _STOP:
             df.setdefault(lw, set()).add(para_of_sent[sid]
                                          if sid < len(para_of_sent) else 0)
     n_paras = max(1, len(set(para_of_sent))) if para_of_sent else 1
     sent_rarity = {}
     for sid, stoks in sent_toks.items():
-        c = [t.lower() for t in stoks if t.lower() not in _STOP]
+        c = [_norm(t) for t in stoks if _norm(t) not in _STOP]
         if c:
             sent_rarity[sid] = 1.0 - float(
                 np.mean([len(df.get(w, ())) for w in c])) / n_paras
@@ -222,9 +248,9 @@ def featurize(question: str, sentences: List[str],
     mask = np.zeros((1, SEQ_LEN), bool)
     ev_mask = np.zeros((1, SEQ_LEN), bool)
 
-    e_low = {t.lower() for t in e_toks}
+    e_low = {_norm(t) for t in e_toks}
     for i, t in enumerate(q_toks):
-        lw = t.lower()
+        lw = _norm(t)
         word_ids[0, i] = _word_id(t)
         stem_ids[0, i] = _stem_id(t)
         mask[0, i] = True
@@ -234,14 +260,14 @@ def featurize(question: str, sentences: List[str],
             float(lw in e_low), 0.0, 0.0, 0.0, 0.0,
             min(i, 31) / 31.0, float(i == 0), 0.0,
             0.0, float(any(lw in a for a in q_anchors)),
-            0.0, 0.0, 0.0, 0.0,
+            0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
         ]
 
     pos_in_sent = 0
     prev_sid = -1
     for j, (t, sid) in enumerate(zip(e_toks, sent_of)):
         i = Q_LEN + j
-        lw = t.lower()
+        lw = _norm(t)
         pos_in_sent = 0 if sid != prev_sid else pos_in_sent + 1
         prev_sid = sid
         word_ids[0, i] = _word_id(t)
@@ -254,8 +280,17 @@ def featurize(question: str, sentences: List[str],
         first_sid_of_para = next((s for s, p in enumerate(para_of_sent)
                                   if p == para), sid)
         prev_det = (j > 0 and sent_of[j - 1] == sid
-                    and e_toks[j - 1].lower() in _DETS)
+                    and _norm(e_toks[j - 1]) in _DETS)
         last_of_sent = (j + 1 >= len(e_toks) or sent_of[j + 1] != sid)
+        # prep-object: previous token (skipping one determiner) is "of" /
+        # a locational preposition, within the same sentence
+        k = j - 1
+        if k >= 0 and sent_of[k] == sid and _norm(e_toks[k]) in _DETS:
+            k -= 1
+        prev_prep = (_norm(e_toks[k]) if k >= 0 and sent_of[k] == sid
+                     else "")
+        of_obj = float(prev_prep == "of")
+        loc_obj = float(prev_prep in _LOC_PREPS)
         scalars[0, i] = [
             float(t[:1].isupper()), float(bool(_YEAR_RE.match(t))),
             float(bool(_NUM_RE.match(t))), float(lw in _STOP),
@@ -267,6 +302,7 @@ def featurize(question: str, sentences: List[str],
             sent_full_anchor.get(sid, 0.0), float(in_anchor[j]),
             float(prev_det), float(last_of_sent),
             para_overlap.get(para, 0.0), para_full_anchor.get(para, 0.0),
+            of_obj, loc_obj,
         ]
 
     return FeatureBatch(word_ids, stem_ids, scalars, segments, mask,
@@ -291,28 +327,34 @@ def decode_span(ev: TokenizedEvidence, start: int, end: int) -> str:
 
 
 def best_span(start_logits: np.ndarray, end_logits: np.ndarray,
-              ev: TokenizedEvidence, max_len: int = 6
-              ) -> Tuple[int, int, float]:
+              ev: TokenizedEvidence, max_len: int = 6,
+              span_pred=None) -> Tuple[int, int, float]:
     """Highest start+end pair within one sentence, span length <= max_len.
 
     Returns (start, end, prob) with prob = joint softmax probability —
-    the caller's abstention signal.
+    the caller's abstention signal. ``span_pred(i, j) -> bool``, when
+    given, restricts the search to spans it accepts (shape-constrained
+    decode, answer/reader.py); returns (-1, -1, 0.0) if no span passes.
     """
     n = min(len(ev.tokens), E_LEN)
     if n == 0:
-        return 0, 0, 0.0
+        return (-1, -1, 0.0) if span_pred is not None else (0, 0, 0.0)
     s = start_logits[:n]
     e = end_logits[:n]
     s_soft = np.exp(s - s.max());  s_soft /= s_soft.sum()
     e_soft = np.exp(e - e.max());  e_soft /= e_soft.sum()
-    best = (0, 0, -np.inf)
+    best = (-1, -1, -np.inf)
     for i in range(n):
         jmax = min(n - 1, i + max_len - 1)
         for j in range(i, jmax + 1):
             if ev.sent_index[j] != ev.sent_index[i]:
                 break
+            if span_pred is not None and not span_pred(i, j):
+                continue
             score = s[i] + e[j]
             if score > best[2]:
                 best = (i, j, score)
     i, j, _ = best
+    if i < 0:
+        return (-1, -1, 0.0) if span_pred is not None else (0, 0, 0.0)
     return i, j, float(s_soft[i] * e_soft[j])

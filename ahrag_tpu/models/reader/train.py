@@ -46,7 +46,8 @@ def _loss_fn(params, model, batch, starts, ends):
 def train(n_train: int = 16384, n_val: int = 1024, batch: int = 64,
           steps: int = 4096, scan_len: int = 256, lr: float = 3e-4,
           seed: int = 7, out: str = "checkpoints/reader",
-          d_model: int = 128, n_layers: int = 2) -> dict:
+          d_model: int = 128, n_layers: int = 2, d_ff: int = 0,
+          n_heads: int = 4) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -75,7 +76,9 @@ def train(n_train: int = 16384, n_val: int = 1024, batch: int = 64,
     starts = jnp.asarray(gs[train_sl]);  ends = jnp.asarray(ge[train_sl])
     v_starts = jnp.asarray(gs[val_sl]);  v_ends = jnp.asarray(ge[val_sl])
 
-    model = SpanReader(d_model=d_model, n_layers=n_layers)
+    d_ff = d_ff or 2 * d_model
+    model = SpanReader(d_model=d_model, n_layers=n_layers, d_ff=d_ff,
+                       n_heads=n_heads)
     params = model.init(jax.random.PRNGKey(seed), data["word_ids"][:2],
                         data["stem_ids"][:2], data["scalars"][:2],
                         data["segments"][:2], data["mask"][:2],
@@ -156,7 +159,8 @@ def train(n_train: int = 16384, n_val: int = 1024, batch: int = 64,
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out + ".msgpack", "wb") as f:
         f.write(serialization.to_bytes(params))
-    meta = {"d_model": d_model, "n_layers": n_layers, "n_params": n_params,
+    meta = {"d_model": d_model, "n_layers": n_layers, "d_ff": d_ff,
+            "n_heads": n_heads, "n_params": n_params,
             "steps": steps, "batch": batch, "lr": lr, "seed": seed,
             "n_train": n_train, "n_val": n_val,
             "final_val_exact": curve[-1]["val_exact"] if curve else None,
@@ -180,11 +184,14 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--d-model", type=int, default=128)
     ap.add_argument("--n-layers", type=int, default=2)
+    ap.add_argument("--d-ff", type=int, default=0)
+    ap.add_argument("--n-heads", type=int, default=4)
     ap.add_argument("--out", default="checkpoints/reader")
     a = ap.parse_args()
     train(n_train=a.n_train, n_val=a.n_val, batch=a.batch, steps=a.steps,
           scan_len=a.scan, lr=a.lr, seed=a.seed, out=a.out,
-          d_model=a.d_model, n_layers=a.n_layers)
+          d_model=a.d_model, n_layers=a.n_layers, d_ff=a.d_ff,
+          n_heads=a.n_heads)
 
 
 if __name__ == "__main__":

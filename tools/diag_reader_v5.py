@@ -28,8 +28,9 @@ def main() -> None:
     from ahrag_tpu.eval.answer_eval import squad_f1_em
     from ahrag_tpu.models.reader.features import E_LEN
 
-    reader = ReaderAnswerer(os.path.join(REPO, "checkpoints/reader.msgpack"),
-                            min_conf=0.0)
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "checkpoints/reader.msgpack")
+    reader = ReaderAnswerer(ckpt, min_conf=0.0)
     with open(os.path.join(REPO, "samples/synth_v5_train.jsonl"),
               encoding="utf-8") as fh:
         items = [json.loads(l) for l in fh if l.strip()]

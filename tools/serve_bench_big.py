@@ -168,6 +168,7 @@ def main() -> None:
         print(json.dumps(r), flush=True)
         sweeps.append(r)
     report = {"n_nodes": args.nodes, "backend": jax.default_backend(),
+              "host_cpus": os.cpu_count(),
               "build_s": round(build_s, 1), "sweeps": sweeps,
               "server_timers": service.stats()["timers"],
               "batcher": service.stats()["batcher"]}
