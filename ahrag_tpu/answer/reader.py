@@ -290,8 +290,12 @@ class ReaderAnswerer:
     #: answer SHAPE on v5 DEV probes (tools/calibrate_reader.py writes
     #: reports/reader_calibration_r5.json; test split untouched): each
     #: shape's threshold is the lowest band whose dev precision is 1.0.
-    hi_conf_by_shape = {"year": 0.95, "number": 0.95, "name": 0.95,
-                        "noun": 0.95}
+    #: round-5 recalibration on the r5 ensemble
+    #: (reports/reader_calibration_r5_final.json): lowest band with dev
+    #: precision 1.0 per shape — year 0.98, name 0.98, noun 0.90
+    #: ("number" unobserved on the probes; kept at the conservative 0.95).
+    hi_conf_by_shape = {"year": 0.98, "number": 0.95, "name": 0.98,
+                        "noun": 0.90}
 
     @property
     def hi_conf(self) -> float:  # back-compat floor for external readers
